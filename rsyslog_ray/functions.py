@@ -1,0 +1,514 @@
+"""RainerScript scalar-function library as vectorized Arrow kernels.
+
+Reference: the built-in function table at grammar/rainerscript.c:3730-3764 and
+the per-function implementations cited next to each kernel.  Every function
+here maps a pyarrow Array/ChunkedArray (plus python-scalar args) to a pyarrow
+Array — these are the UDFs available to the expression compiler (expr.py) and
+the template renderer (templates.py).
+
+Deviations from the reference are noted inline; semantics otherwise follow
+the C implementations (1-based field indexing, "***FIELD NOT FOUND***" miss
+marker, PRI-mask composition rules, etc.).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+FIELD_NOT_FOUND = "***FIELD NOT FOUND***"
+
+# --------------------------------------------------------------------------
+# string functions (grammar/rainerscript.c:1994-2466)
+# --------------------------------------------------------------------------
+
+
+def strlen(arr):
+    """grammar/rainerscript.c:2371 — length in characters."""
+    return pc.utf8_length(arr)
+
+
+def substring(arr, start: int, length: int):
+    """grammar/rainerscript.c:2398 — substring(s, start, len), 0-based."""
+    return pc.utf8_slice_codeunits(arr, start, start + length)
+
+
+def tolower(arr):
+    """grammar/rainerscript.c:2093."""
+    return pc.utf8_lower(arr)
+
+
+def toupper(arr):
+    return pc.utf8_upper(arr)
+
+
+def ltrim(arr):
+    """grammar/rainerscript.c:1994 — strip leading whitespace."""
+    return pc.utf8_ltrim_whitespace(arr)
+
+
+def rtrim(arr):
+    """grammar/rainerscript.c:2024."""
+    return pc.utf8_rtrim_whitespace(arr)
+
+
+def replace(arr, find: str, repl: str):
+    """grammar/rainerscript.c:2305 — literal global replace."""
+    return pc.replace_substring(arr, pattern=find, replacement=repl)
+
+
+def wrap(arr, wrapper: str, escape: str | None = None):
+    """grammar/rainerscript.c:2323 — wrap(s, wrapper[, escape]): surround s
+    with wrapper; occurrences of wrapper inside s are replaced by escape."""
+    if escape is not None:
+        arr = pc.replace_substring(arr, pattern=wrapper, replacement=escape)
+    return pc.binary_join_element_wise(
+        pa.scalar(wrapper), pc.cast(arr, pa.string()), pa.scalar(wrapper), ""
+    )
+
+
+def cstr(arr):
+    """grammar/rainerscript.c:2114 — cast to string."""
+    if pa.types.is_floating(arr.type):
+        # match rsyslog's integer-centric rendering for whole numbers
+        return pc.cast(pc.cast(arr, pa.int64()), pa.string())
+    return pc.cast(arr, pa.string())
+
+
+def cnum(arr):
+    """grammar/rainerscript.c:2133 — cast to number (int64); non-numeric → 0
+    (var2Number semantics, grammar/rainerscript.c:1413)."""
+    if pa.types.is_integer(arr.type):
+        return pc.cast(arr, pa.int64())
+    digits = pc.extract_regex(pc.cast(arr, pa.string()), pattern=r"^\s*(?P<n>-?\d+)")
+    n = pc.struct_field(digits, "n")
+    out = pc.cast(n, pa.int64())
+    return pc.fill_null(out, 0)
+
+
+def re_match(arr, pattern: str):
+    """grammar/rainerscript.c:2155 — ERE match → bool (RE2 here, not POSIX;
+    documented deviation: RE2 lacks backrefs)."""
+    return pc.match_substring_regex(arr, pattern=pattern)
+
+
+def re_extract(arr, pattern: str, match_n: int = 0, submatch_n: int = 0,
+               nomatch: str = ""):
+    """grammar/rainerscript.c:1597-1621 — submatch_n of match_n'th match.
+
+    match_n == 0 is vectorized via RE2; match_n > 0 falls back to a
+    per-row loop (rare in practice)."""
+    if match_n == 0:
+        pat = _wrap_group(pattern, submatch_n)
+        res = pc.extract_regex(arr, pattern=pat)
+        out = pc.struct_field(res, "g")
+        return pc.fill_null(out, nomatch)
+    rx = re.compile(pattern)
+    vals = []
+    for v in _pylist(arr):
+        if v is None:
+            vals.append(nomatch)
+            continue
+        ms = list(rx.finditer(v))
+        if match_n < len(ms):
+            m = ms[match_n]
+            vals.append(m.group(submatch_n) if submatch_n <= (m.lastindex or 0) else nomatch)
+        else:
+            vals.append(nomatch)
+    return pa.array(vals, type=pa.string())
+
+
+def _wrap_group(pattern: str, submatch_n: int) -> str:
+    """Name the submatch we want 'g' so pc.extract_regex can address it.
+    submatch 0 = whole match → wrap the whole pattern."""
+    if submatch_n == 0:
+        return f"(?P<g>{pattern})"
+    # rename the Nth capturing group; naive scan for unescaped '('
+    count = 0
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\":
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if ch == "(" and not pattern.startswith("(?", i):
+            count += 1
+            if count == submatch_n:
+                out.append("(?P<g>")
+                i += 1
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def field(arr, delim: str, n: int):
+    """grammar/rainerscript.c:2422 / runtime/msg.c:3936-3960 — Nth field
+    (1-based) split by delimiter; miss → '***FIELD NOT FOUND***'."""
+    if n < 1:
+        return pa.array([FIELD_NOT_FOUND] * len(arr), type=pa.string())
+    parts = pc.split_pattern(arr, pattern=delim)
+    lens = pc.list_value_length(parts)
+    ok = pc.greater_equal(lens, n)
+    # list_element raises on short lists → slice to [n-1, n) and join
+    elem = pc.binary_join(pc.cast(pc.list_slice(parts, n - 1, n), pa.list_(pa.string())), "")
+    out = pc.if_else(ok, elem, pa.scalar(FIELD_NOT_FOUND))
+    return pc.fill_null(out, FIELD_NOT_FOUND)
+
+
+def int2hex(arr):
+    """grammar/rainerscript.c:2277."""
+    vals = _pylist(arr)
+    return pa.array([format(v, "x") if v is not None else None for v in vals],
+                    type=pa.string())
+
+
+def num2ipv4(arr):
+    """grammar/rainerscript.c:3733 — int → dotted quad; out of range → '-1'."""
+    v = pc.cast(arr, pa.int64())
+    oct0 = pc.bit_wise_and(pc.shift_right(v, 24), 255)
+    oct1 = pc.bit_wise_and(pc.shift_right(v, 16), 255)
+    oct2 = pc.bit_wise_and(pc.shift_right(v, 8), 255)
+    oct3 = pc.bit_wise_and(v, 255)
+    s = pc.binary_join_element_wise(
+        pc.cast(oct0, pa.string()), pc.cast(oct1, pa.string()),
+        pc.cast(oct2, pa.string()), pc.cast(oct3, pa.string()), ".")
+    bad = pc.or_(pc.less(v, 0), pc.greater(v, 0xFFFFFFFF))
+    return pc.if_else(bad, pa.scalar("-1"), s)
+
+
+def ipv42num(arr):
+    """grammar/rainerscript.c:3741 — dotted quad → int; invalid → -1."""
+    res = pc.extract_regex(
+        arr, pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")
+    total = pa.array(np.zeros(len(arr), dtype=np.int64))
+    ok = pc.is_valid(pc.struct_field(res, "a"))
+    for g, shift in (("a", 24), ("b", 16), ("c", 8), ("d", 0)):
+        p = pc.cast(pc.struct_field(res, g), pa.int64())
+        ok = pc.and_(ok, pc.fill_null(pc.less_equal(p, 255), False))
+        total = pc.add(total, pc.shift_left(pc.fill_null(p, 0), shift))
+    return pc.if_else(ok, total, -1)
+
+
+# --------------------------------------------------------------------------
+# hashing (contrib/fmhash/fmhash.c:349-355 — xxhash in the reference; we use
+# pandas' SipHash-1-3 with its fixed default key: deterministic across
+# processes/runs, vectorized. Used for dedup content hashes and key salting.)
+# --------------------------------------------------------------------------
+
+
+def hash64(arr) -> pa.Array:
+    vals = pd.array(_pylist(arr), dtype="object")
+    h = pd.util.hash_array(np.asarray(vals, dtype=object), categorize=False)
+    return pa.array(h.astype(np.uint64), type=pa.uint64())
+
+
+def hash32(arr) -> pa.Array:
+    h = hash64(arr)
+    return pc.cast(pc.bit_wise_and(h, 0xFFFFFFFF), pa.uint32())
+
+
+def hash64mod(arr, mod: int) -> pa.Array:
+    return pc.cast(_pc_mod_u64(hash64(arr), mod), pa.int64())
+
+
+def hash32mod(arr, mod: int) -> pa.Array:
+    return pc.cast(_pc_mod_u64(pc.cast(hash32(arr), pa.uint64()), mod), pa.int64())
+
+
+def _pc_mod_u64(arr: pa.Array, mod: int) -> pa.Array:
+    np_arr = arr.to_numpy(zero_copy_only=False)
+    return pa.array(np_arr % np.uint64(mod))
+
+
+# --------------------------------------------------------------------------
+# time functions
+# --------------------------------------------------------------------------
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+RFC3339_RE = (
+    r"^(?P<base>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})"
+    r"(?P<frac>\.\d+)?(?P<tz>Z|[+-]\d{2}:\d{2})?$"
+)
+RFC3164_TS_RE = r"^(?P<mon>[A-Z][a-z]{2}) (?P<day>[ 0-3]?\d) (?P<hms>\d{2}:\d{2}:\d{2})$"
+
+
+def parse_rfc3339(arr, unit: str = "us") -> pa.Array:
+    """Vectorized RFC3339 → timestamp[us] (UTC-naive); unparseable → null.
+
+    Handles fractional seconds and numeric UTC offsets (normalized to UTC).
+    Reference semantics: grammar/rainerscript.c:2636 parse_time(rfc3339) and
+    the rfc5424 TIMESTAMP field (tools/pmrfc5424.c)."""
+    arr = pc.cast(arr, pa.string())
+    m = pc.extract_regex(arr, pattern=RFC3339_RE)
+    base = pc.struct_field(m, "base")
+    frac = pc.struct_field(m, "frac")
+    tz = pc.struct_field(m, "tz")
+    ts = pc.strptime(base, format="%Y-%m-%dT%H:%M:%S", unit=unit, error_is_null=True)
+    # fractional part → microseconds
+    frac_named = pc.extract_regex(pc.fill_null(frac, ""), pattern=r"^\.(?P<d>\d{1,6})")
+    frac_digits = pc.fill_null(pc.struct_field(frac_named, "d"), "0")
+    frac_padded = pc.ascii_rpad(frac_digits, 6, "0")
+    frac_us = pc.cast(frac_padded, pa.int64())
+    # tz offset → seconds east of UTC (subtract to get UTC)
+    tzm = pc.extract_regex(pc.fill_null(tz, ""),
+                           pattern=r"^(?P<sign>[+-])(?P<hh>\d{2}):(?P<mm>\d{2})$")
+    off_hh = pc.fill_null(pc.cast(pc.struct_field(tzm, "hh"), pa.int64()), 0)
+    off_mm = pc.fill_null(pc.cast(pc.struct_field(tzm, "mm"), pa.int64()), 0)
+    off_s = pc.add(pc.multiply(off_hh, 3600), pc.multiply(off_mm, 60))
+    neg = pc.equal(pc.fill_null(pc.struct_field(tzm, "sign"), "+"), "-")
+    off_signed = pc.if_else(neg, pc.negate(off_s), off_s)
+    delta_us = pc.subtract(pc.multiply(frac_us, 1), pc.multiply(off_signed, 1_000_000))
+    out = pc.add(pc.cast(ts, pa.int64()), delta_us)
+    return pc.if_else(pc.is_valid(ts), pc.cast(out, pa.timestamp(unit)), pa.scalar(None, pa.timestamp(unit)))
+
+
+def parse_rfc3164_ts(mon, day, hms, year: int = 2024) -> pa.Array:
+    """'Jan'/' 1'/'00:00:03' component arrays → timestamp[us].
+
+    RFC3164 carries no year; the engine pins the fixture year (2024) —
+    deviation from rsyslog's nearest-year guess, documented."""
+    mon_num = pc.cast(pc.add(pc.index_in(mon, pa.array(_MONTHS)), 1), pa.string())
+    mon2 = pc.ascii_lpad(mon_num, 2, "0")
+    day2 = pc.ascii_lpad(pc.utf8_ltrim(pc.cast(day, pa.string()), " "), 2, "0")
+    iso = pc.binary_join_element_wise(
+        pa.scalar(str(year)), mon2, day2, "-")
+    full = pc.binary_join_element_wise(iso, pc.cast(hms, pa.string()), "T")
+    return pc.strptime(full, format="%Y-%m-%dT%H:%M:%S", unit="us", error_is_null=True)
+
+
+def format_time(arr, fmt: str) -> pa.Array:
+    """grammar/rainerscript.c:2553 format_time(unixts|ts, fmt)."""
+    if pa.types.is_integer(arr.type):
+        arr = pc.cast(pc.multiply(pc.cast(arr, pa.int64()), 1_000_000), pa.timestamp("us"))
+    arr = pc.cast(arr, pa.timestamp("us"))
+    # Arrow's %S renders fractional seconds — format from second precision
+    secs = pc.cast(pc.divide(pc.cast(arr, pa.int64()), 1_000_000), pa.timestamp("s"))
+    if fmt == "date-rfc3339":
+        base = pc.strftime(secs, format="%Y-%m-%dT%H:%M:%S")
+        us = _pc_mod_u64(pc.cast(pc.cast(arr, pa.int64()), pa.uint64()), 1_000_000)
+        frac = pc.ascii_lpad(pc.cast(pc.cast(us, pa.int64()), pa.string()), 6, "0")
+        with_frac = pc.binary_join_element_wise(base, frac, ".")
+        return pc.binary_join_element_wise(with_frac, pa.scalar("+00:00"), "")
+    if fmt == "date-rfc3164":
+        mon = pc.strftime(secs, format="%b")
+        day = pc.ascii_lpad(pc.cast(pc.day(secs), pa.string()), 2, " ")
+        hms = pc.strftime(secs, format="%H:%M:%S")
+        return pc.binary_join_element_wise(mon, day, hms, " ")
+    if fmt == "date-unix":
+        return pc.cast(pc.divide(pc.cast(arr, pa.int64()), 1_000_000), pa.string())
+    raise ValueError(f"unknown time format {fmt!r}")
+
+
+def is_time(arr, fmt: str = "rfc3339") -> pa.Array:
+    if fmt == "rfc3339":
+        return pc.is_valid(parse_rfc3339(arr))
+    return pc.match_substring_regex(pc.cast(arr, pa.string()),
+                                    pattern=RFC3164_TS_RE)
+
+
+# --------------------------------------------------------------------------
+# PRI filter masks (grammar/rainerscript.c:340-430 mask build;
+# runtime/ruleset.c:421-439 eval: pmask[facility] & (1 << severity))
+# --------------------------------------------------------------------------
+
+FACILITIES = {
+    "kern": 0, "user": 1, "mail": 2, "daemon": 3, "auth": 4, "syslog": 5,
+    "lpr": 6, "news": 7, "uucp": 8, "cron": 9, "authpriv": 10, "ftp": 11,
+    "ntp": 12, "audit": 13, "alert": 14, "clock": 15,
+    "local0": 16, "local1": 17, "local2": 18, "local3": 19, "local4": 20,
+    "local5": 21, "local6": 22, "local7": 23,
+}
+SEVERITIES = {
+    "emerg": 0, "panic": 0, "alert": 1, "crit": 2, "err": 3, "error": 3,
+    "warning": 4, "warn": 4, "notice": 5, "info": 6, "debug": 7,
+}
+FACILITY_NAMES = {v: k for k, v in FACILITIES.items()}
+SEVERITY_NAMES = {0: "emerg", 1: "alert", 2: "crit", 3: "err", 4: "warning",
+                  5: "notice", 6: "info", 7: "debug"}
+
+
+def parse_pri_selector(spec: str) -> np.ndarray:
+    """'fac[,fac].sev;...' → bool mask shape (24, 8).
+
+    BSD syslog.conf semantics as implemented by rsyslog's mask builder:
+    selectors separated by ';' apply cumulatively left→right; 'sev' means
+    that severity and all more-severe (numerically lower); '=sev' exactly;
+    '!sev' clears sev-and-more-severe; '!=sev' clears exactly; 'none'
+    clears the named facilities; '*' = all."""
+    mask = np.zeros((24, 8), dtype=bool)
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        fac_s, _, sev_s = part.rpartition(".")
+        if not fac_s:
+            raise ValueError(f"bad PRI selector {part!r}")
+        if fac_s == "*":
+            facs = list(range(24))
+        else:
+            facs = [FACILITIES[f.strip()] for f in fac_s.split(",")]
+        sev_s = sev_s.strip()
+        negate = sev_s.startswith("!")
+        if negate:
+            sev_s = sev_s[1:]
+        exact = sev_s.startswith("=")
+        if exact:
+            sev_s = sev_s[1:]
+        if sev_s == "none":
+            sevs: list[int] = []
+            mask[facs, :] = False
+            continue
+        elif sev_s == "*":
+            sevs = list(range(8))
+        else:
+            s = SEVERITIES[sev_s]
+            sevs = [s] if exact else list(range(s + 1))
+        if negate:
+            mask[np.ix_(facs, sevs)] = False
+        else:
+            mask[np.ix_(facs, sevs)] = True
+    return mask
+
+
+def prifilt(facility, severity, spec: str) -> pa.Array:
+    """grammar/rainerscript.c:2468 — PRI-selector → boolean column."""
+    mask = parse_pri_selector(spec)
+    fac = _np_i64(facility)
+    sev = _np_i64(severity)
+    ok = (fac >= 0) & (fac < 24) & (sev >= 0) & (sev < 8)
+    out = np.zeros(len(fac), dtype=bool)
+    out[ok] = mask[fac[ok], sev[ok]]
+    return pa.array(out)
+
+
+# --------------------------------------------------------------------------
+# JSON
+# --------------------------------------------------------------------------
+
+
+def parse_json_column(arr) -> tuple[pa.Array, pa.Array]:
+    """grammar/rainerscript.c:1781 parse_json — returns (json_string, ok).
+
+    The parsed tree is kept as a *normalized JSON string column* (dynamic
+    `$!` tree ↔ static Arrow schema tradeoff, SURVEY §7 'Dynamic JSON
+    tree'); engine-produced fields should be typed columns instead."""
+    vals = _pylist(arr)
+    out, ok = [], []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            ok.append(False)
+            continue
+        try:
+            obj = json.loads(v)
+            out.append(json.dumps(obj, separators=(",", ":"), sort_keys=True))
+            ok.append(True)
+        except (ValueError, TypeError):
+            out.append(None)
+            ok.append(False)
+    return pa.array(out, type=pa.string()), pa.array(ok)
+
+
+def json_get(arr, path: str) -> pa.Array:
+    """Extract a (possibly nested) path 'a!b!c' from a JSON string column —
+    the `$!a!b!c` property access analogue (runtime/msg.c msgGetJSONPropJSON)."""
+    keys = path.split("!")
+    vals = _pylist(arr)
+    out = []
+    for v in vals:
+        cur = None
+        if v is not None:
+            try:
+                cur = json.loads(v)
+                for k in keys:
+                    if isinstance(cur, dict):
+                        cur = cur.get(k)
+                    else:
+                        cur = None
+                        break
+            except (ValueError, TypeError):
+                cur = None
+        if cur is None:
+            out.append(None)
+        elif isinstance(cur, str):
+            out.append(cur)
+        elif isinstance(cur, bool):
+            out.append("1" if cur else "0")
+        elif isinstance(cur, (dict, list)):
+            out.append(json.dumps(cur, separators=(",", ":"), sort_keys=True))
+        else:
+            out.append(str(cur))
+    return pa.array(out, type=pa.string())
+
+
+def unflatten(arr, sep: str = ".") -> pa.Array:
+    """contrib/fmunflatten — dotted-key JSON object → nested JSON string."""
+    vals = _pylist(arr)
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            flat = json.loads(v)
+            nested: dict = {}
+            for k, val in flat.items():
+                cur = nested
+                parts = k.split(sep)
+                for p in parts[:-1]:
+                    cur = cur.setdefault(p, {})
+                cur[parts[-1]] = val
+            out.append(json.dumps(nested, separators=(",", ":"), sort_keys=True))
+        except (ValueError, TypeError, AttributeError):
+            out.append(None)
+    return pa.array(out, type=pa.string())
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _pylist(arr) -> list:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks().to_pylist()
+    if isinstance(arr, pa.Array):
+        return arr.to_pylist()
+    return list(arr)
+
+
+def _np_i64(arr) -> np.ndarray:
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        return pc.fill_null(pc.cast(arr, pa.int64()), -1).to_numpy(zero_copy_only=False)
+    return np.asarray(arr, dtype=np.int64)
+
+
+# Registry for the expression compiler / external UDF hook (the fm* loadable
+# function-module analogue, grammar/rainerscript.c:3727 modListRoot).
+REGISTRY = {
+    "strlen": strlen, "substring": substring, "tolower": tolower,
+    "toupper": toupper, "ltrim": ltrim, "rtrim": rtrim, "replace": replace,
+    "wrap": wrap, "cstr": cstr, "cnum": cnum, "re_match": re_match,
+    "re_extract": re_extract, "field": field, "int2hex": int2hex,
+    "num2ipv4": num2ipv4, "ipv42num": ipv42num, "hash32": hash32,
+    "hash64": hash64, "hash32mod": hash32mod, "hash64mod": hash64mod,
+    "format_time": format_time, "parse_time": parse_rfc3339,
+    "is_time": is_time, "prifilt": prifilt, "json_get": json_get,
+    "unflatten": unflatten,
+}
+
+
+def register_function(name: str, fn) -> None:
+    """User-extension surface: register a scalar UDF by name (module ABI
+    analogue, runtime/module-template.h)."""
+    REGISTRY[name] = fn

@@ -1,0 +1,230 @@
+"""Vectorized sanitize + parser-chain cascade (mask-cascaded extraction).
+
+Reference semantics reimplemented Ray-Data-first:
+
+- SanitizeMsg  (runtime/parser.c:380-430): strip trailing LF/CR/NUL, escape
+  interior control chars to '#ooo' octal, truncate to MAX_LINE (8096).
+  Empty-after-sanitize rows are *dropped* (RS_RET_EMPTY_MSG,
+  runtime/parser.c:628) but counted.
+- ParsePRI     (runtime/parser.c:577-609): '<NNN>' prefix, 0<=pri<=191;
+  malformed/absent → DEFUPRI 13 (facility 1 'user', severity 5 'notice')
+  and the PRI prefix stays part of the message.
+- pmrfc5424    (tools/pmrfc5424.c:60-180): '1 TS HOST APP PROCID MSGID SD
+  [MSG]', SP-delimited, '-' = nil (kept as literal '-'), SD bracket-balanced
+  with \\] escapes.
+- pmrfc3164    (tools/pmrfc3164.c:175-360): RFC3164 or RFC3339 timestamp
+  (one leading space tolerated — HP-procurve), charset-validated HOSTNAME,
+  colon-terminated TAG, remainder = MSG (leading space preserved);
+  '{'/'[' after spaces ⇒ headerless JSON (msg = whole rest).
+- fallback: neither matched → parse_success=false, msg = rest-after-PRI.
+
+The chain (runtime/parser.c:618-695 'first parser wins') becomes one
+`map_batches` pass: both RE2 extractions run over the full column and
+per-field `pc.if_else` selects by branch mask — no per-row Python.
+
+All regex patterns are RE2 and shared verbatim with the DuckDB oracle SQL
+(__ray_entry__.oracle_sql), so engine and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import parse_rfc3339, parse_rfc3164_ts
+
+MAX_LINE = 8096  # runtime/glbl.c:100 iMaxLine default
+DEF_PRI = 13  # DEFUPRI: facility 1 (user), severity 5 (notice)
+
+PRI_RE = r"^<(?P<pri>\d{1,3})>(?P<rest>[\s\S]*)$"
+
+RFC5424_RE = (
+    r"^1 (?P<t5424>\S+) (?P<host5424>\S+) (?P<app5424>\S+) "
+    r"(?P<procid5424>\S+) (?P<msgid5424>\S+) "
+    r"(?P<sd5424>-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)"
+    r"(?: (?P<msg5424>[\s\S]*))?$"
+)
+
+RFC3164_RE = (
+    r"^ ?(?:(?P<t3339>\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+    r"(?:Z|[+-]\d{2}:\d{2})?)|"
+    r"(?P<mon3164>[A-Z][a-z]{2}) (?P<day3164>[ 0-3]?\d) "
+    r"(?P<hms3164>\d{2}:\d{2}:\d{2})) "
+    r"(?P<host3164>[A-Za-z0-9._-]+)"
+    r"(?: (?:(?P<tag3164>[A-Za-z0-9_./-]{1,32}):)?(?P<msg3164>[\s\S]*))?$"
+)
+
+HEADERLESS_RE = r"^ *[\[{]"
+
+CEE_COOKIE = "@cee:"  # plugins/mmjsonparse/mmjsonparse.c:122
+
+_CTRL_RE = re.compile(r"[\x00-\x1f]")
+_CTRL_DETECT = r"[\x00-\x1f]"
+
+
+def _escape_ctl(s: str) -> str:
+    """Interior control chars → '#ooo' octal (parser.c SanitizeMsg default)."""
+    return _CTRL_RE.sub(lambda m: "#%03o" % ord(m.group()), s)
+
+
+def sanitize(text: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Returns (sanitized, keep_mask). keep=False ⇔ empty after sanitize."""
+    s = pc.cast(text, pa.large_string())
+    s = pc.fill_null(s, "")
+    # strip trailing LF / CR / NUL (repeatedly)
+    s = pc.replace_substring_regex(s, pattern=r"[\n\r\x00]+$", replacement="")
+    s = pc.utf8_slice_codeunits(s, 0, MAX_LINE)
+    # escape interior control chars — only rows that have any (small subset)
+    has_ctl = pc.match_substring_regex(s, pattern=_CTRL_DETECT)
+    n_ctl = pc.sum(has_ctl).as_py() or 0
+    if n_ctl:
+        np_mask = has_ctl.to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(np_mask)
+        py = s.take(pa.array(idx)).to_pylist()
+        fixed = [_escape_ctl(v) for v in py]
+        np_all = s.to_numpy(zero_copy_only=False).astype(object)
+        np_all[idx] = fixed
+        s = pa.array(np_all, type=pa.large_string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    keep = pc.greater(pc.utf8_length(s), 0)
+    return s, keep
+
+
+def _f(struct_arr, name):
+    return pc.struct_field(struct_arr, name)
+
+
+def _nz(arr, fill=""):
+    return pc.fill_null(arr, fill)
+
+
+def parse_table(batch: pa.Table, text_col: str = "text",
+                ts_col: str = "ts") -> pa.Table:
+    """The full sanitize→PRI→cascade parse of one Arrow batch.
+
+    Appends columns:
+      pri:int32 facility:int32 severity:int32 protocol:int32
+      parse_success:bool hostname,tag,appname,procid,msgid,
+      structured_data:string msg:large_string ts_reported:timestamp[us]
+      is_cee:bool
+    Drops empty-after-sanitize rows; the caller reads the dropped count from
+    len(in) - len(out) (metrics stage records it).
+    """
+    san, keep = sanitize(batch[text_col])
+    batch = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, san
+    ).filter(keep)
+    if batch.num_rows == 0:
+        return _empty_with_schema(batch)
+    text = batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+
+    # --- PRI ---------------------------------------------------------------
+    prim = pc.extract_regex(text, pattern=PRI_RE)
+    pri_raw = pc.cast(_f(prim, "pri"), pa.int32())
+    pri_ok = pc.fill_null(pc.less_equal(pri_raw, 191), False)
+    pri = pc.if_else(pri_ok, _nz(pri_raw, DEF_PRI), DEF_PRI)
+    rest = pc.if_else(pri_ok, _nz(_f(prim, "rest")), pc.cast(text, pa.string()))
+
+    # --- RFC5424 -----------------------------------------------------------
+    m5 = pc.extract_regex(rest, pattern=RFC5424_RE)
+    is5424 = pc.is_valid(_f(m5, "t5424"))
+
+    # --- RFC3164 (incl. RFC3339-date variant) ------------------------------
+    m3 = pc.extract_regex(rest, pattern=RFC3164_RE)
+    has3339 = pc.fill_null(pc.not_equal(_nz(_f(m3, "t3339")), ""), False)
+    is3164 = pc.and_(pc.is_valid(_f(m3, "host3164")), pc.invert(is5424))
+
+    # --- headerless JSON ---------------------------------------------------
+    is_hdrless = pc.and_(
+        pc.match_substring_regex(rest, pattern=HEADERLESS_RE),
+        pc.invert(pc.or_(is5424, is3164)),
+    )
+
+    parse_success = pc.or_(pc.or_(is5424, is3164), is_hdrless)
+    protocol = pc.if_else(
+        is5424, pa.scalar(1, pa.int32()),
+        pc.if_else(parse_success, pa.scalar(0, pa.int32()),
+                   pa.scalar(-1, pa.int32())))
+
+    # --- fields by branch --------------------------------------------------
+    empty = pa.scalar("", pa.string())
+    hostname = pc.if_else(is5424, _nz(_f(m5, "host5424")),
+                          pc.if_else(is3164, _nz(_f(m3, "host3164")), empty))
+    tag = pc.if_else(is3164, _nz(_f(m3, "tag3164")), empty)
+    appname = pc.if_else(is5424, _nz(_f(m5, "app5424")), tag)
+    procid = pc.if_else(is5424, _nz(_f(m5, "procid5424")), empty)
+    msgid = pc.if_else(is5424, _nz(_f(m5, "msgid5424")), empty)
+    sd = pc.if_else(is5424, _nz(_f(m5, "sd5424")), empty)
+
+    msg = pc.if_else(
+        is5424, _nz(_f(m5, "msg5424")),
+        pc.if_else(is3164, _nz(_f(m3, "msg3164")), rest))
+
+    # --- reported timestamp ------------------------------------------------
+    ts_rcvd = batch[ts_col].combine_chunks() if isinstance(batch[ts_col], pa.ChunkedArray) else batch[ts_col]
+    ts_rcvd = pc.cast(ts_rcvd, pa.timestamp("us"))
+    t5 = parse_rfc3339(pc.if_else(is5424, _nz(_f(m5, "t5424"), "-"), "-"))
+    t3339 = parse_rfc3339(pc.if_else(has3339, _nz(_f(m3, "t3339")), ""))
+    t3164 = parse_rfc3164_ts(_nz(_f(m3, "mon3164"), "Jan"),
+                             _nz(_f(m3, "day3164"), "1"),
+                             _nz(_f(m3, "hms3164"), "00:00:00"))
+    ts_reported = pc.if_else(
+        is5424, pc.fill_null(t5, pa.scalar(None, pa.timestamp("us"))),
+        pc.if_else(pc.and_(is3164, has3339), t3339,
+                   pc.if_else(is3164, t3164,
+                              pa.scalar(None, pa.timestamp("us")))))
+    ts_reported = pc.coalesce(ts_reported, ts_rcvd)
+
+    # --- CEE cookie --------------------------------------------------------
+    msg_l = pc.utf8_ltrim_whitespace(msg)
+    is_cee = pc.starts_with(msg_l, pattern=CEE_COOKIE)
+
+    out = batch
+    for name, col in [
+        ("pri", pri),
+        ("facility", pc.cast(pc.divide(pri, 8), pa.int32())),
+        ("severity", pc.cast(pc.bit_wise_and(pri, 7), pa.int32())),
+        ("protocol", protocol),
+        ("parse_success", parse_success),
+        ("hostname", hostname),
+        ("tag", tag),
+        ("appname", appname),
+        ("procid", procid),
+        ("msgid", msgid),
+        ("structured_data", sd),
+        ("msg", pc.cast(msg, pa.large_string())),
+        ("ts_reported", ts_reported),
+        ("is_cee", is_cee),
+    ]:
+        out = out.append_column(name, col)
+    return out
+
+
+PARSED_FIELDS: dict[str, pa.DataType] = {
+    "pri": pa.int32(), "facility": pa.int32(), "severity": pa.int32(),
+    "protocol": pa.int32(), "parse_success": pa.bool_(),
+    "hostname": pa.string(), "tag": pa.string(), "appname": pa.string(),
+    "procid": pa.string(), "msgid": pa.string(),
+    "structured_data": pa.string(), "msg": pa.large_string(),
+    "ts_reported": pa.timestamp("us"), "is_cee": pa.bool_(),
+}
+
+
+def _empty_with_schema(batch: pa.Table) -> pa.Table:
+    out = batch
+    for name, typ in PARSED_FIELDS.items():
+        out = out.append_column(name, pa.array([], type=typ))
+    return out
+
+
+def parse_dataset(ds, text_col: str = "text", ts_col: str = "ts",
+                  batch_size: int = 32768):
+    """Dataset-level parse stage: stateless map_batches, zero-copy Arrow."""
+    return ds.map_batches(
+        lambda t: parse_table(t, text_col, ts_col),
+        batch_format="pyarrow", batch_size=batch_size,
+    )
