@@ -1,0 +1,197 @@
+"""RainerScript expression → Arrow columnar-mask compiler.
+
+Reference: expression eval in grammar/rainerscript.c:3040-3630 (cmpOp
+dispatch, var2Number/var2CString implicit coercion at :1413/:1459), PRI
+filters runtime/ruleset.c:421-439, property filters :447-555.
+
+An expression is a nested tuple AST (the cnfstmt/nfexpr analogue — we do not
+re-implement the RainerScript *language*, only its operator semantics,
+SURVEY §2.10.2):
+
+    ("prop", name)                      property/column reference
+    ("lit", value)                      constant
+    ("==", a, b)  ("!=",) ("<",) ("<=",) (">",) (">=",)
+    ("contains", a, b) ("contains_i", a, b)
+    ("startswith", a, b) ("startswith_i", a, b)
+    ("regex", a, pattern)               re_match / ereregex
+    ("isempty", a)
+    ("in", a, [v1, v2, ...])            array comparison evalStrArrayCmp
+    ("and", a, b) ("or", a, b) ("not", a)
+    ("+", a, b) ("-", a, b) ("*", a, b) ("/", a, b) ("%", a, b) ("neg", a)
+    ("&", a, b)                         string concat
+    ("prifilt", "spec")                 PRI-selector mask
+    ("call", fname, arg_exprs..., *scalar_args)   REGISTRY function
+
+Comparison coercion follows the reference: if both sides are numeric (or a
+string side converts cleanly to a number), compare numerically; else compare
+as strings (grammar/rainerscript.c:3056-3124 CMP_EQ).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions import REGISTRY, prifilt
+
+_CMP = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+        "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
+
+
+class PropertyRegistry:
+    """Name → column (or derived expression) map; the MsgGetProp analogue
+    (runtime/msg.c:3526). Extend with computed properties as needed."""
+
+    #: rsyslog property name → engine column name (runtime/typedefs.h:193-246)
+    ALIASES = {
+        "msg": "msg", "rawmsg": "text", "hostname": "hostname",
+        "source": "hostname", "syslogtag": "syslogtag",
+        "programname": "tag", "pri": "pri",
+        "syslogfacility": "facility", "syslogseverity": "severity",
+        "syslogpriority": "severity", "app-name": "appname",
+        "procid": "procid", "msgid": "msgid",
+        "structured-data": "structured_data",
+        "timereported": "ts_reported", "timestamp": "ts_reported",
+        "timegenerated": "ts", "parsesuccess": "parse_success",
+        "protocol-version": "protocol",
+    }
+
+    def __init__(self, table: pa.Table):
+        self.table = table
+
+    def get(self, name: str) -> pa.Array | pa.ChunkedArray:
+        col = self.ALIASES.get(name, name)
+        if col == "syslogtag":
+            return self._syslogtag()
+        if col in self.table.column_names:
+            c = self.table[col]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        raise KeyError(f"unknown property {name!r}")
+
+    def _syslogtag(self) -> pa.Array:
+        """tag+':' for RFC3164 rows with a tag; appname for RFC5424; else ''.
+
+        (Deviation from rsyslog's exact TAG reconstruction, documented:
+        runtime/msg.c getTAG composes APP-NAME[PROCID] for 5424.)"""
+        t = self.table
+        tag = pc.fill_null(pc.cast(t["tag"].combine_chunks() if isinstance(t["tag"], pa.ChunkedArray) else t["tag"], pa.string()), "")
+        app = pc.fill_null(pc.cast(t["appname"].combine_chunks() if isinstance(t["appname"], pa.ChunkedArray) else t["appname"], pa.string()), "")
+        has_tag = pc.not_equal(tag, "")
+        tag_c = pc.binary_join_element_wise(tag, pa.scalar(":"), "")
+        return pc.if_else(has_tag, tag_c, app)
+
+
+def _is_str(arr) -> bool:
+    t = arr.type if isinstance(arr, (pa.Array, pa.ChunkedArray)) else None
+    return t is not None and (pa.types.is_string(t) or pa.types.is_large_string(t))
+
+
+def _coerce_pair(a, b):
+    """Implicit coercion: prefer numeric compare when either side is numeric
+    (var2Number semantics); else both to string."""
+    a_num = isinstance(a, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(a.type)
+    b_num = isinstance(b, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(b.type)
+    a_scalar_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_scalar_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if (a_num or a_scalar_num) and (b_num or b_scalar_num):
+        return a, b
+    if (a_num or a_scalar_num) and _is_str(b):
+        return a, pc.cast(b, pa.int64())
+    if _is_str(a) and (b_num or b_scalar_num):
+        return pc.cast(a, pa.int64()), b
+    return a, b
+
+
+def compile_expr(expr, props: PropertyRegistry):
+    """Evaluate an expression AST against one Arrow batch → Array/scalar."""
+    if not isinstance(expr, tuple):
+        return expr  # bare literal
+    op = expr[0]
+    if op == "prop":
+        return props.get(expr[1])
+    if op == "lit":
+        return expr[1]
+    if op in _CMP:
+        a = compile_expr(expr[1], props)
+        b = compile_expr(expr[2], props)
+        a, b = _coerce_pair(a, b)
+        if _is_str(a) and isinstance(b, (pa.Array, pa.ChunkedArray)) and _is_str(b) and a.type != b.type:
+            b = pc.cast(b, a.type)
+        return _CMP[op](a, b)
+    if op in ("contains", "contains_i", "startswith", "startswith_i"):
+        a = pc.cast(compile_expr(expr[1], props), pa.string())
+        pat = compile_expr(expr[2], props)
+        kw = {"ignore_case": op.endswith("_i")}
+        fn = pc.match_substring if op.startswith("contains") else pc.starts_with
+        return fn(a, pattern=pat, **kw)
+    if op == "regex":
+        a = pc.cast(compile_expr(expr[1], props), pa.string())
+        return pc.match_substring_regex(a, pattern=expr[2])
+    if op == "isempty":
+        a = compile_expr(expr[1], props)
+        return pc.equal(pc.fill_null(pc.cast(a, pa.string()), ""), "")
+    if op == "in":
+        a = compile_expr(expr[1], props)
+        vals = expr[2]
+        if _is_str(a):
+            vals = [str(v) for v in vals]
+            return pc.is_in(pc.cast(a, pa.string()), value_set=pa.array(vals, pa.string()))
+        return pc.is_in(a, value_set=pa.array(vals))
+    if op == "and":
+        return pc.and_kleene(_to_bool(compile_expr(expr[1], props)),
+                             _to_bool(compile_expr(expr[2], props)))
+    if op == "or":
+        return pc.or_kleene(_to_bool(compile_expr(expr[1], props)),
+                            _to_bool(compile_expr(expr[2], props)))
+    if op == "not":
+        return pc.invert(_to_bool(compile_expr(expr[1], props)))
+    if op in ("+", "-", "*", "/", "%"):
+        a = compile_expr(expr[1], props)
+        b = compile_expr(expr[2], props)
+        a, b = _coerce_pair(a, b)
+        fns = {"+": pc.add, "-": pc.subtract, "*": pc.multiply}
+        if op in fns:
+            return fns[op](a, b)
+        if op == "/":
+            return pc.divide(pc.cast(a, pa.int64()), b)  # integer division, rsyslog semantics
+        ua = pc.cast(a, pa.int64()).to_numpy(zero_copy_only=False)
+        import numpy as np
+        ub = b.to_numpy(zero_copy_only=False) if isinstance(b, (pa.Array, pa.ChunkedArray)) else np.int64(b)
+        return pa.array(ua % ub)
+    if op == "neg":
+        return pc.negate(compile_expr(expr[1], props))
+    if op == "&":
+        a = pc.cast(compile_expr(expr[1], props), pa.string())
+        b = compile_expr(expr[2], props)
+        if isinstance(b, (pa.Array, pa.ChunkedArray)):
+            b = pc.cast(b, pa.string())
+        else:
+            b = pa.scalar(str(b))
+        return pc.binary_join_element_wise(a, b, "")
+    if op == "prifilt":
+        return prifilt(props.get("syslogfacility"), props.get("syslogseverity"), expr[1])
+    if op == "call":
+        fname = expr[1]
+        fn = REGISTRY[fname]
+        args = [compile_expr(a, props) if isinstance(a, tuple) else a
+                for a in expr[2:]]
+        return fn(*args)
+    raise ValueError(f"unknown expression op {op!r}")
+
+
+def _to_bool(arr):
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)) and pa.types.is_boolean(arr.type):
+        return arr
+    if isinstance(arr, bool):
+        return arr
+    # rsyslog truthiness: nonzero number / nonempty handled by caller context
+    return pc.not_equal(pc.cast(arr, pa.int64()), 0)
+
+
+def eval_mask(expr, batch: pa.Table) -> pa.Array:
+    """Expression → boolean mask over a batch; nulls → False (a filter that
+    cannot evaluate does not match, runtime/ruleset.c:447)."""
+    res = compile_expr(expr, PropertyRegistry(batch))
+    if isinstance(res, pa.ChunkedArray):
+        res = res.combine_chunks()
+    return pc.fill_null(res, False)

@@ -1,0 +1,165 @@
+"""Stateful enrichment stages (mm* modifier analogues) as actor pools.
+
+The canonical pattern (SURVEY §2.9): broadcast the small side once with
+`ray.put`, resolve the ObjectRef in the actor's __init__ (once per worker,
+never per batch), do a vectorized dictionary lookup per batch — the
+mmdblookup / lookup_table / mmkubernetes-cache shape.
+
+Also carries the stateless mm* kernels that need no state:
+  mmfields (split → f1..fN), mmjsonparse (@cee), mmpstrucdata (RFC5424 SD),
+  mmanon (IPv4 anonymize), mmrm1stspace, mmutf8fix (at ingest).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..lookup import LookupTable
+
+
+class LookupEnrich:
+    """Actor-pool stage: add columns from broadcast lookup tables.
+
+    spec: list of (out_col, key_col, table_or_objectref).
+    Use:  ds.map_batches(LookupEnrich, fn_constructor_args=(spec,),
+                         concurrency=N, batch_format="pyarrow")
+    Reference: lookup() grammar/rainerscript.c:2486 + runtime/lookup.c.
+    """
+
+    def __init__(self, spec):
+        self.spec = []
+        for out_col, key_col, tbl in spec:
+            if isinstance(tbl, ray.ObjectRef):
+                tbl = ray.get(tbl)           # resolve broadcast ONCE per actor
+            self.spec.append((out_col, key_col, tbl))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for out_col, key_col, tbl in self.spec:
+            batch = batch.append_column(out_col, tbl.lookup_array(batch[key_col]))
+        return batch
+
+
+def enrich_with_lookups(ds, spec, concurrency: int = 4, batch_size: int = 32768):
+    """spec: [(out_col, key_col, LookupTable)]. Broadcasts tables via ray.put."""
+    bspec = [(o, k, ray.put(t) if isinstance(t, LookupTable) else t)
+             for o, k, t in spec]
+    return ds.map_batches(
+        LookupEnrich, fn_constructor_args=(bspec,),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# mmfields — split MSG on a single-char separator → f1..fN columns
+# (plugins/mmfields/mmfields.c:54-56,132; the reference caps at f32)
+# --------------------------------------------------------------------------
+
+
+def mmfields_table(batch: pa.Table, col: str = "msg", sep: str = ",",
+                   max_fields: int = 8, prefix: str = "f") -> pa.Table:
+    parts = pc.split_pattern(pc.cast(batch[col], pa.string()), pattern=sep)
+    lens = pc.list_value_length(parts)
+    for i in range(1, max_fields + 1):
+        elem = pc.binary_join(
+            pc.cast(pc.list_slice(parts, i - 1, i), pa.list_(pa.string())), "")
+        val = pc.if_else(pc.greater_equal(lens, i), elem, pa.scalar(None, pa.string()))
+        batch = batch.append_column(f"{prefix}{i}", val)
+    return batch
+
+
+# --------------------------------------------------------------------------
+# mmjsonparse — '@cee:' cookie → parsed JSON (normalized string) + success
+# (plugins/mmjsonparse/mmjsonparse.c:122-190)
+# --------------------------------------------------------------------------
+
+
+def mmjsonparse_table(batch: pa.Table, col: str = "msg") -> pa.Table:
+    msg = pc.cast(batch[col], pa.string())
+    stripped = pc.utf8_ltrim_whitespace(msg)
+    is_cee = pc.starts_with(stripped, pattern="@cee:")
+    np_mask = is_cee.to_numpy(zero_copy_only=False)
+    vals = stripped.to_pylist()
+    out = [None] * len(vals)
+    ok = np.zeros(len(vals), dtype=bool)
+    for i in np.flatnonzero(np_mask):
+        payload = vals[i][5:].lstrip()
+        try:
+            obj = json.loads(payload)
+            out[i] = json.dumps(obj, separators=(",", ":"), sort_keys=True)
+            ok[i] = True
+        except ValueError:
+            out[i] = None
+    batch = batch.append_column("cee_json", pa.array(out, pa.string()))
+    batch = batch.append_column("cee_parsesuccess", pa.array(ok))
+    return batch
+
+
+# --------------------------------------------------------------------------
+# mmpstrucdata — RFC5424 STRUCTURED-DATA → flattened JSON
+# (plugins/mmpstrucdata; SD grammar tools/pmrfc5424.c:124-180)
+# --------------------------------------------------------------------------
+
+_SD_ELEM = re.compile(r"\[([^\s\]]+)((?:\s+[^=\s\]]+=\"(?:[^\"\\]|\\.)*\")*)\]")
+_SD_PARAM = re.compile(r"([^=\s\]]+)=\"((?:[^\"\\]|\\.)*)\"")
+
+
+def parse_structured_data(sd: str):
+    """One SD string → {sd_id: {param: value}} with \\" \\] \\\\ unescapes."""
+    if not sd or sd == "-":
+        return None
+    out = {}
+    for m in _SD_ELEM.finditer(sd):
+        params = {}
+        for pm in _SD_PARAM.finditer(m.group(2)):
+            v = pm.group(2)
+            v = v.replace('\\"', '"').replace("\\]", "]").replace("\\\\", "\\")
+            params[pm.group(1)] = v
+        out[m.group(1)] = params
+    return out or None
+
+
+def mmpstrucdata_table(batch: pa.Table, col: str = "structured_data") -> pa.Table:
+    vals = pc.cast(batch[col], pa.string()).to_pylist()
+    out = []
+    for v in vals:
+        d = parse_structured_data(v) if v else None
+        out.append(json.dumps(d, separators=(",", ":"), sort_keys=True) if d else None)
+    return batch.append_column("rfc5424_sd", pa.array(out, pa.string()))
+
+
+# --------------------------------------------------------------------------
+# mmanon — anonymize IPv4 addresses in a column
+# (plugins/mmanon/mmanon.c:53-126: zero / simple modes, bit count)
+# --------------------------------------------------------------------------
+
+_IPV4_RE = r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b"
+
+
+def mmanon_table(batch: pa.Table, col: str = "msg", mode: str = "zero",
+                 bits: int = 16) -> pa.Table:
+    """zero mode with bits=16 → a.b.0.0 (the reference's default octet
+    zeroing); implemented as one RE2 pass."""
+    if mode != "zero" or bits not in (8, 16, 24, 32):
+        raise NotImplementedError("only zero mode with octet-aligned bits")
+    keep = 4 - bits // 8
+    repl = ".".join([f"\\{i+1}" for i in range(keep)] + ["0"] * (bits // 8))
+    out = pc.replace_substring_regex(
+        pc.cast(batch[col], pa.string()), pattern=_IPV4_RE, replacement=repl)
+    return batch.set_column(batch.schema.get_field_index(col), col,
+                            pc.cast(out, batch[col].type))
+
+
+def mmrm1stspace_table(batch: pa.Table, col: str = "msg") -> pa.Table:
+    """plugins/mmrm1stspace — drop ONE leading space of MSG."""
+    msg = pc.cast(batch[col], pa.string())
+    fixed = pc.if_else(pc.starts_with(msg, pattern=" "),
+                       pc.utf8_slice_codeunits(msg, 1, 2**30), msg)
+    return batch.set_column(batch.schema.get_field_index(col), col,
+                            pc.cast(fixed, batch[col].type))

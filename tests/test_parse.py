@@ -1,0 +1,93 @@
+"""Engine parse cascade vs the independent row-at-a-time oracle."""
+
+import pyarrow as pa
+import pytest
+
+from rsyslog_ray.stages.parse import parse_table
+from tests import oracle as O
+
+
+def _engine_rows(table):
+    out = parse_table(table)
+    cols = ["conv_id", "turn_idx", "pri", "facility", "severity", "protocol",
+            "parse_success", "hostname", "tag", "appname", "procid", "msgid",
+            "structured_data", "msg", "ts_reported", "is_cee"]
+    return out.select(cols).to_pylist()
+
+
+def _oracle_rows(table):
+    cols = [table.column(c).to_pylist()
+            for c in ["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+    rows = []
+    for conv_id, turn_idx, role, text, tool, ts in zip(*cols):
+        r = O.parse_row(conv_id, turn_idx, role, text, tool, ts)
+        if r is None:
+            continue
+        rows.append({
+            "conv_id": r.conv_id, "turn_idx": r.turn_idx, "pri": r.pri,
+            "facility": r.facility, "severity": r.severity,
+            "protocol": r.protocol, "parse_success": r.parse_success,
+            "hostname": r.hostname, "tag": r.tag, "appname": r.appname,
+            "procid": r.procid, "msgid": r.msgid,
+            "structured_data": r.structured_data, "msg": r.msg,
+            "ts_reported": r.ts_reported, "is_cee": r.is_cee,
+        })
+    return rows
+
+
+def test_parse_matches_oracle(tiny_table):
+    eng = _engine_rows(tiny_table)
+    ora = _oracle_rows(tiny_table)
+    assert len(eng) == len(ora)
+    for e, o in zip(eng, ora):
+        for k in o:
+            assert e[k] == o[k], (
+                f"mismatch at ({o['conv_id']},{o['turn_idx']}) field {k}: "
+                f"engine={e[k]!r} oracle={o[k]!r}")
+
+
+def test_empty_rows_dropped():
+    t = pa.table({
+        "conv_id": ["c"] * 4, "turn_idx": [0, 1, 2, 3],
+        "role": ["user"] * 4,
+        "text": ["", "\n", "\x00\n", "<13>Jan  1 00:00:00 h t: x"],
+        "tool": [""] * 4,
+        "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+    })
+    out = parse_table(t)
+    assert out.num_rows == 1
+    assert out["tag"][0].as_py() == "t"
+
+
+@pytest.mark.parametrize("text,pri,proto", [
+    ("<0>1 2024-01-01T00:00:00Z h a p m - msg", 0, 1),
+    ("<191>1 2024-01-01T00:00:00Z h a p m - msg", 191, 1),
+    ("<192>1 2024-01-01T00:00:00Z h a p m - msg", 13, -1),
+    ("<999>oops", 13, -1),
+    ("<13x>oops", 13, -1),
+    ("<>oops", 13, -1),
+    ("no pri here", 13, -1),
+    ("  {\"j\": 1}", 13, 0),
+    ("  [listy]", 13, 0),
+    ("<7>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000001:", 7, 0),
+])
+def test_pri_edges(text, pri, proto):
+    t = pa.table({"conv_id": ["c"], "turn_idx": [0], "role": ["user"],
+                  "text": [text], "tool": [""],
+                  "ts": pa.array([0], pa.timestamp("us"))})
+    out = parse_table(t)
+    assert out["pri"][0].as_py() == pri
+    assert out["protocol"][0].as_py() == proto
+
+
+def test_imdiag_shape():
+    """The injectmsg fixture line (plugins/imdiag/imdiag.c:224)."""
+    t = pa.table({"conv_id": ["c"], "turn_idx": [0], "role": ["user"],
+                  "text": ["<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:"],
+                  "tool": [""], "ts": pa.array([0], pa.timestamp("us"))})
+    out = parse_table(t).to_pylist()[0]
+    assert out["facility"] == 20 and out["severity"] == 7
+    assert out["hostname"] == "172.20.245.8"
+    # 'tag' (no colon) is not a colon-terminated TAG → part of msg
+    assert out["tag"] == ""
+    assert out["msg"] == "tag msgnum:00000000:"
