@@ -1,44 +1,69 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry()      — flagship parse→enrich→route→write pipeline on sf0.001.
+queries()    — one callable per implemented operator family (SURVEY §2).
+oracle_sql() — matching DuckDB SQL (same columns/names) per query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in rsyslog_ray) calls ray.init()/ray.shutdown().
+
+Transcripts-based queries run over the deterministic synthetic transcripts
+table (BASELINE.json input_hint schema) generated once per scale under /tmp
+by rsyslog_ray.datagen.ensure_transcripts; the oracle SQL reads the same
+parquet files via read_parquet(), other queries use the pre-registered
+testdata views (documents / events / embeddings).
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the routed-count
+    metrics (impstats analogue) as a pandas DataFrame."""
+    import pandas as pd
+
+    from rsyslog_ray.pipelines.flagship import run_flagship
+
+    out_root = "/tmp/rsyslog_ray_out/entry"
+    shutil.rmtree(out_root, ignore_errors=True)
+    counts = run_flagship("/root/testdata/sf0.001", out_root)
+    return pd.DataFrame(
+        {"action": list(counts.keys()), "rows": list(counts.values())}
+    ).sort_values("action").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rsyslog_ray.datagen import ensure_transcripts
+    from rsyslog_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    ensure_transcripts("/root/testdata/sf0.01")  # oracle SQL reads this path
+    return {
+        "parse_fields": Q.q_parse_fields,
+        "parse_timestamps": Q.q_parse_timestamps,
+        "route_errors": Q.q_route_errors,
+        "route_files": Q.q_route_files,
+        "route_cee": Q.q_route_cee,
+        "agg_fac_sev": Q.q_agg_fac_sev,
+        "conv_rollup": Q.q_conv_rollup,
+        "lookup_enrich": Q.q_lookup_enrich,
+        "sev_bucket": Q.q_sev_bucket,
+        "suppress_repeats": Q.q_suppress_repeats,
+        "every_nth": Q.q_every_nth,
+        "strfun": Q.q_strfun,
+        "dedup_exact": Q.q_dedup_exact,
+        "token_stats": Q.q_token_stats,
+        "events_window": Q.q_events_window,
+        "topk_cosine": Q.q_topk_cosine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rsyslog_ray.datagen import ensure_transcripts
+    from rsyslog_ray.pipelines.oracle_sql import build_oracle_sql
+
+    ensure_transcripts("/root/testdata/sf0.01")
+    return build_oracle_sql()

@@ -1,0 +1,281 @@
+"""DuckDB oracle SQL mirroring the engine queries (driver correctness gate).
+
+The parse CTE replicates the engine's sanitize → PRI → RFC5424/RFC3164
+cascade with the SAME RE2 patterns (DuckDB's regex engine is also RE2, so
+semantics are identical by construction). Transcripts are read from the
+deterministic parquet that datagen.ensure_transcripts writes under /tmp —
+the driver runs at sf=0.01, so paths are pinned to that tag.
+"""
+
+from __future__ import annotations
+
+from ..datagen import transcripts_path
+
+TRANSCRIPTS_GLOB = transcripts_path("sf0.01") + "/part-*.parquet"
+
+# RE2 patterns — numbered-group versions of stages/parse.py's named patterns
+P5424 = (r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) "
+         r"(-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)(?: ([\s\S]*))?$")
+P3164 = (r"^ ?(?:(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+         r"(?:Z|[+-]\d{2}:\d{2})?)|([A-Z][a-z]{2}) ([ 0-3]?\d) "
+         r"(\d{2}:\d{2}:\d{2})) ([A-Za-z0-9._-]+)"
+         r"(?: (?:([A-Za-z0-9_./-]{1,32}):)?([\s\S]*))?$")
+P3339 = (r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(\.\d+)?"
+         r"(Z|[+-]\d{2}:\d{2})?$")
+
+
+def _parse_cte(src: str = TRANSCRIPTS_GLOB) -> str:
+    """CTE chain ending in view `parsed` with the engine's parse columns."""
+    return f"""
+WITH raw AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, tool, ts,
+         substr(replace(replace(regexp_replace(text, '[\\n\\r\\x00]+$', ''),
+                chr(9), '#011'), chr(7), '#007'), 1, 8096) AS s
+  FROM read_parquet('{src}')
+),
+live AS (SELECT * FROM raw WHERE length(s) > 0),
+pri1 AS (
+  SELECT *, regexp_extract(s, '^<([0-9]{{1,3}})>', 1) AS pri_str FROM live
+),
+pri2 AS (
+  SELECT *, (pri_str <> '' AND TRY_CAST(pri_str AS INTEGER) <= 191) AS pri_ok
+  FROM pri1
+),
+pri3 AS (
+  SELECT *,
+    CASE WHEN pri_ok THEN CAST(pri_str AS BIGINT) ELSE 13 END AS pri,
+    CASE WHEN pri_ok
+         THEN regexp_extract(s, '^<[0-9]{{1,3}}>([\\s\\S]*)$', 1)
+         ELSE s END AS rest
+  FROM pri2
+),
+mm AS (
+  SELECT *,
+    regexp_matches(rest, '{P5424}') AS is5424,
+    regexp_extract(rest, '{P5424}',
+      ['t5','h5','a5','p5','m5','sd5','msg5']) AS g5,
+    regexp_extract(rest, '{P3164}',
+      ['t33','mon','day','hms','h3','tag3','msg3']) AS g3,
+    regexp_matches(rest, '{P3164}') AS m3164
+  FROM pri3
+),
+cls AS (
+  SELECT *,
+    (NOT is5424 AND m3164) AS is3164,
+    (NOT is5424 AND NOT m3164
+     AND regexp_matches(rest, '^ *[\\[{{]')) AS ishdrless
+  FROM mm
+),
+flds AS (
+  SELECT conv_id, turn_idx, role, tool, ts, s, pri, rest,
+    is5424, is3164, ishdrless,
+    (is5424 OR is3164 OR ishdrless) AS parse_success,
+    CASE WHEN is5424 THEN 1 WHEN (is3164 OR ishdrless) THEN 0 ELSE -1 END AS protocol,
+    pri // 8 AS facility, pri % 8 AS severity,
+    CASE WHEN is5424 THEN g5.h5 WHEN is3164 THEN g3.h3 ELSE '' END AS hostname,
+    CASE WHEN is3164 THEN coalesce(g3.tag3, '') ELSE '' END AS tag,
+    CASE WHEN is5424 THEN g5.a5
+         WHEN is3164 THEN coalesce(g3.tag3, '') ELSE '' END AS appname,
+    CASE WHEN is5424 THEN g5.p5 ELSE '' END AS procid,
+    CASE WHEN is5424 THEN g5.m5 ELSE '' END AS msgid,
+    CASE WHEN is5424 THEN g5.sd5 ELSE '' END AS structured_data,
+    CASE WHEN is5424 THEN coalesce(g5.msg5, '')
+         WHEN is3164 THEN coalesce(g3.msg3, '') ELSE rest END AS msg,
+    CASE WHEN is5424 THEN g5.t5
+         WHEN is3164 THEN coalesce(g3.t33, '') ELSE '' END AS ts_str,
+    CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.mon ELSE '' END AS mon3,
+    CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.day ELSE '' END AS day3,
+    CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.hms ELSE '' END AS hms3
+  FROM cls
+),
+tsx AS (
+  SELECT *,
+    regexp_extract(ts_str, '{P3339}', ['b','f','z']) AS tparts
+  FROM flds
+),
+tsy AS (
+  SELECT *,
+    try_strptime(tparts.b, '%Y-%m-%dT%H:%M:%S') AS tbase,
+    CAST(rpad(coalesce(nullif(substr(tparts.f, 2, 6), ''), '0'), 6, '0') AS BIGINT) AS frac_us,
+    CASE WHEN tparts.z LIKE '+%' OR tparts.z LIKE '-%'
+         THEN (CASE WHEN tparts.z LIKE '-%' THEN -1 ELSE 1 END)
+              * (CAST(substr(tparts.z, 2, 2) AS BIGINT) * 3600
+                 + CAST(substr(tparts.z, 5, 2) AS BIGINT) * 60)
+         ELSE 0 END AS off_s,
+    CASE WHEN mon3 <> '' THEN
+      try_strptime('2024-' ||
+        lpad(CAST(list_position(['Jan','Feb','Mar','Apr','May','Jun','Jul',
+                                 'Aug','Sep','Oct','Nov','Dec'], mon3) AS VARCHAR), 2, '0')
+        || '-' || lpad(trim(day3), 2, '0') || 'T' || hms3, '%Y-%m-%dT%H:%M:%S')
+      ELSE NULL END AS t3164
+  FROM tsx
+),
+parsed AS (
+  SELECT conv_id, turn_idx, role, tool, ts, s AS text, pri, facility,
+    severity, protocol, parse_success, hostname, tag, appname, procid,
+    msgid, structured_data, msg,
+    coalesce(
+      CASE WHEN tbase IS NOT NULL
+           THEN tbase + to_microseconds(frac_us) - to_seconds(off_s)
+           ELSE NULL END,
+      t3164, ts) AS ts_reported,
+    starts_with(ltrim(msg), '@cee:') AS is_cee,
+    CASE WHEN tag <> '' THEN tag || ':' ELSE appname END AS syslogtag
+  FROM tsy
+)"""
+
+
+# CEE payload: engine normalizes via json.dumps(sort_keys, compact); the
+# fixture payloads are already compact+sorted so the raw payload is the
+# normalized form — the SQL checks validity with TRY_CAST to JSON.
+_CEE = """
+cee AS (
+  SELECT *,
+    ltrim(substr(ltrim(msg), 6)) AS cee_payload,
+    (starts_with(ltrim(msg), '@cee:')
+     AND TRY_CAST(ltrim(substr(ltrim(msg), 6)) AS JSON) IS NOT NULL)
+      AS cee_parsesuccess
+  FROM parsed
+)"""
+
+# alive = rows surviving the stop statement (discard: severity 7 + system)
+_ALIVE = """
+alive AS (
+  SELECT * FROM cee WHERE NOT (severity = 7 AND role = 'system')
+)"""
+
+_RFC3339_FMT = "'%Y-%m-%dT%H:%M:%S.%f+00:00'"
+
+
+def _jesc(col: str) -> str:
+    return (f"replace(replace({col}, chr(92), chr(92) || chr(92)), "
+            f"'\"', chr(92) || '\"')")
+
+
+def _sp(msgcol: str) -> str:
+    return f"CASE WHEN starts_with({msgcol}, ' ') THEN '' ELSE ' ' END"
+
+
+def build_oracle_sql(src: str = TRANSCRIPTS_GLOB) -> dict[str, str]:
+    pc_ = _parse_cte(src)
+    q: dict[str, str] = {}
+
+    q["parse_fields"] = pc_ + """
+SELECT conv_id, turn_idx, pri, facility, severity, protocol, parse_success,
+       hostname, tag, appname, procid, msgid, structured_data, msg
+FROM parsed"""
+
+    q["parse_timestamps"] = pc_ + """
+SELECT conv_id, turn_idx, protocol, ts_reported FROM parsed"""
+
+    q["route_errors"] = pc_ + "," + _CEE + "," + _ALIVE + f"""
+SELECT conv_id, turn_idx,
+  '<' || CAST(pri AS VARCHAR) || '>' || strftime(ts_reported, {_RFC3339_FMT})
+  || ' ' || hostname || ' ' || substr(syslogtag, 1, 32)
+  || {_sp('msg')} || msg AS rendered
+FROM alive WHERE severity <= 3"""
+
+    q["route_files"] = pc_ + "," + _CEE + "," + _ALIVE + f"""
+SELECT conv_id, turn_idx,
+  strftime(ts_reported, {_RFC3339_FMT}) || ' ' || hostname || ' '
+  || syslogtag || {_sp('msg')}
+  || regexp_replace(msg, '\\n$', '') || chr(10) AS rendered
+FROM alive WHERE msg LIKE '%msgnum:%' AND facility BETWEEN 16 AND 23"""
+
+    q["route_cee"] = pc_ + "," + _CEE + "," + _ALIVE + f"""
+SELECT conv_id, turn_idx,
+  '{{"ts":"' || strftime(ts_reported, {_RFC3339_FMT}) || '","host":"'
+  || {_jesc('hostname')} || '","tag":"' || {_jesc('syslogtag')}
+  || '","role":"' || {_jesc('role')} || '","cee":' || cee_payload || '}}'
+  AS rendered
+FROM alive WHERE is_cee AND cee_parsesuccess"""
+
+    q["agg_fac_sev"] = pc_ + "," + _CEE + "," + _ALIVE + """
+SELECT facility, severity, count(*) AS "rows" FROM alive
+GROUP BY facility, severity"""
+
+    q["conv_rollup"] = pc_ + """
+SELECT conv_id, count(*) AS n_turns,
+       sum(CAST(parse_success AS BIGINT)) AS n_parsed_ok,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM parsed GROUP BY conv_id"""
+
+    q["lookup_enrich"] = f"""
+SELECT role,
+  CASE role WHEN 'user' THEN 'local0' WHEN 'assistant' THEN 'local1'
+            WHEN 'system' THEN 'daemon' WHEN 'tool' THEN 'local7'
+            ELSE 'unknown' END AS role_fac,
+  tool,
+  CASE tool WHEN 'bash' THEN 'exec' WHEN 'search' THEN 'net'
+            WHEN 'editor' THEN 'fs' WHEN '' THEN 'none'
+            ELSE 'unclassified' END AS tool_class,
+  count(*) AS "rows"
+FROM read_parquet('{src}')
+GROUP BY 1, 2, 3, 4"""
+
+    # sparseArray (greatest index <= key): 0→crit, 4→warn, 6→info
+    q["sev_bucket"] = pc_ + "," + _CEE + "," + _ALIVE + """
+SELECT severity,
+  CASE WHEN severity >= 6 THEN 'info' WHEN severity >= 4 THEN 'warn'
+       WHEN severity >= 0 THEN 'crit' ELSE 'na' END AS bucket,
+  count(*) AS "rows"
+FROM alive GROUP BY 1, 2"""
+
+    q["suppress_repeats"] = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, text,
+    CASE WHEN lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              IS DISTINCT FROM text THEN 1 ELSE 0 END AS is_first
+  FROM read_parquet('{src}')
+),
+runs AS (
+  SELECT conv_id, turn_idx,
+    sum(is_first) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run_id
+  FROM w
+)
+SELECT conv_id, min(turn_idx) AS turn_idx, count(*) AS n_repeats
+FROM runs GROUP BY conv_id, run_id"""
+
+    q["every_nth"] = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM read_parquet('{src}')
+)
+SELECT conv_id, turn_idx FROM w WHERE (rn - 1) % 3 = 0"""
+
+    q["strfun"] = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+       lower(substr(text, 1, 8)) AS lower8,
+       CASE WHEN length(text) - length(replace(text, ' ', '')) >= 1
+            THEN split_part(text, ' ', 2) ELSE '***FIELD NOT FOUND***' END AS field2,
+       replace(substr(text, 1, 12), 'e', '_') AS replaced
+FROM documents"""
+
+    q["dedup_exact"] = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"""
+
+    q["token_stats"] = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+FROM documents"""
+
+    q["events_window"] = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS "rows",
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2"""
+
+    q["topk_cosine"] = """
+WITH qv AS (
+  SELECT embedding FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)
+SELECT vec_id, round(score, 6) AS score FROM (
+  SELECT e.vec_id,
+    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                           CAST(qv.embedding AS DOUBLE[])) AS score
+  FROM embeddings e, qv
+) ORDER BY score DESC, vec_id LIMIT 20"""
+
+    return q

@@ -1,0 +1,224 @@
+"""Driver-gate query implementations (one per operator family).
+
+Each function takes sf_dir (e.g. '/root/testdata/sf0.01') and returns a
+pyarrow Table whose column names & types match the corresponding DuckDB SQL
+in pipelines/oracle_sql.py exactly (the driver hashes values with columns
+sorted by name, so names/types must line up).
+
+Transcripts-based queries read the deterministic synthetic transcripts
+parquet generated (cached) under /tmp by datagen.ensure_transcripts — the
+oracle SQL reads the same files via read_parquet().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..datagen import ensure_transcripts
+from ..lookup import ROLE_FACILITY, SEV_BUCKET, TOOL_CLASS
+from ..stages.aggregate import conv_rollup, count_by, facility_severity_counts
+from ..stages.enrich import LookupEnrich, mmjsonparse_table
+from ..stages.parse import parse_dataset
+from ..stages.ratelimit import exec_every_nth, suppress_repeats
+from ..stages.route import apply_stops, route_table
+from .flagship import CANONICAL_RULESET, build_parsed_dataset
+
+
+def _to_table(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return _finalize(ds)
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows >= 0]
+    tbl = pa.concat_tables(tables, promote_options="default") if tables else pa.table({})
+    return _finalize(tbl)
+
+
+def _finalize(t: pa.Table) -> pa.Table:
+    """Normalize types to what DuckDB returns (BIGINT / VARCHAR / DOUBLE /
+    TIMESTAMP[us]) so the driver's schema compare passes."""
+    cols, names = [], []
+    for fieldx in t.schema:
+        c = t[fieldx.name]
+        typ = fieldx.type
+        if pa.types.is_integer(typ):
+            c = pc.cast(c, pa.int64())
+        elif pa.types.is_large_string(typ):
+            c = pc.cast(c, pa.string())
+        elif pa.types.is_floating(typ):
+            c = pc.cast(c, pa.float64())
+        elif pa.types.is_timestamp(typ):
+            c = pc.cast(c, pa.timestamp("us"))
+        names.append(fieldx.name)
+        cols.append(c)
+    return pa.table(dict(zip(names, cols)))
+
+
+def _parsed(sf_dir: str):
+    tdir = ensure_transcripts(sf_dir)
+    return parse_dataset(rd.read_parquet(tdir))
+
+
+PARSE_COLS = ["conv_id", "turn_idx", "pri", "facility", "severity",
+              "protocol", "parse_success", "hostname", "tag", "appname",
+              "procid", "msgid", "structured_data", "msg"]
+
+
+def q_parse_fields(sf_dir: str) -> pa.Table:
+    """Full parse cascade projection (§2.2)."""
+    ds = _parsed(sf_dir).select_columns(PARSE_COLS)
+    return _to_table(ds)
+
+
+def q_parse_timestamps(sf_dir: str) -> pa.Table:
+    """ts_reported extraction incl. RFC3339/RFC3164 paths (§2.2/§2.4)."""
+    ds = _parsed(sf_dir).select_columns(["conv_id", "turn_idx", "protocol",
+                                         "ts_reported"])
+    return _to_table(ds)
+
+
+def _routed(sf_dir: str, sink: str) -> pa.Table:
+    ds = build_parsed_dataset(ensure_transcripts(sf_dir), concurrency=2)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        routed = route_table(batch, CANONICAL_RULESET)
+        sub = routed[sink]
+        return sub.select(["conv_id", "turn_idx", "rendered"])
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_route_errors(sf_dir: str) -> pa.Table:
+    """Sink A: severity<=3 → ForwardFormat rendering (§2.3/§2.5/§2.7)."""
+    return _routed(sf_dir, "errors")
+
+
+def q_route_files(sf_dir: str) -> pa.Table:
+    """Sink B: msg contains msgnum: AND local0..7 → FileFormat (dynafile)."""
+    return _routed(sf_dir, "files")
+
+
+def q_route_cee(sf_dir: str) -> pa.Table:
+    """Sink C: @cee rows → JSON template (mmjsonparse, §2.6)."""
+    return _routed(sf_dir, "cee")
+
+
+def q_agg_fac_sev(sf_dir: str) -> pa.Table:
+    """Per-(facility, severity) counts after the stop statement (§2.8)."""
+    ds = apply_stops(_parsed(sf_dir), CANONICAL_RULESET)
+    return _to_table(facility_severity_counts(ds))
+
+
+def q_conv_rollup(sf_dir: str) -> pa.Table:
+    """Per-conv_id session rollup (§2.8 north-star)."""
+    return _to_table(conv_rollup(_parsed(sf_dir)))
+
+
+def q_lookup_enrich(sf_dir: str) -> pa.Table:
+    """lookup() enrichment keyed on role and tool (§2.9) — counts per
+    (role, role_fac, tool, tool_class) so every table path is exercised."""
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["role", "tool"])
+    ds = ds.map_batches(LookupEnrich([("role_fac", "role", ROLE_FACILITY),
+                                      ("tool_class", "tool", TOOL_CLASS)]),
+                        batch_format="pyarrow")
+    return _to_table(count_by(ds, ["role", "role_fac", "tool", "tool_class"]))
+
+
+def q_sev_bucket(sf_dir: str) -> pa.Table:
+    """sparseArray lookup table (first-le-key) over severity (§2.9)."""
+    ds = apply_stops(_parsed(sf_dir), CANONICAL_RULESET)  # arbitrary slice
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.select(["severity"]).append_column(
+            "bucket", SEV_BUCKET.lookup_array(batch["severity"]))
+    ds = ds.map_batches(fn, batch_format="pyarrow")
+    return _to_table(count_by(ds, ["severity", "bucket"]))
+
+
+def q_suppress_repeats(sf_dir: str) -> pa.Table:
+    """'last message repeated n times' collapse (§2.8 ratelimit)."""
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    out = suppress_repeats(ds)
+    return _to_table(out.select_columns(["conv_id", "turn_idx", "n_repeats"]))
+
+
+def q_every_nth(sf_dir: str) -> pa.Table:
+    """execOnlyEveryNthTime sampling, n=3 (§2.8)."""
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx"])
+    return _to_table(exec_every_nth(ds, 3))
+
+
+def q_strfun(sf_dir: str) -> pa.Table:
+    """Scalar string functions over documents (§2.4)."""
+    from .. import functions as F
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "len": F.strlen(txt),
+            "lower8": F.tolower(F.substring(txt, 0, 8)),
+            "field2": F.field(txt, " ", 2),
+            "replaced": F.replace(F.substring(txt, 0, 12), "e", "_"),
+        })
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup over documents: keep min doc_id per identical text
+    (hash-partitioned groupby; §dedup extras)."""
+    from ..stages.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(exact_dedup(ds, text_col="text", id_col="doc_id")
+                     .select_columns(["doc_id"]))
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    """Text-quality token statistics over documents."""
+    from ..stages.textstats import token_stats_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(ds.map_batches(token_stats_table, batch_format="pyarrow"))
+
+
+def q_events_window(sf_dir: str) -> pa.Table:
+    """Tumbling 1h window count/sum per event_type over events (§2.8
+    time-bucket properties $now* → floor_temporal)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
+                                 unit="hour")
+        t = pa.table({"event_type": batch["event_type"], "hour": hour,
+                      "value": batch["value"]})
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all"), ("value", "sum")]).rename_columns(
+            ["event_type", "hour", "rows", "value_sum"])
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    out = partials.groupby(["event_type", "hour"]).aggregate(
+        Sum("rows", alias_name="rows"), Sum("value_sum", alias_name="value_sum"))
+
+    def roundit(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("value_sum"), "value_sum",
+            pc.round(batch["value_sum"], ndigits=4))
+    return _to_table(out.map_batches(roundit, batch_format="pyarrow"))
+
+
+def q_topk_cosine(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k over embeddings vs a fixed query vector
+    (similarity-search baseline)."""
+    from ..stages.similarity import topk_cosine
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _to_table(topk_cosine(ds, k=20))

