@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"flagship": sec, ...}, "sf": 0.1, "num_cpus": 32,
+     "rows": N, "throughput_rows_per_s": R}
+
+--scaling: run the flagship pipeline twice, each in a FRESH subprocess
+(fresh ray.init) at num_cpus=8 and num_cpus=32 on the same input, and
+report both throughputs + scaling efficiency = (T32/T8)/4 (the N vs 4N
+cluster-size criterion stand-in; see BASELINE.md).
+
+Usage:
+    python bench.py                  # headline JSON line
+    python bench.py --scaling        # scaling JSON line
+    python bench.py --only flagship  # subset (internal / debugging)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def bench_queries(sf_dir: str, only: set[str] | None = None) -> dict:
+    """Run headline pipelines; return {name: seconds} + row counts."""
+    from rsyslog_ray.datagen import ensure_transcripts
+    from rsyslog_ray.pipelines import queries as Q
+    from rsyslog_ray.pipelines.flagship import run_flagship
+
+    tdir = ensure_transcripts(sf_dir)  # build data outside the timers
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(tdir).count_rows()
+
+    timings: dict[str, float] = {}
+    out: dict = {"rows": n_rows}
+
+    def timed(name, fn, *a):
+        if only and name not in only:
+            return None
+        t0 = time.perf_counter()
+        r = fn(*a)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return r
+
+    # Headline: full parse→enrich→route→write fan-out (single pass).
+    out_root = "/tmp/rsyslog_ray_bench/flagship"
+    shutil.rmtree(out_root, ignore_errors=True)
+    counts = timed("flagship", run_flagship, sf_dir, out_root)
+    if counts:
+        out["routed"] = counts
+
+    # Aggregate shuffles.
+    timed("agg_fac_sev", Q.q_agg_fac_sev, sf_dir)
+    timed("conv_rollup", Q.q_conv_rollup, sf_dir)
+    # Ordered per-conv semantics (shuffle + map_groups).
+    timed("suppress_repeats", Q.q_suppress_repeats, sf_dir)
+    # Training-data extras.
+    timed("dedup_exact", Q.q_dedup_exact, sf_dir)
+    timed("token_stats", Q.q_token_stats, sf_dir)
+    timed("events_window", Q.q_events_window, sf_dir)
+    timed("topk_cosine", Q.q_topk_cosine, sf_dir)
+
+    out["queries"] = timings
+    return out
+
+
+def run_headline(sf_dir: str, num_cpus: int, only: set[str] | None = None) -> dict:
+    _init_ray(num_cpus)
+    res = bench_queries(sf_dir, only=only)
+    total = round(sum(res["queries"].values()), 3)
+    head = res["queries"].get("flagship")
+    thr = round(res["rows"] / head, 1) if head else None
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return {
+        "metric": "parsed-and-routed turns/sec end-to-end (flagship) + headline pipeline suite",
+        "value": total,
+        "unit": "sec",
+        "queries": res["queries"],
+        "sf": float(sf_tag[2:]) if sf_tag.startswith("sf") else sf_tag,
+        "num_cpus": num_cpus,
+        "rows": res["rows"],
+        "routed": res.get("routed", {}),
+        "flagship_sec": head,
+        "throughput_rows_per_s": thr,
+    }
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Fresh process per parallelism level (clean ray session each)."""
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", "flagship"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)), timeout=3600)
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t_lo = results[cpus_lo]["throughput_rows_per_s"]
+    t_hi = results[cpus_hi]["throughput_rows_per_s"]
+    ratio = cpus_hi / cpus_lo
+    eff = round((t_hi / t_lo) / ratio, 3) if t_lo else None
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return {
+        "metric": f"flagship throughput scaling {cpus_lo}→{cpus_hi} cpus (N vs {int(ratio)}N)",
+        "value": eff,
+        "unit": "scaling_efficiency",
+        "sf": float(sf_tag[2:]) if sf_tag.startswith("sf") else sf_tag,
+        "rows": results[cpus_hi]["rows"],
+        "throughput_lo": {"num_cpus": cpus_lo, "rows_per_s": t_lo,
+                          "sec": results[cpus_lo]["flagship_sec"]},
+        "throughput_hi": {"num_cpus": cpus_hi, "rows_per_s": t_hi,
+                          "sec": results[cpus_hi]["flagship_sec"]},
+        "scaling_efficiency": eff,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated subset of bench stages")
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        out = run_scaling(args.sf_dir)
+    else:
+        only = set(args.only.split(",")) if args.only else None
+        out = run_headline(args.sf_dir, num_cpus, only=only)
+    print(json.dumps(out))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
