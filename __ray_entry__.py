@@ -58,6 +58,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": Q.q_token_stats,
         "events_window": Q.q_events_window,
         "topk_cosine": Q.q_topk_cosine,
+        # mm* modifiers / dynstats / ratelimit / templates (§2.4-2.8)
+        "mmfields": Q.q_mmfields,
+        "mmanon": Q.q_mmanon,
+        "sd_params": Q.q_sd_params,
+        "dynstats_tool": Q.q_dynstats_tool,
+        "rate_window": Q.q_rate_window,
+        "token_bucket": Q.q_token_bucket,       # no SQL oracle (stateful)
+        "template_opts": Q.q_template_opts,
+        "prifilt": Q.q_prifilt,
+        "parse_json": Q.q_parse_json,
+        # training-data extras: text analysis / dedup / similarity
+        "quality": Q.q_quality,
+        "langid": Q.q_langid,
+        "fingerprint": Q.q_fingerprint,         # no SQL oracle (rolling hash)
+        "dedup_minhash": Q.q_dedup_minhash,     # no SQL oracle (minhash)
+        "dedup_simhash": Q.q_dedup_simhash,     # no SQL oracle (simhash)
+        "neardup_pairs": Q.q_neardup_pairs,
+        "lsh_cosine": Q.q_lsh_cosine,           # no SQL oracle (approximate)
+        "multimodal": Q.q_multimodal,           # no SQL oracle (binary stub)
     }
 
 

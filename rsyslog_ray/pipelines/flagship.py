@@ -18,12 +18,20 @@ import ray
 import ray.data as rd
 
 
-def auto_pool_size(frac: float = 0.25, lo: int = 1, hi: int = 16) -> int:
-    """Actor-pool size as a fraction of cluster CPUs. Pools must NOT reserve
-    every CPU or they starve the stateless read/parse tasks and the pipeline
-    deadlocks (observed at num_cpus=8 with two pools of 4)."""
+def auto_pool_size(frac: float = 1.0, lo: int = 1, hi: int = 64) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds (min=1, max=frac·CPUs).
+
+    max defaults to the FULL CPU count: Ray Data fuses the upstream stateless
+    parse/mmjsonparse tasks INTO the actor stage (task→actor fusion), so the
+    pool's max is the parallelism ceiling of the whole parse+enrich chain —
+    capping it at a fraction of the cluster caps pipeline throughput at that
+    fraction (measured: 0.25 ⇒ scaling efficiency 0.19 at 8→32 cpus).
+    min=1 keeps actor cold-start off the critical path of short runs; the
+    pool only upscales while batches queue. Fixed full-size pools (the
+    earlier design) deadlocked at num_cpus=8 — autoscaling min=1 avoids
+    reserving every CPU up front."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(lo, min(hi, int(cpus * frac)))
+    return (1, max(lo, min(hi, int(cpus * frac))))
 
 from ..datagen import ensure_transcripts
 from ..lookup import ROLE_FACILITY, TOOL_CLASS
@@ -63,9 +71,15 @@ CANONICAL_RULESET = Ruleset("canonical", [
 
 
 def build_parsed_dataset(transcripts_dir: str, parallelism: int = -1,
-                         concurrency=None, batch_size: int = 32768):
+                         concurrency=None, batch_size: int = 16384):
     """read → parse → mmjsonparse → lookup-enrich (lazy)."""
     ds = rd.read_parquet(transcripts_dir)
+    return parsed_stages(ds, concurrency=concurrency, batch_size=batch_size)
+
+
+def parsed_stages(ds, concurrency=None, batch_size: int = 16384):
+    """parse → mmjsonparse → lookup-enrich over an existing Dataset (used by
+    both the plain flagship run and the resumable checkpointed runner)."""
     ds = parse_dataset(ds, batch_size=batch_size)
     ds = ds.map_batches(mmjsonparse_table, batch_format="pyarrow",
                         batch_size=batch_size)
@@ -73,20 +87,19 @@ def build_parsed_dataset(transcripts_dir: str, parallelism: int = -1,
         ds,
         [("role_fac", "role", ROLE_FACILITY),
          ("tool_class", "tool", TOOL_CLASS)],
-        concurrency=concurrency or auto_pool_size(0.25), batch_size=batch_size)
+        concurrency=concurrency or auto_pool_size(), batch_size=batch_size)
     return ds
 
 
 def run_flagship(sf_dir_or_tag: str, out_root: str,
-                 batch_size: int = 32768, concurrency=None) -> dict:
+                 batch_size: int = 16384, concurrency=None) -> dict:
     """End-to-end single-pass parse→enrich→route→write. Returns the
     impstats-style routed-count metrics dict."""
     tdir = ensure_transcripts(sf_dir_or_tag)
     ds = build_parsed_dataset(tdir, batch_size=batch_size,
                               concurrency=concurrency)
     return execute_and_write(ds, CANONICAL_RULESET, out_root,
-                             batch_size=batch_size,
-                             concurrency=concurrency or auto_pool_size(0.25))
+                             batch_size=batch_size)
 
 
 def run_aggregates(sf_dir_or_tag: str, batch_size: int = 65536):

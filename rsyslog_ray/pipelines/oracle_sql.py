@@ -266,6 +266,165 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS "rows",
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2"""
 
+    q["mmfields"] = """
+WITH s AS (
+  SELECT doc_id, text, length(string_split(text, ' ')) AS nf FROM documents
+)
+SELECT doc_id,
+  CASE WHEN nf >= 1 THEN split_part(text, ' ', 1) END AS f1,
+  CASE WHEN nf >= 2 THEN split_part(text, ' ', 2) END AS f2,
+  CASE WHEN nf >= 3 THEN split_part(text, ' ', 3) END AS f3,
+  CASE WHEN nf >= 4 THEN split_part(text, ' ', 4) END AS f4,
+  CASE WHEN nf >= 5 THEN split_part(text, ' ', 5) END AS f5
+FROM s"""
+
+    q["mmanon"] = r"""
+SELECT doc_id,
+  regexp_replace(
+    'src=' || CAST(1 + doc_id % 223 AS VARCHAR) || '.'
+           || CAST(doc_id % 191 AS VARCHAR) || '.'
+           || CAST(doc_id % 157 AS VARCHAR) || '.'
+           || CAST(doc_id % 119 AS VARCHAR)
+    || ' dst=10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 '
+    || substr(text, 1, 16),
+    '\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b',
+    '\1.\2.0.0', 'g') AS line
+FROM documents"""
+
+    # element pattern is the engine's _SD_ELEM verbatim (group 0 = whole
+    # element); params are extracted twice (names, values) and unnested in
+    # lockstep; unescape order matches parse_structured_data exactly
+    sd_elem = (r"\[([^\s\]]+)((?:\s+[^=\s\]]+=" + '"'
+               + r"(?:[^" + '"' + r"\\]|\\.)*" + '"' + r")*)\]")
+    sd_param = r'([^=\s\]]+)="((?:[^"\\]|\\.)*)"'
+    q["sd_params"] = pc_ + f""",
+sd1 AS (
+  SELECT conv_id, turn_idx, structured_data FROM parsed
+  WHERE protocol = 1 AND structured_data NOT IN ('-', '')
+),
+sd2 AS (
+  SELECT conv_id, turn_idx,
+    unnest(regexp_extract_all(structured_data, '{sd_elem}', 0)) AS elem
+  FROM sd1
+),
+sd3 AS (
+  SELECT conv_id, turn_idx,
+    regexp_extract(elem, '^\\[([^\\s\\]]+)', 1) AS sd_id,
+    regexp_extract_all(elem, '{sd_param}', 1) AS pnames,
+    regexp_extract_all(elem, '{sd_param}', 2) AS pvals
+  FROM sd2
+),
+sd4 AS (
+  SELECT conv_id, turn_idx, sd_id,
+         unnest(pnames) AS pname, unnest(pvals) AS praw
+  FROM sd3
+)
+SELECT conv_id, turn_idx, sd_id, pname,
+  replace(replace(replace(praw, '\\"', '"'), '\\]', ']'),
+          '\\\\', '\\') AS pvalue
+FROM sd4"""
+
+    q["dynstats_tool"] = f"""
+SELECT tool AS key, count(*) AS "rows", 'tools' AS bucket
+FROM read_parquet('{src}') GROUP BY tool"""
+
+    q["rate_window"] = f"""
+WITH b AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) // 1000000 AS tss,
+    first_value(epoch_us(ts) // 1000000)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t0
+  FROM read_parquet('{src}')
+),
+r AS (
+  SELECT conv_id, turn_idx,
+    row_number() OVER (PARTITION BY conv_id, ((tss - t0) // 60)
+                       ORDER BY turn_idx) AS rn
+  FROM b
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM r WHERE rn <= 5"""
+
+    q["template_opts"] = pc_ + """
+SELECT conv_id, turn_idx,
+  upper(hostname) || '|' || substr(msg, 2, 11) || '|'
+  || CASE WHEN length(msg) - length(replace(msg, ':', '')) >= 1
+          THEN split_part(msg, ':', 2) ELSE '***FIELD NOT FOUND***' END
+  || '|' || CAST(epoch_us(ts_reported) // 1000000 AS VARCHAR) AS rendered
+FROM parsed"""
+
+    q["prifilt"] = pc_ + """
+SELECT conv_id, turn_idx FROM parsed
+WHERE facility BETWEEN 16 AND 19 AND severity <= 4"""
+
+    q["quality"] = r"""
+WITH w AS (
+  SELECT doc_id, text,
+    regexp_extract_all(lower(text), '[a-z]+') AS words,
+    greatest(length(text), 1) AS n_chars
+  FROM documents
+),
+x AS (
+  SELECT doc_id, text, words, n_chars,
+         greatest(length(words), 1) AS n_words FROM w
+)
+SELECT doc_id,
+  round(CAST(length(list_filter(words, w -> list_contains(
+    ['the','and','of','a','to','in','is','it','that','for','on','with',
+     'as','was','at','by','an','be'], w))) AS DOUBLE) / n_words, 6)
+    AS stop_ratio,
+  round(coalesce(list_avg(list_transform(words,
+    w -> CAST(length(w) AS DOUBLE))), 0.0), 6) AS mean_word_len,
+  round(CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+             AS DOUBLE) / n_chars, 6) AS punct_ratio,
+  round(CAST(length(regexp_extract_all(text, '[0-9]'))
+             AS DOUBLE) / n_chars, 6) AS digit_ratio
+FROM x"""
+
+    q["langid"] = """
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text),
+                                     '[a-záéíóúüäöñç]+')) AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    length(list_filter(ws, x -> list_contains(
+      ['the','and','of','to','in','is','you','that','it'], x))) AS n_en,
+    length(list_filter(ws, x -> list_contains(
+      ['der','die','das','und','ist','nicht','ich','ein'], x))) AS n_de,
+    length(list_filter(ws, x -> list_contains(
+      ['le','la','les','et','est','pas','je','une','que'], x))) AS n_fr,
+    length(list_filter(ws, x -> list_contains(
+      ['el','la','los','y','es','no','una','que','por'], x))) AS n_es
+  FROM w
+)
+SELECT doc_id,
+  CASE
+    WHEN n_en >= 2 AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_es
+      THEN 'en'
+    WHEN n_de >= 2 AND n_de > n_en AND n_de >= n_fr AND n_de >= n_es
+      THEN 'de'
+    WHEN n_fr >= 2 AND n_fr > n_en AND n_fr > n_de AND n_fr >= n_es
+      THEN 'fr'
+    WHEN n_es >= 2 AND n_es > n_en AND n_es > n_de AND n_es > n_fr
+      THEN 'es'
+    ELSE 'unknown' END AS lang_pred
+FROM c"""
+
+    q["parse_json"] = pc_ + "," + _CEE + """
+SELECT conv_id, turn_idx,
+  json_extract_string(cee_payload, '$.event') AS event,
+  CAST(json_extract_string(cee_payload, '$.n') AS BIGINT) AS n
+FROM cee WHERE cee_parsesuccess"""
+
+    q["neardup_pairs"] = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4"""
+
     q["topk_cosine"] = """
 WITH qv AS (
   SELECT embedding FROM embeddings

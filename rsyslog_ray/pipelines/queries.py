@@ -222,3 +222,240 @@ def q_topk_cosine(sf_dir: str) -> pa.Table:
     from ..stages.similarity import topk_cosine
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     return _to_table(topk_cosine(ds, k=20))
+
+
+# --------------------------------------------------------------------------
+# round-2 coverage: mm* modifiers, dynstats, ratelimit windows, templates,
+# text analysis, dedup variants, similarity variants, multimodal stubs
+# --------------------------------------------------------------------------
+
+
+def q_mmfields(sf_dir: str) -> pa.Table:
+    """mmfields: split on single-char separator → f1..f5 (§2.6)."""
+    from ..stages.enrich import mmfields_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = mmfields_table(batch, col="text", sep=" ", max_fields=5)
+        return b.select(["doc_id", "f1", "f2", "f3", "f4", "f5"])
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_mmanon(sf_dir: str) -> pa.Table:
+    """mmanon: IPv4 anonymization, zero mode 16 bits (§2.6). The IP-bearing
+    string is synthesized deterministically from doc_id (fixtures carry no
+    IPs) — both engine and oracle build the identical input."""
+    from ..stages.enrich import mmanon_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.utf8_slice_codeunits(pc.cast(batch["text"], pa.string()), 0, 16)
+        ips = ["src=%d.%d.%d.%d dst=10.0.%d.7 " %
+               (1 + i % 223, i % 191, i % 157, i % 119, i % 250) for i in ids]
+        val = pc.binary_join_element_wise(pa.array(ips, pa.string()), txt, "")
+        t = pa.table({"doc_id": batch["doc_id"], "line": val})
+        return mmanon_table(t, col="line", mode="zero", bits=16)
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_sd_params(sf_dir: str) -> pa.Table:
+    """mmpstrucdata: RFC5424 STRUCTURED-DATA → exploded (sd_id, pname,
+    pvalue) rows — flat_map explode (§2.6, foreach §2.3)."""
+    from ..stages.enrich import parse_structured_data
+    ds = _parsed(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "protocol", "structured_data"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        conv, turn, sdid, pname, pval = [], [], [], [], []
+        prot = batch["protocol"].to_numpy(zero_copy_only=False)
+        sds = pc.cast(batch["structured_data"], pa.string()).to_pylist()
+        convs = batch["conv_id"].to_pylist()
+        turns = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(prot == 1):
+            d = parse_structured_data(sds[i])
+            if not d:
+                continue
+            for sid, params in d.items():
+                for k, v in params.items():
+                    conv.append(convs[i])
+                    turn.append(int(turns[i]))
+                    sdid.append(sid)
+                    pname.append(k)
+                    pval.append(v)
+        return pa.table({
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn, pa.int64()),
+            "sd_id": pa.array(sdid, pa.string()),
+            "pname": pa.array(pname, pa.string()),
+            "pvalue": pa.array(pval, pa.string()),
+        })
+    return _to_table(ds.map_batches(explode, batch_format="pyarrow"))
+
+
+def q_dynstats_tool(sf_dir: str) -> pa.Table:
+    """dyn_inc('tools', $tool) counter bucket (§2.4/§2.8 dynstats)."""
+    from ..stages.aggregate import dyn_inc
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["tool"])
+    return _to_table(dyn_inc(ds, "tools", "tool"))
+
+
+def q_rate_window(sf_dir: str) -> pa.Table:
+    """Fixed-window ratelimit (interval=60s, burst=5) per conv (§2.8)."""
+    from ..stages.ratelimit import fixed_window_limit
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "ts"])
+    out = fixed_window_limit(ds, interval_s=60, burst=5)
+    return _to_table(out.select_columns(["conv_id", "turn_idx"]))
+
+
+def q_token_bucket(sf_dir: str) -> pa.Table:
+    """Exact rsyslog token-bucket ratelimit (ratelimit.c:145-205) — the
+    sequential reference semantics (no SQL oracle: stateful restart-window
+    logic; covered by unit tests vs the Python oracle)."""
+    from ..stages.ratelimit import token_bucket
+    tdir = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "ts"])
+    out = token_bucket(ds, interval_s=60, burst=5)
+    return _to_table(out.select_columns(["conv_id", "turn_idx"]))
+
+
+TPL_OPTS_SPEC = ("%HOSTNAME:::uppercase%|%msg:2:12%|%msg:F,58:2%|"
+                 "%TIMESTAMP:::date-unix%")
+
+
+def q_template_opts(sf_dir: str) -> pa.Table:
+    """Property-replacer options: substring FromPos:ToPos, field F,ch:N,
+    case conversion, date-unix (§2.5 template.h:77-148)."""
+    from ..templates import Template
+    tpl = Template(TPL_OPTS_SPEC, name="opts")
+    ds = _parsed(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": batch["turn_idx"],
+                         "rendered": tpl.render(batch)})
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_prifilt(sf_dir: str) -> pa.Table:
+    """prifilt('local0,local1,local2,local3.warning') PRI-mask predicate
+    (§2.3/§2.4): facility 16..19 AND severity <= 4."""
+    from ..functions import prifilt
+    ds = _parsed(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = prifilt(batch["facility"], batch["severity"],
+                    "local0,local1,local2,local3.warning")
+        return batch.select(["conv_id", "turn_idx"]).filter(m)
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    """Text-quality heuristics (stopword/punct/digit ratios, mean word
+    length) over documents — training-data extras."""
+    from ..stages.textstats import quality_scores
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = quality_scores(ds)
+    return _to_table(out.select_columns(
+        ["doc_id", "stop_ratio", "mean_word_len", "punct_ratio",
+         "digit_ratio"]))
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    """Stopword-profile language ID over documents (training-data extras)."""
+    from ..stages.textstats import langid
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(langid(ds).select_columns(["doc_id", "lang_pred"]))
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    """Rolling-hash (winnowing-style) document fingerprint — deterministic;
+    no SQL oracle (byte-level rolling hash), rows-only + unit tests."""
+    from ..stages.textstats import fingerprint_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(ds.map_batches(fingerprint_table, batch_format="pyarrow"))
+
+
+def q_dedup_minhash(sf_dir: str) -> pa.Table:
+    """MinHash+LSH near-dup dedup over documents: surviving doc_ids —
+    deterministic seeds; no SQL oracle (minhash), rows-only + unit tests."""
+    from ..stages.dedup import minhash_lsh_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(minhash_lsh_dedup(ds).select_columns(["doc_id"]))
+
+
+def q_dedup_simhash(sf_dir: str) -> pa.Table:
+    """64-bit SimHash per document — deterministic; rows-only + unit tests."""
+    from ..stages.dedup import simhash_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(simhash_table(ds).select_columns(["doc_id", "simhash"]))
+
+
+def q_neardup_pairs(sf_dir: str) -> pa.Table:
+    """Exact embedding-cosine near-duplicate pairs (a<b, score>=0.4):
+    broadcast-matrix brute force, matches the DuckDB self-join oracle."""
+    from ..stages.similarity import neardup_pairs_exact
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _to_table(neardup_pairs_exact(ds, threshold=0.4))
+
+
+def q_lsh_cosine(sf_dir: str) -> pa.Table:
+    """LSH-bucketed cosine top-k (ANN scale path) — approximate by design;
+    rows-only + recall unit test vs the exact baseline."""
+    from ..stages.similarity import lsh_topk_cosine
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _to_table(lsh_topk_cosine(ds, k=20, n_planes=4))
+
+
+def q_parse_json(sf_dir: str) -> pa.Table:
+    """parse_json + json path access (get_property/$!tree analogue,
+    §2.4): extract $!event and $!n from CEE payloads."""
+    from .. import functions as F
+    ds = build_parsed_dataset(ensure_transcripts(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = pc.fill_null(batch["cee_parsesuccess"], False)
+        sub = batch.filter(ok)
+        cee = pc.cast(sub["cee_json"], pa.string())
+        return pa.table({
+            "conv_id": sub["conv_id"],
+            "turn_idx": sub["turn_idx"],
+            "event": F.json_get(cee, "event"),
+            "n": pc.cast(F.json_get(cee, "n"), pa.int64()),
+        })
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_multimodal(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary payload column (document bytes standing
+    in for image data) → typed metadata → decode/resize stubs (actor pool).
+    Deterministic fake decode; rows-only + unit tests."""
+    from ..stages.multimodal import attach_media_meta, image_features
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = pc.cast(batch["text"], pa.large_binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: attach_media_meta(b), batch_format="pyarrow")
+    out = image_features(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bytes": pc.struct_field(batch["media_meta"], "n_bytes"),
+            "width": batch["width"], "height": batch["height"],
+            "resized_w": batch["resized_w"], "resized_h": batch["resized_h"],
+            "mean_luma": batch["mean_luma"],
+        })
+    return _to_table(out.map_batches(project, batch_format="pyarrow"))

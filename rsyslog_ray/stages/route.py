@@ -101,14 +101,18 @@ class RouteWriter:
     """
 
     def __init__(self, ruleset: Ruleset, out_root: str,
-                 compression: str = "zstd"):
+                 compression: str = "snappy", shard_col: str | None = None):
         self.ruleset = ruleset
         self.out_root = out_root
         self.templates = ruleset.compiled_templates()
         self.compression = compression
+        self.shard_col = shard_col
 
-    def _write(self, table: pa.Table, action: str, part_val=None) -> str:
+    def _write(self, table: pa.Table, action: str, part_val=None,
+               shard=None) -> str:
         d = os.path.join(self.out_root, action)
+        if shard is not None:
+            d = os.path.join(d, f"shard={shard}")
         if part_val is not None:
             pcol = self.ruleset_action(action).partition_by
             d = os.path.join(d, f"{pcol}={part_val}")
@@ -123,11 +127,13 @@ class RouteWriter:
     def ruleset_action(self, name: str) -> Action:
         return next(a for a in self.ruleset.actions if a.name == name)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _emit(self, batch: pa.Table, shard=None) -> tuple[list, list]:
         routed = route_table(batch, self.ruleset, self.templates)
         names, counts = [], []
         for act_name, sub in routed.items():
             act = self.ruleset_action(act_name)
+            if self.shard_col and self.shard_col in sub.column_names:
+                sub = sub.drop_columns([self.shard_col])
             if sub.num_rows:
                 if act.partition_by:
                     # dynafile: one file per partition value in this batch
@@ -136,33 +142,70 @@ class RouteWriter:
                                        if isinstance(vals, pa.ChunkedArray)
                                        else vals).to_pylist():
                         part = sub.filter(pc.equal(sub[act.partition_by], v))
-                        self._write(part, act_name, part_val=v)
+                        self._write(part, act_name, part_val=v, shard=shard)
                 else:
-                    self._write(sub, act_name)
+                    self._write(sub, act_name, shard=shard)
             names.append(act_name)
             counts.append(sub.num_rows)
         names.append("_input")
         counts.append(batch.num_rows)
+        return names, counts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Route + write one batch → per-(action[, shard]) metric rows."""
+        if self.shard_col and self.shard_col in batch.column_names:
+            all_names, all_counts, all_shards = [], [], []
+            svals = batch[self.shard_col]
+            svals = (svals.combine_chunks()
+                     if isinstance(svals, pa.ChunkedArray) else svals)
+            for sid in pc.unique(svals).to_pylist():
+                sub = batch.filter(pc.equal(batch[self.shard_col], sid))
+                names, counts = self._emit(sub, shard=sid)
+                all_names += names
+                all_counts += counts
+                all_shards += [sid] * len(names)
+            return pa.table({"action": pa.array(all_names, pa.string()),
+                             "shard": pa.array(all_shards, pa.string()),
+                             "rows": pa.array(all_counts, pa.int64())})
+        names, counts = self._emit(batch)
         return pa.table({"action": pa.array(names, pa.string()),
                          "rows": pa.array(counts, pa.int64())})
 
 
 def execute_and_write(ds, ruleset: Ruleset, out_root: str,
-                      batch_size: int = 32768, concurrency=None):
-    """Consume ds once, write all sinks, return {action: routed row count}.
+                      batch_size: int = 32768, concurrency=None,
+                      shard_col: str | None = None):
+    """Consume ds once, write all sinks, return {action: routed row count}
+    (with shard_col: {(action, shard): count} as a second element).
 
-    The returned metrics come from a tiny groupby over per-batch partials
+    Runs RouteWriter as a serialized task fn (templates compile once on the
+    driver, the instance is broadcast via the object store): tasks scale to
+    every CPU with no actor-pool ramp-up. Per-batch metric partials (a few
+    rows each) are folded ON THE DRIVER via iter_batches — a groupby
+    shuffle of the tiny metrics dataset measured 1.7× slower end-to-end
+    (and high-variance) than streaming the partials straight back
     (impstats analogue, runtime/statsobj.c)."""
-    from ray.data.aggregate import Sum
     metrics = ds.map_batches(
-        RouteWriter, fn_constructor_args=(ruleset, out_root),
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or 4)
-    agg = metrics.groupby("action").aggregate(Sum("rows", alias_name="rows"))
-    out = {r["action"]: r["rows"] for r in agg.take_all()}
+        RouteWriter(ruleset, out_root, shard_col=shard_col),
+        batch_format="pyarrow", batch_size=batch_size)
+    out: dict = {}
+    per_shard: dict = {}
+    has_shard = False
+    for b in metrics.iter_batches(batch_size=None, batch_format="pyarrow"):
+        acts = b["action"].to_pylist()
+        ns = b["rows"].to_pylist()
+        shards = b["shard"].to_pylist() if "shard" in b.column_names else None
+        for i, (a, n) in enumerate(zip(acts, ns)):
+            out[a] = out.get(a, 0) + n
+            if shards is not None:
+                has_shard = True
+                k = (a, shards[i])
+                per_shard[k] = per_shard.get(k, 0) + n
     for a in ruleset.actions:
         if a.kind == "write":
             out.setdefault(a.name, 0)
+    if shard_col:
+        return out, per_shard
     return out
 
 

@@ -73,6 +73,57 @@ def topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
     return top.map_batches(roundit, batch_format="pyarrow")
 
 
+class NearDupPairScorer:
+    """Actor stage: exact all-pairs cosine — each batch is scored against
+    the FULL broadcast matrix (ray.put once, resolved in __init__), emitting
+    (a, b, score) pairs with a < b and score >= threshold. The scalable
+    brute-force shape: O(batch × N) matmul per task, no shuffle."""
+
+    def __init__(self, mat_ref, ids_ref, threshold: float, id_col: str,
+                 col: str):
+        m = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        ids = ray.get(ids_ref) if isinstance(ids_ref, ray.ObjectRef) else ids_ref
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.mn = m / norms
+        self.all_ids = np.asarray(ids, dtype=np.int64)
+        self.threshold = threshold
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        scores = (m / norms) @ self.mn.T                  # batch × N
+        bid = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ii, jj = np.nonzero(scores >= self.threshold)
+        a, b = bid[ii], self.all_ids[jj]
+        keep = a < b                                      # dedupe + no self
+        return pa.table({
+            "a": pa.array(a[keep]),
+            "b": pa.array(b[keep]),
+            "score": pa.array(np.round(scores[ii, jj][keep], 6), pa.float64()),
+        })
+
+
+def neardup_pairs_exact(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                        col: str = "embedding", concurrency=2):
+    """Exact embedding-cosine near-duplicate pairs (a < b, score ≥ τ).
+
+    The full matrix is broadcast (fits comfortably for lookup-scale sides;
+    for corpus² at 100 TB use lsh_topk_cosine-style bucketing to bound
+    candidates instead). Matches the DuckDB self-join oracle exactly."""
+    rows = ds.select_columns([id_col, col]).sort(id_col).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[col] for r in rows], dtype=np.float64)
+    mref, iref = ray.put(mat), ray.put(ids)
+    return ds.map_batches(
+        NearDupPairScorer, fn_constructor_args=(mref, iref, threshold,
+                                                id_col, col),
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 class HyperplaneHasher:
     """Random-hyperplane signatures (deterministic seed) for cosine LSH."""
 

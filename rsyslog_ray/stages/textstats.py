@@ -51,8 +51,10 @@ class QualityScore:
         mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws]))
                               if ws else 0.0)
         n_chars = texts.str.len().clip(lower=1)
-        punct_ratio = texts.str.count(r"[^\w\s]") / n_chars
-        digit_ratio = texts.str.count(r"\d") / n_chars
+        # explicit ASCII classes (not \w/\d) so the DuckDB RE2 oracle is
+        # character-for-character identical
+        punct_ratio = texts.str.count(r"[^A-Za-z0-9\s]") / n_chars
+        digit_ratio = texts.str.count(r"[0-9]") / n_chars
         batch = batch.assign(
             stop_ratio=stop_ratio.round(6),
             mean_word_len=mean_wlen.round(6) if hasattr(mean_wlen, 'round') else mean_wlen,

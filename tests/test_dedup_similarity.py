@@ -1,0 +1,119 @@
+"""Dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard) and similarity
+(brute cosine, LSH, near-dup pairs) vs hand-computed / numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rsyslog_ray.stages.dedup import (MinHasher, SimHashStage, _shingles,
+                                      exact_dedup, minhash_lsh_dedup,
+                                      ngram_jaccard, simhash_table)
+from rsyslog_ray.stages.similarity import (lsh_topk_cosine,
+                                           neardup_pairs_exact, topk_cosine)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly in the plain and the cat sat on the mat")
+
+
+def _doc_table():
+    texts = [
+        BASE,                                   # 0
+        BASE.replace("cat", "bat"),             # 1 near-dup of 0
+        BASE,                                   # 2 exact dup of 0
+        "completely different text about ray data pipelines and arrow",  # 3
+        "another unrelated document with its own words entirely",        # 4
+        BASE.replace("dog", "dag"),             # 5 near-dup of 0
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    ds = rd.from_arrow(_doc_table())
+    kept = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    # doc 2 is an exact dup of 0 → dropped; near-dups survive exact dedup
+    assert kept == [0, 1, 3, 4, 5]
+
+
+def test_minhash_lsh_drops_near_dups(ray_session):
+    ds = rd.from_arrow(_doc_table())
+    kept = sorted(r["doc_id"] for r in
+                  minhash_lsh_dedup(ds).select_columns(["doc_id"]).take_all())
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 2 not in kept            # exact dup always caught
+    assert 1 not in kept and 5 not in kept  # near-dups bucket with 0
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128)
+    s0 = mh.signature(_shingles(BASE))
+    s1 = mh.signature(_shingles(BASE.replace("cat", "bat")))
+    s3 = mh.signature(_shingles("completely different text entirely"))
+    sim01 = (s0 == s1).mean()
+    sim03 = (s0 == s3).mean()
+    assert sim01 > 0.7 > sim03
+
+
+def test_simhash_deterministic_and_discriminative(ray_session):
+    ds = rd.from_arrow(_doc_table())
+    rows = {r["doc_id"]: r["simhash"]
+            for r in simhash_table(ds).take_all()}
+    assert rows[0] == rows[2]       # identical text → identical hash
+    ham_near = bin((rows[0] ^ rows[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((rows[0] ^ rows[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, BASE.replace("cat", "bat")) > 0.8
+    assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+
+
+def _vec_table(n=60, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.normal(size=(n, dim))
+    m[7] = m[3] + rng.normal(scale=0.01, size=dim)   # planted near-dup pair
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row.astype(np.float32).tolist() for row in m],
+                              pa.list_(pa.float32())),
+    }), m
+
+
+def test_topk_cosine_matches_numpy(ray_session):
+    tbl, m = _vec_table()
+    ds = rd.from_arrow(tbl)
+    got = topk_cosine(ds, k=5).take_all()
+    md = m.astype(np.float64)
+    mf = np.array([np.asarray(v, np.float64) for v in
+                   tbl["embedding"].to_pylist()])   # float32-rounded values
+    q = mf[0] / np.linalg.norm(mf[0])
+    scores = (mf @ q) / np.linalg.norm(mf, axis=1)
+    order = np.lexsort((np.arange(len(scores)), -scores))[:5]
+    assert [r["vec_id"] for r in got] == order.tolist()
+    del md
+
+
+def test_neardup_pairs_exact_matches_numpy(ray_session):
+    tbl, _ = _vec_table()
+    ds = rd.from_arrow(tbl)
+    got = {(r["a"], r["b"]) for r in
+           neardup_pairs_exact(ds, threshold=0.9).take_all()}
+    mf = np.array([np.asarray(v, np.float64) for v in
+                   tbl["embedding"].to_pylist()])
+    mn = mf / np.linalg.norm(mf, axis=1, keepdims=True)
+    S = mn @ mn.T
+    exp = {(i, j) for i in range(len(mf)) for j in range(i + 1, len(mf))
+           if S[i, j] >= 0.9}
+    assert got == exp and (3, 7) in got
+
+
+def test_lsh_topk_subset_of_exact_and_finds_self(ray_session):
+    tbl, _ = _vec_table()
+    ds = rd.from_arrow(tbl)
+    got = [r["vec_id"] for r in lsh_topk_cosine(ds, k=5, n_planes=4).take_all()]
+    assert got[0] == 0              # the query vector itself tops the list
+    exact = [r["vec_id"] for r in topk_cosine(ds, k=60).take_all()]
+    assert set(got).issubset(set(exact))

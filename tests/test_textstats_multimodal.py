@@ -1,0 +1,99 @@
+"""Text-analysis stages (token stats, quality, langid, fingerprint) and the
+multimodal binary-column plumbing (decode/resize stubs, frame explode)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rsyslog_ray.stages.multimodal import (ImageDecodeStub, ResizeStub,
+                                           attach_media_meta, image_features,
+                                           sample_frames_table)
+from rsyslog_ray.stages.textstats import (LangId, QualityScore,
+                                          fingerprint_table, langid,
+                                          quality_scores, token_stats_table)
+
+
+def _docs(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_token_stats_hand_counts():
+    t = token_stats_table(_docs(["one two  three", "a,b c!", ""]))
+    assert t["n_tokens"].to_pylist() == [3, 2, 0]
+    assert t["n_chars"].to_pylist() == [14, 6, 0]
+    # bpe-ish: [a][,][b] [c][!] → 5
+    assert t["n_bpeish"].to_pylist()[1] == 5
+
+
+def test_quality_scores_ratios(ray_session):
+    ds = rd.from_arrow(_docs(["the cat and the dog", "12345!!!", ""]))
+    rows = sorted(quality_scores(ds).take_all(), key=lambda r: r["doc_id"])
+    # text0: words [the,cat,and,the,dog] → stopwords the,and,the = 3/5
+    assert rows[0]["stop_ratio"] == pytest.approx(0.6)
+    assert rows[0]["mean_word_len"] == pytest.approx(3.0)
+    # text1: no letters → no words; 3 punct over 8 chars, 5 digits over 8
+    assert rows[1]["stop_ratio"] == 0.0
+    assert rows[1]["punct_ratio"] == pytest.approx(round(3 / 8, 6))
+    assert rows[1]["digit_ratio"] == pytest.approx(round(5 / 8, 6))
+    assert rows[2]["quality"] >= 0.0
+
+
+def test_langid_profiles(ray_session):
+    ds = rd.from_arrow(_docs([
+        "the house of you and that it is great",
+        "der hund und die katze ist nicht da",
+        "le chat est dans la maison et je suis pas la",
+        "zzz qqq xxx",
+    ]))
+    rows = sorted(langid(ds).take_all(), key=lambda r: r["doc_id"])
+    assert [r["lang_pred"] for r in rows] == ["en", "de", "fr", "unknown"]
+
+
+def test_fingerprint_deterministic_and_equal_for_equal_text():
+    a = fingerprint_table(_docs(["hello world document", "hello world document",
+                                 "different thing"]))
+    f = a["fingerprint"].to_pylist()
+    assert f[0] == f[1] != f[2]
+    b = fingerprint_table(_docs(["hello world document"]))
+    assert b["fingerprint"].to_pylist()[0] == f[0]
+
+
+def _payload_table():
+    payloads = [b"\x01\x02\x03\x04" * 64, b"\xff" * 16, b""]
+    return pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                     "payload": pa.array(payloads, pa.large_binary())})
+
+
+def test_media_meta_and_decode_stub():
+    t = attach_media_meta(_payload_table())
+    meta = t["media_meta"].to_pylist()
+    assert meta[0]["n_bytes"] == 256 and meta[0]["media_type"] == "image"
+    d = ImageDecodeStub()(t)
+    assert d["width"].to_pylist()[2] == 0           # empty payload
+    # deterministic: same payload → same dims
+    d2 = ImageDecodeStub()(t)
+    assert d["width"].to_pylist() == d2["width"].to_pylist()
+    r = ResizeStub(max_side=8)(d)
+    assert max(r["resized_w"].to_pylist()[:2]) <= 8
+
+
+def test_decode_strict_raises_without_lib():
+    with pytest.raises(NotImplementedError):
+        ImageDecodeStub(strict=True)
+
+
+def test_frame_sampling_explodes_rows():
+    t = sample_frames_table(_payload_table(), n_frames=4)
+    # 4 frames for real payloads, 1 for the empty one
+    assert t.num_rows == 4 + 4 + 1
+    assert t["frame_idx"].to_pylist()[:4] == [0, 1, 2, 3]
+    total = sum(len(p) for p in t["frame_payload"].to_pylist())
+    assert total <= 256 + 16
+
+
+def test_image_features_pipeline(ray_session):
+    ds = rd.from_arrow(_payload_table())
+    out = image_features(ds).take_all()
+    assert len(out) == 3 and all("resized_w" in r for r in out)
