@@ -31,16 +31,37 @@ def _partial_counts(batch: pa.Table, keys: list[str]) -> pa.Table:
         keys + ["rows"])
 
 
-def count_by(ds, keys: list[str], batch_size: int = 65536):
-    """groupby(keys).count() with per-batch partials (dyn_inc analogue)."""
+def count_by(ds, keys: list[str], batch_size: int = 65536,
+             fold_driver: bool = False):
+    """groupby(keys).count() with per-batch partials (dyn_inc analogue).
+
+    fold_driver=True streams the partials back and merges on the driver
+    (returns a pa.Table) — ONLY for bounded-cardinality keys (facility ×
+    severity = 192, dynstats maxCardinality ≤ 2000): the partial stream is
+    O(#batches × |keys|) tiny rows and skips the Aggregate shuffle's fixed
+    cost (~1-2 s) entirely. Unbounded keys keep the distributed groupby."""
     partials = ds.map_batches(lambda t: _partial_counts(t, keys),
                               batch_format="pyarrow", batch_size=batch_size)
-    return partials.groupby(keys).aggregate(Sum("rows", alias_name="rows"))
+    if not fold_driver:
+        return partials.groupby(keys).aggregate(Sum("rows", alias_name="rows"))
+    acc: dict[tuple, int] = {}
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        cols = [b[k].to_pylist() for k in keys]
+        ns = b["rows"].to_pylist()
+        for i, n in enumerate(ns):
+            kk = tuple(c[i] for c in cols)
+            acc[kk] = acc.get(kk, 0) + n
+    items = sorted(acc.items())
+    out = {k: pa.array([it[0][j] for it in items])
+           for j, k in enumerate(keys)}
+    out["rows"] = pa.array([it[1] for it in items], pa.int64())
+    return pa.table(out)
 
 
 def facility_severity_counts(ds):
-    """Per-facility/per-severity message counts (north-star aggregate)."""
-    return count_by(ds, ["facility", "severity"])
+    """Per-facility/per-severity counts (north-star aggregate). 24×8 = 192
+    possible keys → driver fold is bounded at any input scale."""
+    return count_by(ds, ["facility", "severity"], fold_driver=True)
 
 
 def _partial_conv_rollup(batch: pa.Table) -> pa.Table:
@@ -54,7 +75,41 @@ def _partial_conv_rollup(batch: pa.Table) -> pa.Table:
                              "first_ts", "last_ts"])
 
 
-def conv_rollup(ds, batch_size: int = 65536):
+def conv_rollup(ds, batch_size: int = 65536, n_buckets: int = 64):
+    """Per-conv_id session rollup: n_turns, n_parsed_ok, first/last ts.
+
+    Two-stage: per-batch partials (one row per conv per batch — hot convs
+    collapse inside each batch) → hash-bucket merge: conversations are
+    hashed into n_buckets groups and each bucket is combined in ONE
+    vectorized pandas groupby (64 calls total). Ray's sort-based
+    Aggregate over the same partials measured ~5 s of fixed overhead at
+    sf0.1; the bucket merge is the same shuffle volume without it."""
+    import pandas as pd
+
+    partials = ds.map_batches(_partial_conv_rollup, batch_format="pyarrow",
+                              batch_size=batch_size)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+        h = _pd.util.hash_array(
+            np.asarray(t["conv_id"].to_pandas(), dtype=object))
+        return t.append_column("_bucket",
+                               pa.array((h % n_buckets).astype(np.int64)))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.drop(columns=["_bucket"])
+                .groupby("conv_id", sort=False)
+                .agg(n_turns=("n_turns", "sum"),
+                     n_parsed_ok=("n_parsed_ok", "sum"),
+                     first_ts=("first_ts", "min"),
+                     last_ts=("last_ts", "max"))
+                .reset_index())
+
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
+def _conv_rollup_rayagg(ds, batch_size: int = 65536):
     """Per-conv_id session rollup: n_turns, n_parsed_ok, first/last ts.
 
     Two-stage: per-batch partials (one row per conv per batch — hot convs
@@ -77,20 +132,19 @@ def dyn_inc(ds, bucket: str, key_col: str, max_cardinality: int = 2000):
     (the reference drops NEW keys past the cap and counts ops_overflow —
     arrival order is meaningless in a parallel batch engine, documented
     deviation)."""
-    counts = count_by(ds, [key_col])
+    counts = count_by(ds, [key_col], fold_driver=True)  # ≤ maxCardinality+ε
     counts = counts.rename_columns(["key", "rows"])
-    n = counts.count()
-    if n > max_cardinality:
-        top = counts.sort("rows", descending=True).limit(max_cardinality)
-        kept = top.sum("rows")
-        total = counts.sum("rows")
-        import ray.data as rd
-        overflow = rd.from_items(
-            [{"key": "_overflow", "rows": total - kept}])
-        counts = top.union(overflow)
-    return counts.map_batches(
-        lambda t: t.append_column("bucket", pa.array([bucket] * t.num_rows)),
-        batch_format="pyarrow")
+    if counts.num_rows > max_cardinality:
+        order = pc.sort_indices(
+            counts, sort_keys=[("rows", "descending"), ("key", "ascending")])
+        top = counts.take(order[:max_cardinality])
+        total = pc.sum(counts["rows"]).as_py()
+        kept = pc.sum(top["rows"]).as_py()
+        overflow = pa.table({"key": pa.array(["_overflow"]),
+                             "rows": pa.array([total - kept], pa.int64())})
+        counts = pa.concat_tables([top, overflow])
+    return counts.append_column("bucket",
+                                pa.array([bucket] * counts.num_rows))
 
 
 def salted_group_apply(ds, key: str, fn, salt_buckets: int = 16,

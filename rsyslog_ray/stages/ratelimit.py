@@ -1,70 +1,97 @@
-"""Rate limiting / sampling — runtime/ratelimit.c + action exec-filters.
+"""Ratelimit / ordered-per-conversation semantics (runtime/ratelimit.c).
 
-Ordered/consecutive semantics need per-key ordered partitions: every helper
-here is `groupby(conv_id).map_groups(fn)` with an in-group sort by turn_idx
-(SURVEY §2.8, §7 'Ordered/consecutive semantics'). The partitioning
-assumption: one conv_id fits in one group/worker (bounded conv length —
-hot convs are row-heavy but still single-machine-sized; for pathological
-convs use salted_group_apply for decomposable variants).
+- suppress_repeats: "last message repeated n times" (ratelimit.c:46-90,
+  220-300) — collapse consecutive duplicate texts within a conversation.
+- exec_every_nth: execOnlyEveryNthTime (action.c:406).
+- token_bucket: exact reference bucket (ratelimit.c:145-205) — window
+  starts at first msg, restarts after expiry; sequential per conv.
+- fixed_window_limit: scalable grid-aligned variant (documented deviation).
+
+Scale shape: all of these need per-conv ordering, NOT one-Python-call per
+conversation. `groupby(conv).map_groups` costs one function call per group
+(~#convs calls; measured 10.8 s for 600k rows / 38k convs). Instead we
+hash-partition conversations into P buckets (`groupby(bucket)`) and run ONE
+vectorized pandas computation per bucket over all its conversations —
+#calls drops from #convs to P. Hot conversations stay intact within one
+bucket (required for ordered semantics); P buckets bound the skew a single
+conversation can cause (a conv can never exceed one bucket, the same
+constraint any per-key ordered operator has).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+N_BUCKETS = 64
 
 
-def _suppress_repeats_group(g: pd.DataFrame) -> pd.DataFrame:
-    """'last message repeated n times' (runtime/ratelimit.c:46-90): collapse
-    runs of consecutive identical `text` within a conv into the first
-    occurrence + n_repeats (run length)."""
-    g = g.sort_values("turn_idx", kind="mergesort")
-    txt = g["text"].to_numpy(dtype=object)
-    new_run = np.ones(len(g), dtype=bool)
-    if len(g) > 1:
-        new_run[1:] = txt[1:] != txt[:-1]
-    run_id = np.cumsum(new_run)
-    g = g.assign(_run=run_id)
-    firsts = g[new_run].copy()
-    sizes = g.groupby("_run", sort=False).size()
-    firsts["n_repeats"] = sizes.to_numpy(dtype=np.int64)
-    return firsts.drop(columns=["_run"])
+def _with_bucket(ds, key: str = "conv_id", n_buckets: int = N_BUCKETS):
+    def add(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = pc.cast(batch[key], pa.string())
+        h = pd.util.hash_array(np.asarray(keys.to_pandas(), dtype=object))
+        return batch.append_column(
+            "_bucket", pa.array((h % n_buckets).astype(np.int64)))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _per_bucket(ds, fn, n_buckets: int = N_BUCKETS):
+    """groupby hash-bucket → ONE pandas call per bucket; fn sees every conv
+    of the bucket at once and must return a frame without `_bucket`."""
+    out = _with_bucket(ds, n_buckets=n_buckets).groupby("_bucket").map_groups(
+        lambda g: fn(g.drop(columns=["_bucket"])), batch_format="pandas")
+    return out
+
+
+def _suppress_repeats_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized over all convs in the bucket: run = consecutive identical
+    text within conv (ordered by turn_idx); emit (conv, first turn, count)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    new_conv = g["conv_id"].ne(g["conv_id"].shift())
+    new_text = g["text"].ne(g["text"].shift())
+    run_id = (new_conv | new_text).cumsum()
+    out = (g.assign(_run=run_id)
+           .groupby("_run", sort=False)
+           .agg(conv_id=("conv_id", "first"), turn_idx=("turn_idx", "min"),
+                n_repeats=("turn_idx", "size"))
+           .reset_index(drop=True))
+    out["turn_idx"] = out["turn_idx"].astype("int64")
+    out["n_repeats"] = out["n_repeats"].astype("int64")
+    return out
 
 
 def suppress_repeats(ds):
-    """ds must carry conv_id, turn_idx, text. Returns first-of-run rows with
-    an n_repeats column (per-conv shuffle on conv_id)."""
-    return ds.groupby("conv_id").map_groups(
-        _suppress_repeats_group, batch_format="pandas")
+    return _per_bucket(ds, _suppress_repeats_bucket)
 
 
-def _every_nth_group(g: pd.DataFrame, n: int) -> pd.DataFrame:
-    """execOnlyEveryNthTime (action.c:406): deterministic batch reading —
-    the 1st, (n+1)th, (2n+1)th … turn of each conv (ordered by turn_idx)."""
-    g = g.sort_values("turn_idx", kind="mergesort")
-    return g.iloc[::n]
+def _every_nth_bucket(g: pd.DataFrame, n: int) -> pd.DataFrame:
+    """The 1st, (n+1)th, (2n+1)th … turn of each conv (ordered)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    rn = g.groupby("conv_id", sort=False).cumcount()
+    return g[rn % n == 0]
 
 
 def exec_every_nth(ds, n: int):
-    return ds.groupby("conv_id").map_groups(
-        lambda g: _every_nth_group(g, n), batch_format="pandas")
+    return _per_bucket(ds, lambda g: _every_nth_bucket(g, n))
 
 
-def _token_bucket_group(g: pd.DataFrame, interval_s: int, burst: int) -> pd.DataFrame:
-    """Exact rsyslog token bucket (runtime/ratelimit.c:145-205): the window
-    begins at the first message; messages beyond `burst` within
-    `interval_s` of window start are dropped; a message after expiry starts
-    a new window. Sequential by nature — python loop per conv (small groups;
-    for the scalable approximation use fixed_window_limit)."""
-    g = g.sort_values("turn_idx", kind="mergesort")
+def _token_bucket_frame(g: pd.DataFrame, interval_s: int, burst: int) -> pd.DataFrame:
+    """Exact rsyslog token bucket (ratelimit.c:145-205): window begins at
+    the first message; messages beyond `burst` within `interval_s` of
+    window start are dropped; a message after expiry starts a new window.
+    Inherently sequential — a numpy loop per conv, but batched per bucket."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     ts = g["ts"].astype("int64").to_numpy() // 1_000_000
+    conv = g["conv_id"].to_numpy()
     keep = np.zeros(len(g), dtype=bool)
-    win_start = -1
-    used = 0
+    win_start, used, cur = -1, 0, None
     for i in range(len(g)):
+        if conv[i] != cur:
+            cur, win_start, used = conv[i], -1, 0
         if win_start < 0 or ts[i] >= win_start + interval_s:
-            win_start = ts[i]
-            used = 0
+            win_start, used = ts[i], 0
         if used < burst:
             keep[i] = True
             used += 1
@@ -72,23 +99,21 @@ def _token_bucket_group(g: pd.DataFrame, interval_s: int, burst: int) -> pd.Data
 
 
 def token_bucket(ds, interval_s: int = 60, burst: int = 20):
-    return ds.groupby("conv_id").map_groups(
-        lambda g: _token_bucket_group(g, interval_s, burst),
-        batch_format="pandas")
+    return _per_bucket(ds, lambda g: _token_bucket_frame(g, interval_s, burst))
 
 
-def _fixed_window_group(g: pd.DataFrame, interval_s: int, burst: int) -> pd.DataFrame:
-    """Scalable fixed-window variant: windows aligned to the conv's first ts
-    on a fixed grid; vectorized (documented deviation from the reference's
-    restart-at-next-message windows)."""
-    g = g.sort_values("turn_idx", kind="mergesort")
+def _fixed_window_bucket(g: pd.DataFrame, interval_s: int, burst: int) -> pd.DataFrame:
+    """Grid-aligned windows anchored at each conv's first ts; fully
+    vectorized (documented deviation from the restart-at-next-message
+    reference windows — the scalable variant)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     ts = g["ts"].astype("int64").to_numpy() // 1_000_000
-    win = (ts - ts[0]) // interval_s if len(g) else ts
-    rank = pd.Series(win).groupby(win).cumcount().to_numpy()
+    first = pd.Series(ts).groupby(g["conv_id"].to_numpy(), sort=False).transform("first").to_numpy()
+    win = (ts - first) // interval_s
+    rank = pd.Series(0, index=g.index).groupby(
+        [g["conv_id"].to_numpy(), win], sort=False).cumcount().to_numpy()
     return g[rank < burst]
 
 
 def fixed_window_limit(ds, interval_s: int = 60, burst: int = 20):
-    return ds.groupby("conv_id").map_groups(
-        lambda g: _fixed_window_group(g, interval_s, burst),
-        batch_format="pandas")
+    return _per_bucket(ds, lambda g: _fixed_window_bucket(g, interval_s, burst))

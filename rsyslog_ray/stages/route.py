@@ -43,6 +43,9 @@ class Action:
     template: str | None = None          # template spec/name for `rendered`
     partition_by: str | None = None      # dynafile analogue
     keep_columns: list[str] | None = None
+    # execOnlyWhenPreviousIsSuspended (action.c:409,509-521): run only for
+    # batches whose previous write-action just entered the suspended state
+    only_if_previous_suspended: bool = False
 
 
 @dataclass
@@ -101,21 +104,22 @@ class RouteWriter:
     """
 
     def __init__(self, ruleset: Ruleset, out_root: str,
-                 compression: str = "snappy", shard_col: str | None = None):
+                 compression: str = "snappy", shard_col: str | None = None,
+                 max_retries: int = 3, retry_backoff_s: float = 0.05,
+                 fail_injector=None):
         self.ruleset = ruleset
         self.out_root = out_root
         self.templates = ruleset.compiled_templates()
         self.compression = compression
         self.shard_col = shard_col
+        self.max_retries = max_retries
+        self.retry_backoff_s = retry_backoff_s
+        self.fail_injector = fail_injector  # (action, attempt) -> raise | None
 
-    def _write(self, table: pa.Table, action: str, part_val=None,
-               shard=None) -> str:
-        d = os.path.join(self.out_root, action)
-        if shard is not None:
-            d = os.path.join(d, f"shard={shard}")
-        if part_val is not None:
-            pcol = self.ruleset_action(action).partition_by
-            d = os.path.join(d, f"{pcol}={part_val}")
+    def _write_once(self, table: pa.Table, d: str, action: str,
+                    attempt: int) -> str:
+        if self.fail_injector is not None:
+            self.fail_injector(action, attempt)
         os.makedirs(d, exist_ok=True)
         fname = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(d, f"._tmp-{fname}")
@@ -124,16 +128,54 @@ class RouteWriter:
         os.rename(tmp, final)
         return final
 
+    def _write(self, table: pa.Table, action: str, part_val=None,
+               shard=None) -> bool:
+        """Write with the action retry state machine (action.c:770-900
+        RDY→RTRY with backoff; capped attempts). Returns True on success;
+        on exhaustion (SUSP/DATAFAIL) the rows are NOT lost — the caller
+        routes them to the error-rows side sink (the omelasticsearch
+        `writeDataError` shape, plugins/omelasticsearch/...:1375)."""
+        import time as _time
+        d = os.path.join(self.out_root, action)
+        if shard is not None:
+            d = os.path.join(d, f"shard={shard}")
+        if part_val is not None:
+            pcol = self.ruleset_action(action).partition_by
+            d = os.path.join(d, f"{pcol}={part_val}")
+        for attempt in range(self.max_retries + 1):
+            try:
+                self._write_once(table, d, action, attempt)
+                return True
+            except (OSError, pa.ArrowException, RuntimeError):
+                if attempt == self.max_retries:
+                    return False
+                _time.sleep(self.retry_backoff_s * (attempt + 1))
+        return False
+
+    def _write_error_rows(self, table: pa.Table, action: str) -> None:
+        d = os.path.join(self.out_root, "_error_rows", action)
+        os.makedirs(d, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(d, f"._tmp-{fname}")
+        pq.write_table(table, tmp, compression=self.compression)
+        os.rename(tmp, os.path.join(d, fname))
+
     def ruleset_action(self, name: str) -> Action:
         return next(a for a in self.ruleset.actions if a.name == name)
 
     def _emit(self, batch: pa.Table, shard=None) -> tuple[list, list]:
         routed = route_table(batch, self.ruleset, self.templates)
         names, counts = [], []
+        prev_suspended = False
         for act_name, sub in routed.items():
             act = self.ruleset_action(act_name)
+            if act.only_if_previous_suspended and not prev_suspended:
+                names.append(act_name)
+                counts.append(0)
+                continue
             if self.shard_col and self.shard_col in sub.column_names:
                 sub = sub.drop_columns([self.shard_col])
+            suspended = False
             if sub.num_rows:
                 if act.partition_by:
                     # dynafile: one file per partition value in this batch
@@ -142,11 +184,20 @@ class RouteWriter:
                                        if isinstance(vals, pa.ChunkedArray)
                                        else vals).to_pylist():
                         part = sub.filter(pc.equal(sub[act.partition_by], v))
-                        self._write(part, act_name, part_val=v, shard=shard)
+                        if not self._write(part, act_name, part_val=v,
+                                           shard=shard):
+                            suspended = True
+                            self._write_error_rows(part, act_name)
                 else:
-                    self._write(sub, act_name, shard=shard)
+                    if not self._write(sub, act_name, shard=shard):
+                        suspended = True
+                        self._write_error_rows(sub, act_name)
+            if suspended:
+                names.append(f"_datafail:{act_name}")
+                counts.append(sub.num_rows)
             names.append(act_name)
-            counts.append(sub.num_rows)
+            counts.append(0 if suspended else sub.num_rows)
+            prev_suspended = suspended
         names.append("_input")
         counts.append(batch.num_rows)
         return names, counts

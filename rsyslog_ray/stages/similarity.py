@@ -28,8 +28,10 @@ def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
 
 
 class CosineScorer:
-    """Actor stage: per-batch cosine scores vs the broadcast query vector(s),
-    emitting the batch-local top-k only (partial top-k combiner)."""
+    """Map stage (task instance or actor): per-batch cosine scores vs the
+    broadcast query vector(s), emitting the batch-local top-k only (partial
+    top-k combiner). The query ships once — in the serialized instance
+    (task mode) or via ray.put ref resolved in __init__ (actor mode)."""
 
     def __init__(self, query_ref, k: int, id_col: str, col: str):
         q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
@@ -56,21 +58,24 @@ def topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
                 col: str = "embedding", query: np.ndarray | None = None,
                 concurrency: int = 2):
     """Brute-force cosine top-k. Default query = the embedding of the
-    smallest id (deterministic)."""
+    smallest id (deterministic).
+
+    Per-batch partial top-k (the combiner) → driver-side merge of the
+    ≤ k × #batches candidate rows (tiny) — no distributed sort; the
+    shuffle a `ds.sort().limit(k)` would do is pure overhead for top-k."""
     if query is None:
         first = ds.sort(id_col).limit(1).take_all()[0]
         query = np.asarray(first[col], dtype=np.float64)
-    qref = ray.put(query)
-    partials = ds.map_batches(
-        CosineScorer, fn_constructor_args=(qref, k, id_col, col),
-        batch_format="pyarrow", concurrency=concurrency)
-    top = partials.sort(key=["score", id_col], descending=[True, False]).limit(k)
-
-    def roundit(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("score"), "score",
-            pc.round(batch["score"], ndigits=6))
-    return top.map_batches(roundit, batch_format="pyarrow")
+    partials = ds.map_batches(CosineScorer(query, k, id_col, col),
+                              batch_format="pyarrow")
+    rows = partials.take_all()
+    ids = np.array([r[id_col] for r in rows])
+    scores = np.array([r["score"] for r in rows], dtype=np.float64)
+    order = np.lexsort((ids, -scores))[:k]
+    return pa.table({
+        id_col: pa.array(ids[order].tolist()),
+        "score": pa.array(np.round(scores[order], 6), pa.float64()),
+    })
 
 
 class NearDupPairScorer:

@@ -29,7 +29,7 @@ def parsed_ds(tiny_table):
 def test_fac_sev_counts(parsed_ds, oracle_result):
     ds = apply_stops(parsed_ds, CANONICAL_RULESET)
     got = {(r["facility"], r["severity"]): r["rows"]
-           for r in facility_severity_counts(ds).take_all()}
+           for r in facility_severity_counts(ds).to_pylist()}
     assert got == dict(oracle_result.fac_sev)
 
 

@@ -85,7 +85,7 @@ def _vec_table(n=60, dim=16, seed=3):
 def test_topk_cosine_matches_numpy(ray_session):
     tbl, m = _vec_table()
     ds = rd.from_arrow(tbl)
-    got = topk_cosine(ds, k=5).take_all()
+    got = topk_cosine(ds, k=5).to_pylist()
     md = m.astype(np.float64)
     mf = np.array([np.asarray(v, np.float64) for v in
                    tbl["embedding"].to_pylist()])   # float32-rounded values
@@ -113,7 +113,7 @@ def test_neardup_pairs_exact_matches_numpy(ray_session):
 def test_lsh_topk_subset_of_exact_and_finds_self(ray_session):
     tbl, _ = _vec_table()
     ds = rd.from_arrow(tbl)
-    got = [r["vec_id"] for r in lsh_topk_cosine(ds, k=5, n_planes=4).take_all()]
+    got = [r["vec_id"] for r in lsh_topk_cosine(ds, k=5, n_planes=4).to_pylist()]
     assert got[0] == 0              # the query vector itself tops the list
-    exact = [r["vec_id"] for r in topk_cosine(ds, k=60).take_all()]
+    exact = [r["vec_id"] for r in topk_cosine(ds, k=60).to_pylist()]
     assert set(got).issubset(set(exact))
