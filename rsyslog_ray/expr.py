@@ -170,6 +170,23 @@ def compile_expr(expr, props: PropertyRegistry):
         return pc.binary_join_element_wise(a, b, "")
     if op == "prifilt":
         return prifilt(props.get("syslogfacility"), props.get("syslogseverity"), expr[1])
+    if op == "template":
+        # exec_template(t) (grammar/rainerscript.c:1697): render a template
+        # for every row → string column
+        from .templates import Template
+        return Template(expr[1]).render(props.table)
+    if op == "getenv":
+        # grammar/rainerscript.c:2058 — driver-env constant per run
+        import os
+        return os.environ.get(expr[1], "")
+    if op == "random":
+        # grammar/rainerscript.c:1956 random(max). Deviation (documented):
+        # seeded per batch for reproducibility — true randomness would
+        # break the oracle/conformance contract.
+        import numpy as _np
+        rng = _np.random.default_rng(4242)
+        return pa.array(rng.integers(0, int(expr[1]),
+                                     size=props.table.num_rows))
     if op == "call":
         fname = expr[1]
         fn = REGISTRY[fname]

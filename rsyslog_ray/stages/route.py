@@ -39,13 +39,19 @@ class Action:
     """One statement of a ruleset (cnfstmt analogue)."""
     name: str
     filter: tuple | None = None          # expr AST; None = always
-    kind: str = "write"                  # write | stop | noop
+    kind: str = "write"                  # write | stop | noop | call
     template: str | None = None          # template spec/name for `rendered`
     partition_by: str | None = None      # dynafile analogue
     keep_columns: list[str] | None = None
     # execOnlyWhenPreviousIsSuspended (action.c:409,509-521): run only for
     # batches whose previous write-action just entered the suspended state
     only_if_previous_suspended: bool = False
+    # kind="call": execute this ruleset's statements at this position
+    # (runtime/ruleset.c:283-302). The callee sees the caller's alive
+    # msgs (gated by this action's filter); a `stop` inside the callee
+    # kills the msg for the caller's LATER statements too (DISCARDMSG
+    # propagates through scriptExec).
+    target: "Ruleset | None" = None
 
 
 @dataclass
@@ -54,8 +60,57 @@ class Ruleset:
     actions: list[Action] = dfield(default_factory=list)
 
     def compiled_templates(self) -> dict[str, Template]:
-        return {a.name: Template(a.template, name=a.name)
-                for a in self.actions if a.template}
+        out = {}
+        for a in self.actions:
+            if a.template:
+                out[a.name] = Template(a.template, name=a.name)
+            if a.kind == "call" and a.target is not None:
+                out.update(a.target.compiled_templates())
+        return out
+
+    def all_actions(self) -> list[Action]:
+        """Flattened statement list incl. call targets (for sink setup)."""
+        out = []
+        for a in self.actions:
+            out.append(a)
+            if a.kind == "call" and a.target is not None:
+                out.extend(a.target.all_actions())
+        return out
+
+
+def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
+                  templates: dict[str, Template], out: dict,
+                  gate: np.ndarray | None = None) -> None:
+    """scriptExec over one statement list; mutates `alive` and `out`.
+    `gate` restricts which rows this (called) ruleset applies to."""
+    for act in actions:
+        if act.kind == "write" and out is None:
+            continue  # stop-only walk: write filters never touch `alive`
+        if act.filter is not None:
+            m = eval_mask(act.filter, batch).to_numpy(zero_copy_only=False)
+        else:
+            m = np.ones(batch.num_rows, dtype=bool)
+        m = m & alive
+        if gate is not None:
+            m = m & gate
+        if act.kind == "stop":
+            alive &= ~m
+            continue
+        if act.kind == "call" and act.target is not None:
+            # callee shares the caller's alive mask (stop propagates);
+            # only rows passing this statement's filter enter the callee
+            _exec_actions(batch, act.target.actions, alive, templates, out,
+                          gate=m)
+            continue
+        if act.kind != "write" or out is None:
+            continue
+        sub = batch.filter(pa.array(m))
+        tpl = templates.get(act.name)
+        if tpl is not None:
+            sub = sub.append_column("rendered", tpl.render(sub))
+        if act.keep_columns:
+            sub = sub.select([c for c in act.keep_columns if c in sub.column_names])
+        out[act.name] = sub
 
 
 def route_table(batch: pa.Table, ruleset: Ruleset,
@@ -65,28 +120,11 @@ def route_table(batch: pa.Table, ruleset: Ruleset,
 
     Mirrors scriptExec: an alive-mask walks the statement list; `stop`
     clears bits; `write` actions select alive∧filter rows and attach the
-    rendered template column."""
+    rendered template column; `call` executes a target ruleset in place."""
     templates = templates or ruleset.compiled_templates()
     alive = np.ones(batch.num_rows, dtype=bool)
     out: dict[str, pa.Table] = {}
-    for act in ruleset.actions:
-        if act.filter is not None:
-            m = eval_mask(act.filter, batch).to_numpy(zero_copy_only=False)
-        else:
-            m = np.ones(batch.num_rows, dtype=bool)
-        m = m & alive
-        if act.kind == "stop":
-            alive &= ~m
-            continue
-        if act.kind != "write":
-            continue
-        sub = batch.filter(pa.array(m))
-        tpl = templates.get(act.name)
-        if tpl is not None:
-            sub = sub.append_column("rendered", tpl.render(sub))
-        if act.keep_columns:
-            sub = sub.select([c for c in act.keep_columns if c in sub.column_names])
-        out[act.name] = sub
+    _exec_actions(batch, ruleset.actions, alive, templates, out)
     return out
 
 
@@ -161,7 +199,7 @@ class RouteWriter:
         os.rename(tmp, os.path.join(d, fname))
 
     def ruleset_action(self, name: str) -> Action:
-        return next(a for a in self.ruleset.actions if a.name == name)
+        return next(a for a in self.ruleset.all_actions() if a.name == name)
 
     def _emit(self, batch: pa.Table, shard=None) -> tuple[list, list]:
         routed = route_table(batch, self.ruleset, self.templates)
@@ -252,7 +290,7 @@ def execute_and_write(ds, ruleset: Ruleset, out_root: str,
                 has_shard = True
                 k = (a, shards[i])
                 per_shard[k] = per_shard.get(k, 0) + n
-    for a in ruleset.actions:
+    for a in ruleset.all_actions():
         if a.kind == "write":
             out.setdefault(a.name, 0)
     if shard_col:
@@ -261,16 +299,12 @@ def execute_and_write(ds, ruleset: Ruleset, out_root: str,
 
 
 def apply_stops(ds, ruleset: Ruleset):
-    """Filter out rows killed by the ruleset's `stop` statements — the view
-    a statement placed AFTER the stops (e.g. the aggregate stage) sees."""
+    """Filter out rows killed by the ruleset's `stop` statements (incl.
+    stops inside called rulesets) — the view a statement placed AFTER the
+    stops (e.g. the aggregate stage) sees."""
     def fn(batch: pa.Table) -> pa.Table:
         alive = np.ones(batch.num_rows, dtype=bool)
-        for act in ruleset.actions:
-            if act.kind != "stop":
-                continue
-            m = (eval_mask(act.filter, batch).to_numpy(zero_copy_only=False)
-                 if act.filter is not None else np.ones(batch.num_rows, bool))
-            alive &= ~m
+        _exec_actions(batch, ruleset.actions, alive, {}, None)
         return batch.filter(pa.array(alive))
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -279,7 +313,7 @@ def routed_datasets(ds, ruleset: Ruleset) -> dict:
     """Per-action lazy Datasets (each consumer re-executes upstream —
     convenient for tests/interactive; production uses execute_and_write)."""
     out = {}
-    for act in ruleset.actions:
+    for act in ruleset.all_actions():
         if act.kind != "write":
             continue
         name = act.name

@@ -47,8 +47,9 @@ def list_shards(input_dir: str) -> list[tuple[str, str]]:
 
 
 def job_fingerprint(ruleset) -> str:
+    acts = ruleset.all_actions() if hasattr(ruleset, "all_actions") else ruleset.actions
     spec = [(a.name, a.kind, repr(a.filter), a.template, a.partition_by)
-            for a in ruleset.actions]
+            for a in acts]
     return hashlib.sha256(json.dumps(spec).encode()).hexdigest()[:16]
 
 
@@ -87,7 +88,8 @@ def commit_manifest(out_root: str, sid: str, record: dict) -> None:
 def clean_partial_outputs(out_root: str, ruleset, sids: list[str]) -> None:
     """Delete sink output of shards about to be (re)processed — makes the
     shard-level writes idempotent across killed runs."""
-    for a in ruleset.actions:
+    acts = ruleset.all_actions() if hasattr(ruleset, "all_actions") else ruleset.actions
+    for a in acts:
         if a.kind != "write":
             continue
         for sid in sids:

@@ -1,0 +1,91 @@
+"""`call ruleset` semantics (runtime/ruleset.c:283-302) + new expr ops
+(exec_template / getenv / random)."""
+
+import numpy as np
+import pyarrow as pa
+
+from rsyslog_ray.expr import PropertyRegistry, compile_expr, eval_mask
+from rsyslog_ray.stages.route import Action, Ruleset, route_table
+
+
+def _batch():
+    n = 8
+    return pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(n)]),
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "severity": pa.array([i % 8 for i in range(n)], pa.int32()),
+        "facility": pa.array([16] * n, pa.int32()),
+        "msg": pa.array([f"m{i}" for i in range(n)]),
+    })
+
+
+def test_call_executes_target_with_gate_and_stop_propagates():
+    callee = Ruleset("callee", [
+        # stop severity 0 rows INSIDE the callee
+        Action("inner_stop", filter=("==", ("prop", "syslogseverity"), 0),
+               kind="stop"),
+        Action("inner_sink", filter=(">=", ("prop", "syslogseverity"), 6)),
+    ])
+    caller = Ruleset("caller", [
+        # call gated to severity <= 6 rows
+        Action("docall", filter=("<=", ("prop", "syslogseverity"), 6),
+               kind="call", target=callee),
+        Action("after", filter=None),       # sees callee's stop effect
+    ])
+    routed = route_table(_batch(), caller)
+    # inner_sink: sev>=6 AND gate sev<=6 → sev 6 only
+    assert routed["inner_sink"]["severity"].to_pylist() == [6]
+    # after: all rows except the sev-0 row stopped inside the callee
+    assert sorted(routed["after"]["severity"].to_pylist()) == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_call_gate_excludes_rows_from_callee_stop():
+    callee = Ruleset("callee", [
+        Action("kill_all", filter=None, kind="stop"),
+    ])
+    caller = Ruleset("caller", [
+        Action("docall", filter=("<", ("prop", "syslogseverity"), 4),
+               kind="call", target=callee),
+        Action("after", filter=None),
+    ])
+    routed = route_table(_batch(), caller)
+    # only sev>=4 rows survive: the callee's unconditional stop applied
+    # only to the gated (sev<4) rows
+    assert sorted(routed["after"]["severity"].to_pylist()) == [4, 5, 6, 7]
+
+
+def test_all_actions_flattens_and_fingerprint_differs():
+    from rsyslog_ray.state.checkpoint import job_fingerprint
+    callee = Ruleset("callee", [Action("x", template="RSYSLOG_FileFormat")])
+    caller = Ruleset("caller", [Action("c", kind="call", target=callee)])
+    assert [a.name for a in caller.all_actions()] == ["c", "x"]
+    assert "x" in caller.compiled_templates()
+    callee2 = Ruleset("callee", [Action("x", template="RSYSLOG_ForwardFormat")])
+    caller2 = Ruleset("caller", [Action("c", kind="call", target=callee2)])
+    assert job_fingerprint(caller) != job_fingerprint(caller2)
+
+
+def test_expr_template_getenv_random():
+    b = pa.table({"hostname": pa.array(["h1", "h2"]),
+                  "tag": pa.array(["t", ""]),
+                  "appname": pa.array(["t", "a"]),
+                  "msg": pa.array(["hello", "world"])})
+    props = PropertyRegistry(b)
+    rendered = compile_expr(("template", "%HOSTNAME% %msg%"), props)
+    assert rendered.to_pylist() == ["h1 hello", "h2 world"]
+    import os
+    os.environ["RSRAY_TEST_ENV"] = "v1"
+    assert compile_expr(("getenv", "RSRAY_TEST_ENV"), props) == "v1"
+    assert compile_expr(("getenv", "RSRAY_NOPE"), props) == ""
+    r1 = compile_expr(("random", 100), props).to_pylist()
+    r2 = compile_expr(("random", 100), props).to_pylist()
+    assert r1 == r2 and all(0 <= v < 100 for v in r1)   # deterministic
+
+
+def test_eval_mask_with_template_comparison():
+    b = pa.table({"hostname": pa.array(["a", "b"]),
+                  "tag": pa.array(["", ""]),
+                  "appname": pa.array(["", ""]),
+                  "msg": pa.array(["x", "y"])})
+    m = eval_mask(("==", ("template", "%HOSTNAME%-%msg%"), "a-x"), b)
+    assert m.to_pylist() == [True, False]
