@@ -1,0 +1,167 @@
+"""Declarative pipeline config → compiled Ray Data pipeline.
+
+The RainerScript analogue (SURVEY §2.10.2): we do NOT re-implement the
+config *language* (grammar/grammar.y); we compile the same object model —
+templates / lookup_tables / modifier chain / rulesets of filtered actions
+(grammar/rainerscript.h:35-49) — from a JSON-able dict:
+
+    {
+      "templates":     {"name": "%HOSTNAME% %msg%\\n", ...},
+      "lookup_tables": {"xlate": {"file": "/path/tbl.json"}
+                        | {"type": "string", "nomatch": "-", "table": [...]}},
+      "modifiers":     ["mmjsonparse",
+                        {"name": "mmfields", "args": {"sep": ","}}],
+      "enrich":        [{"out": "role_fac", "key": "role", "table": "xlate"}],
+      "ruleset": {"name": "main", "actions": [
+          {"name": "discard", "kind": "stop",
+           "filter": ["==", ["prop", "syslogseverity"], 7]},
+          {"name": "errors", "filter": ["<=", ["prop", "syslogseverity"], 3],
+           "template": "RSYSLOG_ForwardFormat"},
+          {"name": "sub", "kind": "call", "ruleset": {...}}]}
+    }
+
+Filters are the expr AST (expr.py) with JSON lists instead of tuples.
+Modifier names resolve through STAGE_REGISTRY — the module-ABI analogue
+(runtime/module-template.h): @register_stage adds user modifiers exactly
+like loadable mm* plugins.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+
+from .lookup import LookupTable
+from .stages import enrich as _enrich_mod
+from .stages.route import Action, Ruleset
+from .templates import BUILTIN_TEMPLATES
+
+# ---------------------------------------------------------------------------
+# stage registry (plugin ABI analogue)
+# ---------------------------------------------------------------------------
+
+STAGE_REGISTRY: dict = {}
+
+
+def register_stage(name: str, fn=None):
+    """Register a batch-level modifier (pa.Table -> pa.Table). Usable as a
+    decorator (@register_stage("mmfoo")) or a call."""
+    if fn is None:
+        def deco(f):
+            STAGE_REGISTRY[name] = f
+            return f
+        return deco
+    STAGE_REGISTRY[name] = fn
+    return fn
+
+
+register_stage("mmjsonparse", _enrich_mod.mmjsonparse_table)
+register_stage("mmfields", _enrich_mod.mmfields_table)
+register_stage("mmpstrucdata", _enrich_mod.mmpstrucdata_table)
+register_stage("mmanon", _enrich_mod.mmanon_table)
+register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
+
+
+# ---------------------------------------------------------------------------
+# compile
+# ---------------------------------------------------------------------------
+
+
+def _to_expr(node):
+    """JSON list AST → tuple AST (lists arriving from json.load)."""
+    if isinstance(node, list):
+        op = node[0]
+        if op == "in":                      # value list stays a list
+            return ("in", _to_expr(node[1]), list(node[2]))
+        return tuple([op] + [_to_expr(a) for a in node[1:]])
+    return node
+
+
+def _load_tables(spec: dict) -> dict[str, LookupTable]:
+    out = {}
+    for name, t in (spec or {}).items():
+        if isinstance(t, LookupTable):
+            out[name] = t
+        elif "file" in t:
+            out[name] = LookupTable.from_file(t["file"])
+        else:
+            out[name] = LookupTable.from_json(json.dumps(t))
+    return out
+
+
+def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
+    actions = []
+    for a in spec.get("actions", []):
+        tpl = a.get("template")
+        if tpl in templates:
+            tpl = templates[tpl]            # custom named template → spec
+        target = None
+        if a.get("kind") == "call":
+            target = _compile_ruleset(a["ruleset"], templates)
+        actions.append(Action(
+            name=a["name"],
+            filter=_to_expr(a["filter"]) if a.get("filter") else None,
+            kind=a.get("kind", "write"),
+            template=tpl,
+            partition_by=a.get("partition_by"),
+            keep_columns=a.get("keep_columns"),
+            only_if_previous_suspended=a.get("only_if_previous_suspended",
+                                             False),
+            target=target,
+        ))
+    return Ruleset(spec.get("name", "main"), actions)
+
+
+class CompiledConfig:
+    """A loaded config: .ruleset, .build(ds) adds parse+modifier+enrich
+    stages, .run(input, out_root) executes end-to-end."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.templates = dict(cfg.get("templates", {}))
+        self.tables = _load_tables(cfg.get("lookup_tables", {}))
+        self.ruleset = _compile_ruleset(cfg.get("ruleset", {"actions": []}),
+                                        self.templates)
+        self.modifiers = []
+        for m in cfg.get("modifiers", []):
+            if isinstance(m, str):
+                name, args = m, {}
+            else:
+                name, args = m["name"], m.get("args", {})
+            fn = STAGE_REGISTRY[name]
+            self.modifiers.append(partial(fn, **args) if args else fn)
+        self.enrich = [(e["out"], e["key"], self.tables[e["table"]])
+                       for e in cfg.get("enrich", [])]
+
+    def build(self, ds, batch_size: int = 16384):
+        from .stages.enrich import enrich_with_lookups
+        from .stages.parse import parse_dataset
+        if self.cfg.get("parse", True):
+            ds = parse_dataset(ds, batch_size=batch_size)
+        for fn in self.modifiers:
+            ds = ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=batch_size)
+        if self.enrich:
+            ds = enrich_with_lookups(ds, self.enrich, batch_size=batch_size)
+        return ds
+
+    def run(self, input_dir_or_tag: str, out_root: str,
+            batch_size: int = 16384) -> dict:
+        import ray.data as rd
+        from .datagen import ensure_transcripts
+        from .stages.route import execute_and_write
+        tdir = ensure_transcripts(input_dir_or_tag)
+        ds = self.build(rd.read_parquet(tdir), batch_size=batch_size)
+        return execute_and_write(ds, self.ruleset, out_root,
+                                 batch_size=batch_size)
+
+
+def load_config(cfg: dict | str) -> CompiledConfig:
+    """dict, JSON string, or path to a .json file → CompiledConfig."""
+    if isinstance(cfg, str):
+        if cfg.lstrip().startswith("{"):
+            cfg = json.loads(cfg)
+        else:
+            with open(cfg) as fh:
+                cfg = json.load(fh)
+    return CompiledConfig(cfg)

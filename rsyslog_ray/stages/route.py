@@ -293,6 +293,14 @@ def execute_and_write(ds, ruleset: Ruleset, out_root: str,
     for a in ruleset.all_actions():
         if a.kind == "write":
             out.setdefault(a.name, 0)
+    # impstats side-sink (plugins/impstats: counters emitted as output):
+    # the routed-count metrics land next to the data as a tiny parquet
+    from .aggregate import pipeline_metrics
+    mdir = os.path.join(out_root, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    mtmp = os.path.join(mdir, "._tmp-metrics.parquet")
+    pq.write_table(pipeline_metrics(out), mtmp)
+    os.rename(mtmp, os.path.join(mdir, "metrics.parquet"))
     if shard_col:
         return out, per_shard
     return out
