@@ -147,11 +147,11 @@ class CompiledConfig:
 
     def run(self, input_dir_or_tag: str, out_root: str,
             batch_size: int = 16384) -> dict:
-        import ray.data as rd
         from .datagen import ensure_transcripts
+        from .sources import read_transcripts
         from .stages.route import execute_and_write
         tdir = ensure_transcripts(input_dir_or_tag)
-        ds = self.build(rd.read_parquet(tdir), batch_size=batch_size)
+        ds = self.build(read_transcripts(tdir), batch_size=batch_size)
         return execute_and_write(ds, self.ruleset, out_root,
                                  batch_size=batch_size)
 

@@ -73,7 +73,8 @@ CANONICAL_RULESET = Ruleset("canonical", [
 def build_parsed_dataset(transcripts_dir: str, parallelism: int = -1,
                          concurrency=None, batch_size: int = 16384):
     """read → parse → mmjsonparse → lookup-enrich (lazy)."""
-    ds = rd.read_parquet(transcripts_dir)
+    from ..sources import read_transcripts
+    ds = read_transcripts(transcripts_dir)
     return parsed_stages(ds, concurrency=concurrency, batch_size=batch_size)
 
 

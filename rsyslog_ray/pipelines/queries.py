@@ -20,6 +20,7 @@ import ray
 import ray.data as rd
 
 from ..datagen import ensure_transcripts
+from ..sources import read_transcripts
 from ..lookup import ROLE_FACILITY, SEV_BUCKET, TOOL_CLASS
 from ..stages.aggregate import conv_rollup, count_by, facility_severity_counts
 from ..stages.enrich import LookupEnrich, mmjsonparse_table
@@ -60,7 +61,7 @@ def _finalize(t: pa.Table) -> pa.Table:
 
 def _parsed(sf_dir: str):
     tdir = ensure_transcripts(sf_dir)
-    return parse_dataset(rd.read_parquet(tdir))
+    return parse_dataset(read_transcripts(tdir))
 
 
 PARSE_COLS = ["conv_id", "turn_idx", "pri", "facility", "severity",
@@ -121,7 +122,7 @@ def q_lookup_enrich(sf_dir: str) -> pa.Table:
     """lookup() enrichment keyed on role and tool (§2.9) — counts per
     (role, role_fac, tool, tool_class) so every table path is exercised."""
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["role", "tool"])
+    ds = read_transcripts(tdir, columns=["role", "tool"])
     ds = ds.map_batches(LookupEnrich([("role_fac", "role", ROLE_FACILITY),
                                       ("tool_class", "tool", TOOL_CLASS)]),
                         batch_format="pyarrow")
@@ -142,7 +143,7 @@ def q_sev_bucket(sf_dir: str) -> pa.Table:
 def q_suppress_repeats(sf_dir: str) -> pa.Table:
     """'last message repeated n times' collapse (§2.8 ratelimit)."""
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "text"])
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
     out = suppress_repeats(ds)
     return _to_table(out.select_columns(["conv_id", "turn_idx", "n_repeats"]))
 
@@ -150,7 +151,7 @@ def q_suppress_repeats(sf_dir: str) -> pa.Table:
 def q_every_nth(sf_dir: str) -> pa.Table:
     """execOnlyEveryNthTime sampling, n=3 (§2.8)."""
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx"])
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx"])
     return _to_table(exec_every_nth(ds, 3))
 
 
@@ -299,7 +300,7 @@ def q_dynstats_tool(sf_dir: str) -> pa.Table:
     """dyn_inc('tools', $tool) counter bucket (§2.4/§2.8 dynstats)."""
     from ..stages.aggregate import dyn_inc
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["tool"])
+    ds = read_transcripts(tdir, columns=["tool"])
     return _to_table(dyn_inc(ds, "tools", "tool"))
 
 
@@ -307,7 +308,7 @@ def q_rate_window(sf_dir: str) -> pa.Table:
     """Fixed-window ratelimit (interval=60s, burst=5) per conv (§2.8)."""
     from ..stages.ratelimit import fixed_window_limit
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "ts"])
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "ts"])
     out = fixed_window_limit(ds, interval_s=60, burst=5)
     return _to_table(out.select_columns(["conv_id", "turn_idx"]))
 
@@ -318,7 +319,7 @@ def q_token_bucket(sf_dir: str) -> pa.Table:
     logic; covered by unit tests vs the Python oracle)."""
     from ..stages.ratelimit import token_bucket
     tdir = ensure_transcripts(sf_dir)
-    ds = rd.read_parquet(tdir, columns=["conv_id", "turn_idx", "ts"])
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "ts"])
     out = token_bucket(ds, interval_s=60, burst=5)
     return _to_table(out.select_columns(["conv_id", "turn_idx"]))
 

@@ -130,7 +130,12 @@ def run_resumable(input_dir: str, out_root: str, ruleset,
         paths = [f for _, f in wave]
         clean_partial_outputs(out_root, ruleset, sids)
 
-        ds = rd.read_parquet(paths, include_paths=True)
+        import ray as _ray
+        cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized() else 8)
+        kw = ({"override_num_blocks": 2 * cpus}
+              if len(paths) < 2 * cpus else {})
+        ds = rd.read_parquet(paths, include_paths=True, **kw)
 
         def add_shard(batch: pa.Table) -> pa.Table:
             sid_arr = pc.replace_substring_regex(
