@@ -22,15 +22,32 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Min
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                by_hash: bool = False):
     """GROUP BY text → min(id). Partial pre-agg per batch keeps the shuffle
-    at one row per distinct text per batch."""
+    at one row per distinct text per batch.
+
+    by_hash=True is the 100 TB path: shuffle a 64-bit xxhash of the text
+    instead of the text bytes (shuffle volume drops from corpus size to
+    16 B/distinct-doc). Collision probability ~n²/2⁶⁵ (≈3e-9 at 10⁹
+    docs) — the standard hash-dedup tradeoff (Bloom-filter dedup papers);
+    the exact (text-keyed) mode remains the oracle-conformant default."""
+    from ..functions import hash64
+
     def partial(batch: pa.Table) -> pa.Table:
-        return (batch.select([text_col, id_col])
-                .group_by([text_col]).aggregate([(id_col, "min")])
+        t = batch.select([text_col, id_col])
+        if by_hash:
+            t = pa.table({
+                "_h": hash64(pc.cast(t[text_col], pa.string())),
+                id_col: t[id_col],
+            })
+            return (t.group_by(["_h"]).aggregate([(id_col, "min")])
+                    .rename_columns(["_h", id_col]))
+        return (t.group_by([text_col]).aggregate([(id_col, "min")])
                 .rename_columns([text_col, id_col]))
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(text_col).aggregate(Min(id_col, alias_name=id_col))
+    key = "_h" if by_hash else text_col
+    return partials.groupby(key).aggregate(Min(id_col, alias_name=id_col))
 
 
 # --------------------------------------------------------------------------

@@ -36,6 +36,14 @@ def test_exact_dedup_keeps_min_id(ray_session):
     assert kept == [0, 1, 3, 4, 5]
 
 
+def test_exact_dedup_by_hash_matches_text_mode(ray_session):
+    ds = rd.from_arrow(_doc_table())
+    by_text = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    by_hash = sorted(r["doc_id"] for r in
+                     exact_dedup(ds, by_hash=True).take_all())
+    assert by_hash == by_text == [0, 1, 3, 4, 5]
+
+
 def test_minhash_lsh_drops_near_dups(ray_session):
     ds = rd.from_arrow(_doc_table())
     kept = sorted(r["doc_id"] for r in
