@@ -206,9 +206,10 @@ def q_events_window(sf_dir: str) -> pa.Table:
             [([], "count_all"), ("value", "sum")]).rename_columns(
             ["event_type", "hour", "rows", "value_sum"])
     partials = ds.map_batches(fn, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-    out = partials.groupby(["event_type", "hour"]).aggregate(
-        Sum("rows", alias_name="rows"), Sum("value_sum", alias_name="value_sum"))
+    from ..stages.aggregate import bucket_merge
+    out = bucket_merge(partials, ["event_type", "hour"],
+                       {"rows": ("rows", "sum"),
+                        "value_sum": ("value_sum", "sum")})
 
     def roundit(batch: pa.Table) -> pa.Table:
         return batch.set_column(

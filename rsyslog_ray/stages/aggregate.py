@@ -124,6 +124,32 @@ def _conv_rollup_rayagg(ds, batch_size: int = 65536):
     )
 
 
+def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
+                 n_buckets: int = 64):
+    """Merge per-batch partial aggregates by hash-bucketed pandas groupby —
+    ONE vectorized call per bucket instead of Ray's sort-based Aggregate
+    (measured ~2s fixed cost + high variance on tiny partials).
+
+    agg_spec: {out_col: (src_col, how)} where how ∈ sum/min/max/first and
+    every src_col is already a partial (so the merge is algebraic)."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key0 = t[keys[0]]
+        h = pd.util.hash_array(np.asarray(key0.to_pandas(), dtype=object))
+        return t.append_column("_bucket",
+                               pa.array((h % n_buckets).astype(np.int64)))
+
+    def merge(g):
+        return (g.drop(columns=["_bucket"])
+                .groupby(keys, sort=False, as_index=False)
+                .agg(**{out: (src, how)
+                        for out, (src, how) in agg_spec.items()}))
+
+    return (partials.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
+
+
 def dyn_inc(ds, bucket: str, key_col: str, max_cardinality: int = 2000):
     """dynstats bucket counter (grammar/rainerscript.c:2531, dynstats.c).
 

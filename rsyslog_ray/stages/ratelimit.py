@@ -50,7 +50,7 @@ def _suppress_repeats_bucket(g: pd.DataFrame) -> pd.DataFrame:
     text within conv (ordered by turn_idx); emit (conv, first turn, count)."""
     g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     new_conv = g["conv_id"].ne(g["conv_id"].shift())
-    new_text = g["text"].ne(g["text"].shift())
+    new_text = g["_th"].ne(g["_th"].shift())
     run_id = (new_conv | new_text).cumsum()
     out = (g.assign(_run=run_id)
            .groupby("_run", sort=False)
@@ -62,8 +62,22 @@ def _suppress_repeats_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def suppress_repeats(ds):
-    return _per_bucket(ds, _suppress_repeats_bucket)
+def suppress_repeats(ds, text_col: str = "text"):
+    """Consecutive-duplicate collapse. The shuffle moves a 64-bit text hash
+    (xxhash) instead of the payload — equality on hash, ~10× less shuffle
+    volume; collision odds are the standard hash-dedup tradeoff (two
+    CONSECUTIVE turns of one conversation colliding: vanishing)."""
+    import pyarrow.compute as pc
+    from ..functions import hash64
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "_th": hash64(pc.cast(batch[text_col], pa.string())),
+        })
+    hashed = ds.map_batches(project, batch_format="pyarrow")
+    return _per_bucket(hashed, _suppress_repeats_bucket)
 
 
 def _every_nth_bucket(g: pd.DataFrame, n: int) -> pd.DataFrame:
