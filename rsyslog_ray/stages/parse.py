@@ -204,6 +204,24 @@ def parse_table(batch: pa.Table, text_col: str = "text",
     return out
 
 
+PMLASTMSG_RE = r"^\s*last message repeated (?P<n>\d+) times\s*$"
+
+
+def detect_repeat_markers(batch: pa.Table, col: str = "msg") -> pa.Table:
+    """pmlastmsg (plugins/pmlastmsg): recognize 'last message repeated n
+    times' suppression markers so they parse into typed fields instead of
+    falling through the chain. Appends is_repeat_marker:bool and
+    repeat_count:int64 (0 for non-markers). The emitting side of the same
+    protocol is ratelimit.suppress_repeats."""
+    m = pc.extract_regex(pc.cast(batch[col], pa.string()),
+                         pattern=PMLASTMSG_RE)
+    n = pc.struct_field(m, "n")
+    return (batch
+            .append_column("is_repeat_marker", pc.is_valid(n))
+            .append_column("repeat_count",
+                           pc.cast(pc.fill_null(n, "0"), pa.int64())))
+
+
 PARSED_FIELDS: dict[str, pa.DataType] = {
     "pri": pa.int32(), "facility": pa.int32(), "severity": pa.int32(),
     "protocol": pa.int32(), "parse_success": pa.bool_(),

@@ -91,3 +91,17 @@ def test_imdiag_shape():
     # 'tag' (no colon) is not a colon-terminated TAG → part of msg
     assert out["tag"] == ""
     assert out["msg"] == "tag msgnum:00000000:"
+
+
+def test_pmlastmsg_recognizer():
+    import pyarrow as pa
+    from rsyslog_ray.stages.parse import detect_repeat_markers
+    t = pa.table({"msg": pa.array([
+        "last message repeated 42 times",
+        " last message repeated 7 times ",
+        "last message repeated x times",
+        "ordinary line",
+    ])})
+    out = detect_repeat_markers(t)
+    assert out["is_repeat_marker"].to_pylist() == [True, True, False, False]
+    assert out["repeat_count"].to_pylist() == [42, 7, 0, 0]
