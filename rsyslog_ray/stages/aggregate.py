@@ -21,9 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ray.data.aggregate import Count, Max, Min, Sum
-
-from ..functions import hash64mod
+from ray.data.aggregate import Sum
 
 
 def _partial_counts(batch: pa.Table, keys: list[str]) -> pa.Table:
@@ -84,44 +82,14 @@ def conv_rollup(ds, batch_size: int = 65536, n_buckets: int = 64):
     vectorized pandas groupby (64 calls total). Ray's sort-based
     Aggregate over the same partials measured ~5 s of fixed overhead at
     sf0.1; the bucket merge is the same shuffle volume without it."""
-    import pandas as pd
-
     partials = ds.map_batches(_partial_conv_rollup, batch_format="pyarrow",
                               batch_size=batch_size)
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        import pandas as _pd
-        h = _pd.util.hash_array(
-            np.asarray(t["conv_id"].to_pandas(), dtype=object))
-        return t.append_column("_bucket",
-                               pa.array((h % n_buckets).astype(np.int64)))
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.drop(columns=["_bucket"])
-                .groupby("conv_id", sort=False)
-                .agg(n_turns=("n_turns", "sum"),
-                     n_parsed_ok=("n_parsed_ok", "sum"),
-                     first_ts=("first_ts", "min"),
-                     last_ts=("last_ts", "max"))
-                .reset_index())
-
-    return (partials.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(merge, batch_format="pandas"))
-
-
-def _conv_rollup_rayagg(ds, batch_size: int = 65536):
-    """Per-conv_id session rollup: n_turns, n_parsed_ok, first/last ts.
-
-    Two-stage: per-batch partials (one row per conv per batch — hot convs
-    collapse inside each batch) → hash-shuffle groupby over partials."""
-    partials = ds.map_batches(_partial_conv_rollup, batch_format="pyarrow",
-                              batch_size=batch_size)
-    return partials.groupby("conv_id").aggregate(
-        Sum("n_turns", alias_name="n_turns"),
-        Sum("n_parsed_ok", alias_name="n_parsed_ok"),
-        Min("first_ts", alias_name="first_ts"),
-        Max("last_ts", alias_name="last_ts"),
-    )
+    return bucket_merge(partials, ["conv_id"],
+                        {"n_turns": ("n_turns", "sum"),
+                         "n_parsed_ok": ("n_parsed_ok", "sum"),
+                         "first_ts": ("first_ts", "min"),
+                         "last_ts": ("last_ts", "max")},
+                        n_buckets=n_buckets)
 
 
 def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
