@@ -82,9 +82,13 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("suppress_repeats", Q.q_suppress_repeats, sf_dir)
     # Training-data extras.
     timed("dedup_exact", Q.q_dedup_exact, sf_dir)
+    timed("dedup_minhash", Q.q_dedup_minhash, sf_dir)
     timed("token_stats", Q.q_token_stats, sf_dir)
+    timed("quality", Q.q_quality, sf_dir)
+    timed("langid", Q.q_langid, sf_dir)
     timed("events_window", Q.q_events_window, sf_dir)
     timed("topk_cosine", Q.q_topk_cosine, sf_dir)
+    timed("neardup_pairs", Q.q_neardup_pairs, sf_dir)
 
     out["queries"] = timings
     return out

@@ -21,6 +21,11 @@ ours to own (SURVEY §4 "Needs design"):
   invalidates old checkpoints instead of silently mixing outputs.
 
 Worst-case recompute after a kill = one wave.
+
+Single-writer assumption: exactly one job drives an out_root at a time
+(same contract as the reference's DA queue directory — one daemon per
+`.qi`). Concurrent writers could double-write a shard between clean and
+commit; serialize restarts at the `ray job submit` level.
 """
 
 from __future__ import annotations

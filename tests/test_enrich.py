@@ -1,0 +1,56 @@
+"""Unit tests for the mm* modifier kernels (enrich.py) on hand-built
+batches — complements the oracle-conformance queries."""
+
+import json
+
+import pyarrow as pa
+
+from rsyslog_ray.stages.enrich import (mmanon_table, mmfields_table,
+                                       mmjsonparse_table, mmpstrucdata_table,
+                                       mmrm1stspace_table,
+                                       parse_structured_data)
+
+
+def _t(col, vals):
+    return pa.table({col: pa.array(vals, pa.string())})
+
+
+def test_mmfields_split_and_cap():
+    t = mmfields_table(_t("msg", ["a,b,c", "x", "", "1,2,3,4,5,6"]),
+                       col="msg", sep=",", max_fields=4)
+    assert t["f1"].to_pylist() == ["a", "x", "", "1"]
+    assert t["f3"].to_pylist() == ["c", None, None, "3"]
+    assert t["f4"].to_pylist() == [None, None, None, "4"]
+    assert "f5" not in t.column_names
+
+
+def test_mmjsonparse_cookie_and_normalization():
+    t = mmjsonparse_table(_t("msg", [
+        '@cee: {"b":1,"a":2}', '  @cee: {"x": 1}', '@cee: notjson', 'plain']))
+    assert t["cee_parsesuccess"].to_pylist() == [True, True, False, False]
+    assert t["cee_json"].to_pylist()[0] == '{"a":2,"b":1}'   # sorted+compact
+
+
+def test_mmpstrucdata_nested_and_escapes():
+    sd = '[exam@32473 k="v1" q="a\\]b"][id2 z="q\\"w"]'
+    parsed = parse_structured_data(sd)
+    assert parsed == {"exam@32473": {"k": "v1", "q": "a]b"},
+                      "id2": {"z": 'q"w'}}
+    assert parse_structured_data("-") is None
+    t = mmpstrucdata_table(_t("structured_data", [sd, "-", ""]))
+    assert json.loads(t["rfc5424_sd"].to_pylist()[0])["id2"]["z"] == 'q"w'
+    assert t["rfc5424_sd"].to_pylist()[1] is None
+
+
+def test_mmanon_zero_modes():
+    t = mmanon_table(_t("msg", ["src=192.168.1.77 x", "no ips", "1.2.3.4.5"]),
+                     col="msg", mode="zero", bits=16)
+    assert t["msg"].to_pylist()[0] == "src=192.168.0.0 x"
+    assert t["msg"].to_pylist()[1] == "no ips"
+    t24 = mmanon_table(_t("msg", ["ip 10.20.30.40"]), col="msg", bits=24)
+    assert t24["msg"].to_pylist() == ["ip 10.0.0.0"]
+
+
+def test_mmrm1stspace():
+    t = mmrm1stspace_table(_t("msg", [" leading", "none", "  two"]))
+    assert t["msg"].to_pylist() == ["leading", "none", " two"]
