@@ -266,33 +266,49 @@ def q_mmanon(sf_dir: str) -> pa.Table:
 def q_sd_params(sf_dir: str) -> pa.Table:
     """mmpstrucdata: RFC5424 STRUCTURED-DATA → exploded (sd_id, pname,
     pvalue) rows — flat_map explode (§2.6, foreach §2.3)."""
-    from ..stages.enrich import parse_structured_data
+    from ..stages.enrich import _SD_ELEM, _SD_PARAM
     ds = _parsed(sf_dir).select_columns(
         ["conv_id", "turn_idx", "protocol", "structured_data"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        conv, turn, sdid, pname, pval = [], [], [], [], []
-        prot = batch["protocol"].to_numpy(zero_copy_only=False)
-        sds = pc.cast(batch["structured_data"], pa.string()).to_pylist()
-        convs = batch["conv_id"].to_pylist()
-        turns = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(prot == 1):
-            d = parse_structured_data(sds[i])
-            if not d:
-                continue
-            for sid, params in d.items():
-                for k, v in params.items():
-                    conv.append(convs[i])
-                    turn.append(int(turns[i]))
-                    sdid.append(sid)
-                    pname.append(k)
-                    pval.append(v)
+        """Two-level regex explode, vectorized via pandas extractall (one
+        batched regex pass per level, no per-row loop)."""
+        mask = pc.and_(pc.equal(batch["protocol"], 1),
+                       pc.invert(pc.is_in(
+                           pc.cast(batch["structured_data"], pa.string()),
+                           value_set=pa.array(["-", ""]))))
+        sub = batch.filter(mask)
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "sd_id": pa.array([], pa.string()),
+            "pname": pa.array([], pa.string()),
+            "pvalue": pa.array([], pa.string()),
+        })
+        if sub.num_rows == 0:
+            return empty
+        sd = pd.Series(sub["structured_data"].to_pandas(), dtype="string")
+        elems = sd.str.extractall(_SD_ELEM).reset_index()   # level_0, 0=id, 1=blob
+        if not len(elems):
+            return empty
+        params = (elems[1].fillna("").astype("string")
+                  .str.extractall(_SD_PARAM).reset_index())  # level_0 → elem row
+        if not len(params):
+            return empty
+        erow = params["level_0"].to_numpy()
+        srow = elems["level_0"].to_numpy()[erow]
+        pval = (params[1].astype("string")
+                .str.replace('\\"', '"', regex=False)
+                .str.replace("\\]", "]", regex=False)
+                .str.replace("\\\\", "\\", regex=False))
+        convs = sub["conv_id"].to_pandas().to_numpy()
+        turns = sub["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "conv_id": pa.array(conv, pa.string()),
-            "turn_idx": pa.array(turn, pa.int64()),
-            "sd_id": pa.array(sdid, pa.string()),
-            "pname": pa.array(pname, pa.string()),
-            "pvalue": pa.array(pval, pa.string()),
+            "conv_id": pa.array(convs[srow], pa.string()),
+            "turn_idx": pa.array(turns[srow], pa.int64()),
+            "sd_id": pa.array(elems[0].to_numpy()[erow], pa.string()),
+            "pname": pa.array(params[0].astype(str).to_numpy(), pa.string()),
+            "pvalue": pa.array(pval.astype(str).to_numpy(), pa.string()),
         })
     return _to_table(ds.map_batches(explode, batch_format="pyarrow"))
 

@@ -54,41 +54,42 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hashes (deterministic FNV-1a 64)."""
-    if len(text) < k:
-        text = text.ljust(k)
-    b = text.encode("utf-8", "ignore")
-    out = set()
-    for i in range(len(b) - k + 1):
-        h = np.uint64(0xCBF29CE484222325)
-        for c in b[i:i + k]:
-            h = np.uint64((int(h) ^ c) * 0x100000001B3 % (1 << 64))
-        out.add(int(h))
-    return np.fromiter(out, dtype=np.uint64, count=len(out))
+    """Character k-shingle hashes: FNV-1a over every k-byte window,
+    vectorized — k whole-array passes instead of a per-byte Python loop
+    (the loop version measured 30s for 5000 docs at sf0.1)."""
+    b = np.frombuffer(text.encode("utf-8", "ignore").ljust(k), dtype=np.uint8)
+    n = len(b) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+        for i in range(k):
+            h = (h ^ b[i:i + n].astype(np.uint64)) * _FNV_PRIME
+    return np.unique(h)
 
 
 class MinHasher:
-    """num_perm universal-hash minhash; (a*x+b) mod p. Deterministic."""
+    """num_perm-permutation minhash via the 64-bit multiply-shift family:
+    h_j(x) = (a_j·x + b_j) mod 2⁶⁴ (native uint64 wrap — no bigint
+    arithmetic). Deterministic (fixed seed)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        # odd multipliers (multiply-shift requirement)
+        self.a = (rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+                  * np.uint64(2) + np.uint64(1))
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
         self.num_perm = num_perm
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
         if len(shingles) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        x = shingles.astype(np.object_)  # python ints avoid overflow
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for j in range(self.num_perm):
-            vals = (int(self.a[j]) * x + int(self.b[j])) % _MERSENNE
-            sig[j] = np.uint64(vals.min())
-        return sig
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] * shingles[None, :] + self.b[:, None])
+        return vals.min(axis=1)
 
 
 class MinHashStage:
@@ -146,16 +147,38 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a0 = ids[0]
-        return pd.DataFrame({"a": [a0] * (len(ids) - 1), "b": ids[1:]})
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """All (anchor=min id, other) pairs per (band, band_hash) —
+        vectorized over every group at once (a per-band-hash map_groups
+        measured 20s at 5000 docs: one Python call per group)."""
+        grp = g.groupby(["band", "band_hash"], sort=False)
+        anchor = grp[id_col].transform("min")
+        mask = g[id_col].ne(anchor)
+        return pd.DataFrame({"a": anchor[mask].to_numpy(),
+                             "b": g[id_col][mask].to_numpy()})
 
-    cand = buckets.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    pair_rows = cand.take_all()
+    # Candidate pairing: the bands table is n_docs × bands rows of 3 ints.
+    # Below ~5M such rows the driver folds it directly (one vectorized
+    # pandas pass — Ray's sort-shuffle has a ~10s fixed cost that dwarfs
+    # the work at this size); above, hash-bucketed distributed pairing.
+    # the bands projection is the all-to-all input either way; materialize
+    # it once so count + pairing don't re-run the signature stage
+    buckets = buckets.materialize()
+    n_band_rows = buckets.count()
+    if n_band_rows <= 5_000_000:
+        tbl = pa.concat_tables(
+            __import__("ray").get(buckets.to_arrow_refs()))
+        pair_rows = pairs_bucket(tbl.to_pandas()).to_dict("records")
+    else:
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = (t["band_hash"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64) % 64).astype(np.int64)
+            return t.append_column("_bucket", pa.array(h))
+        cand = (buckets.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket").map_groups(
+                    lambda g: pairs_bucket(g.drop(columns=["_bucket"])),
+                    batch_format="pandas"))
+        pair_rows = cand.take_all()
     # union-find over candidate pairs (driver-side: |pairs| ≪ |corpus|)
     parent: dict = {}
 
