@@ -20,7 +20,7 @@ import ray
 import ray.data as rd
 
 from ..datagen import ensure_transcripts
-from ..sources import read_transcripts
+from ..sources import read_scaled, read_transcripts
 from ..lookup import ROLE_FACILITY, SEV_BUCKET, TOOL_CLASS
 from ..stages.aggregate import conv_rollup, count_by, facility_severity_counts
 from ..stages.enrich import LookupEnrich, mmjsonparse_table
@@ -158,7 +158,7 @@ def q_every_nth(sf_dir: str) -> pa.Table:
 def q_strfun(sf_dir: str) -> pa.Table:
     """Scalar string functions over documents (§2.4)."""
     from .. import functions as F
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -177,7 +177,7 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup over documents: keep min doc_id per identical text
     (hash-partitioned groupby; §dedup extras)."""
     from ..stages.dedup import exact_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(exact_dedup(ds, text_col="text", id_col="doc_id")
                      .select_columns(["doc_id"]))
@@ -186,7 +186,7 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
 def q_token_stats(sf_dir: str) -> pa.Table:
     """Text-quality token statistics over documents."""
     from ..stages.textstats import token_stats_table
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(ds.map_batches(token_stats_table, batch_format="pyarrow"))
 
@@ -194,7 +194,7 @@ def q_token_stats(sf_dir: str) -> pa.Table:
 def q_events_window(sf_dir: str) -> pa.Table:
     """Tumbling 1h window count/sum per event_type over events (§2.8
     time-bucket properties $now* → floor_temporal)."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_scaled(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -222,7 +222,7 @@ def q_topk_cosine(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-k over embeddings vs a fixed query vector
     (similarity-search baseline)."""
     from ..stages.similarity import topk_cosine
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
     return _to_table(topk_cosine(ds, k=20))
 
 
@@ -235,7 +235,7 @@ def q_topk_cosine(sf_dir: str) -> pa.Table:
 def q_mmfields(sf_dir: str) -> pa.Table:
     """mmfields: split on single-char separator → f1..f5 (§2.6)."""
     from ..stages.enrich import mmfields_table
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -249,7 +249,7 @@ def q_mmanon(sf_dir: str) -> pa.Table:
     string is synthesized deterministically from doc_id (fixtures carry no
     IPs) — both engine and oracle build the identical input."""
     from ..stages.enrich import mmanon_table
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -376,7 +376,7 @@ def q_quality(sf_dir: str) -> pa.Table:
     """Text-quality heuristics (stopword/punct/digit ratios, mean word
     length) over documents — training-data extras."""
     from ..stages.textstats import quality_scores
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     out = quality_scores(ds)
     return _to_table(out.select_columns(
@@ -387,7 +387,7 @@ def q_quality(sf_dir: str) -> pa.Table:
 def q_langid(sf_dir: str) -> pa.Table:
     """Stopword-profile language ID over documents (training-data extras)."""
     from ..stages.textstats import langid
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(langid(ds).select_columns(["doc_id", "lang_pred"]))
 
@@ -396,7 +396,7 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     """Rolling-hash (winnowing-style) document fingerprint — deterministic;
     no SQL oracle (byte-level rolling hash), rows-only + unit tests."""
     from ..stages.textstats import fingerprint_table
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(ds.map_batches(fingerprint_table, batch_format="pyarrow"))
 
@@ -405,7 +405,7 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
     """MinHash+LSH near-dup dedup over documents: surviving doc_ids —
     deterministic seeds; no SQL oracle (minhash), rows-only + unit tests."""
     from ..stages.dedup import minhash_lsh_dedup
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(minhash_lsh_dedup(ds).select_columns(["doc_id"]))
 
@@ -413,7 +413,7 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document — deterministic; rows-only + unit tests."""
     from ..stages.dedup import simhash_table
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return _to_table(simhash_table(ds).select_columns(["doc_id", "simhash"]))
 
@@ -422,7 +422,7 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
     """Exact embedding-cosine near-duplicate pairs (a<b, score>=0.4):
     broadcast-matrix brute force, matches the DuckDB self-join oracle."""
     from ..stages.similarity import neardup_pairs_exact
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
     return _to_table(neardup_pairs_exact(ds, threshold=0.4))
 
 
@@ -430,7 +430,7 @@ def q_lsh_cosine(sf_dir: str) -> pa.Table:
     """LSH-bucketed cosine top-k (ANN scale path) — approximate by design;
     rows-only + recall unit test vs the exact baseline."""
     from ..stages.similarity import lsh_topk_cosine
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
     return _to_table(lsh_topk_cosine(ds, k=20, n_planes=4))
 
 
@@ -458,7 +458,7 @@ def q_multimodal(sf_dir: str) -> pa.Table:
     in for image data) → typed metadata → decode/resize stubs (actor pool).
     Deterministic fake decode; rows-only + unit tests."""
     from ..stages.multimodal import attach_media_meta, image_features
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:

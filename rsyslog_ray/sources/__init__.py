@@ -1,1 +1,1 @@
-from .transcripts import read_transcripts  # noqa: F401
+from .transcripts import read_scaled, read_transcripts  # noqa: F401

@@ -22,15 +22,21 @@ import ray
 import ray.data as rd
 
 
-def read_transcripts(path: str, columns: list[str] | None = None,
-                     num_blocks: int | None = None):
+def read_scaled(path: str, columns: list[str] | None = None,
+                num_blocks: int | None = None):
+    """read_parquet with read-splitting sized to the cluster (works for a
+    directory of part files or a single .parquet file)."""
     if num_blocks is None:
         cpus = (int(ray.cluster_resources().get("CPU", 8))
                 if ray.is_initialized() else 8)
-        n_files = len(glob.glob(os.path.join(path, "*.parquet"))) or 1
+        n_files = (1 if path.endswith(".parquet")
+                   else len(glob.glob(os.path.join(path, "*.parquet"))) or 1)
         if n_files < 2 * cpus:
             num_blocks = 2 * cpus
     kw = {}
     if num_blocks is not None:
         kw["override_num_blocks"] = num_blocks
     return rd.read_parquet(path, columns=columns, **kw)
+
+
+read_transcripts = read_scaled
