@@ -123,9 +123,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     a smaller id in any verified cluster. The final union-find runs on the
     driver over candidate PAIRS only (bounded: pairs, not corpus)."""
     rows_per_band = num_perm // bands
-    sig_ds = ds.map_batches(MinHashStage,
-                            fn_constructor_args=(num_perm, 5, text_col),
-                            batch_format="pyarrow", concurrency=concurrency)
+    sig_ds = ds.map_batches(MinHashStage(num_perm, 5, text_col),
+                            batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -230,9 +229,11 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(out.view(np.int64)))
 
 
-def simhash_table(ds, text_col: str = "text", concurrency: int = 2):
-    return ds.map_batches(SimHashStage, fn_constructor_args=(text_col,),
-                          batch_format="pyarrow", concurrency=concurrency)
+def simhash_table(ds, text_col: str = "text", concurrency=None):
+    if concurrency:
+        return ds.map_batches(SimHashStage, fn_constructor_args=(text_col,),
+                              batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(SimHashStage(text_col), batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

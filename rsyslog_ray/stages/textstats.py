@@ -69,11 +69,17 @@ class QualityScore:
         return batch
 
 
-def quality_scores(ds, text_col: str = "text", concurrency: int = 2,
+def quality_scores(ds, text_col: str = "text", concurrency=None,
                    batch_size: int = 4096):
-    return ds.map_batches(QualityScore, fn_constructor_args=(text_col,),
-                          batch_format="pandas", batch_size=batch_size,
-                          concurrency=concurrency)
+    """Task-mode by default (instance serialized once; regex compiled at
+    construction). Pass concurrency to opt into an actor pool for heavy
+    state (model-scorer shape)."""
+    if concurrency:
+        return ds.map_batches(QualityScore, fn_constructor_args=(text_col,),
+                              batch_format="pandas", batch_size=batch_size,
+                              concurrency=concurrency)
+    return ds.map_batches(QualityScore(text_col), batch_format="pandas",
+                          batch_size=batch_size)
 
 
 class LangId:
@@ -105,9 +111,11 @@ class LangId:
         return batch
 
 
-def langid(ds, text_col: str = "text", concurrency: int = 2):
-    return ds.map_batches(LangId, fn_constructor_args=(text_col,),
-                          batch_format="pandas", concurrency=concurrency)
+def langid(ds, text_col: str = "text", concurrency=None):
+    if concurrency:
+        return ds.map_batches(LangId, fn_constructor_args=(text_col,),
+                              batch_format="pandas", concurrency=concurrency)
+    return ds.map_batches(LangId(text_col), batch_format="pandas")
 
 
 def fingerprint_table(batch: pa.Table, text_col: str = "text",
