@@ -118,28 +118,28 @@ def langid(ds, text_col: str = "text", concurrency=None):
     return ds.map_batches(LangId(text_col), batch_format="pandas")
 
 
+_FP_BASE = np.uint64(1000003)
+
+
+def _fingerprint_one(b: bytes, window: int) -> np.uint64:
+    """min polynomial hash over all `window`-byte windows — `window`
+    whole-array passes (h = h·B + byte), no per-byte Python loop."""
+    a = np.frombuffer(b.ljust(window), dtype=np.uint8)
+    n = len(a) - window + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for i in range(window):
+            h = h * _FP_BASE + a[i:i + n].astype(np.uint64)
+    return h.min()
+
+
 def fingerprint_table(batch: pa.Table, text_col: str = "text",
                       id_col: str = "doc_id", window: int = 8) -> pa.Table:
-    """Rolling-hash document fingerprint: min rolling hash over `window`-char
-    windows (winnowing-style 1-fingerprint summary), deterministic."""
+    """Rolling-hash document fingerprint: min window hash (winnowing-style
+    1-fingerprint summary), deterministic."""
     texts = pc.cast(batch[text_col], pa.string()).to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    B, M = np.uint64(1000003), np.uint64(0xFFFFFFFFFFFFFFFF)
-    for i, t in enumerate(texts):
-        b = (t or "").encode("utf-8", "ignore")
-        if len(b) < window:
-            b = b.ljust(window)
-        h = np.uint64(0)
-        best = np.uint64(0xFFFFFFFFFFFFFFFF)
-        poww = np.uint64(1)
-        for _ in range(window - 1):
-            poww = np.uint64(int(poww) * int(B) & int(M))
-        for j, c in enumerate(b):
-            h = np.uint64((int(h) * int(B) + c) & int(M))
-            if j >= window:
-                h = np.uint64((int(h) - int(poww) * b[j - window] * int(B)) & int(M))
-            if j >= window - 1 and int(h) < int(best):
-                best = h
-        out[i] = best
+    out = np.fromiter(
+        (_fingerprint_one((t or "").encode("utf-8", "ignore"), window)
+         for t in texts), dtype=np.uint64, count=len(texts))
     return pa.table({id_col: batch[id_col],
                      "fingerprint": pa.array(out.view(np.int64))})
