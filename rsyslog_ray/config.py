@@ -109,7 +109,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
                                              False),
             target=target,
         ))
-    return Ruleset(spec.get("name", "main"), actions)
+    return Ruleset(spec.get("name", "main"), actions).validate()
 
 
 class CompiledConfig:

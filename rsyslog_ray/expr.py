@@ -82,13 +82,26 @@ class PropertyRegistry:
 
 
 def _is_str(arr) -> bool:
-    t = arr.type if isinstance(arr, (pa.Array, pa.ChunkedArray)) else None
+    t = arr.type if isinstance(arr, (pa.Array, pa.ChunkedArray, pa.Scalar)) else None
     return t is not None and (pa.types.is_string(t) or pa.types.is_large_string(t))
+
+
+_NUMERIC_RE = r"^\s*-?\d+\s*$"
+
+
+def _try_num(arr):
+    """var2Number-style lenient string→int64: parseable values convert,
+    the rest become null (caller decides the fallback). Vectorized."""
+    s = pc.cast(arr, pa.string())
+    ok = pc.match_substring_regex(pc.fill_null(s, ""), pattern=_NUMERIC_RE)
+    safe = pc.if_else(ok, s, None)
+    return pc.cast(safe, pa.int64()), ok
 
 
 def _coerce_pair(a, b):
     """Implicit coercion: prefer numeric compare when either side is numeric
-    (var2Number semantics); else both to string."""
+    (var2Number semantics, grammar/rainerscript.c:1413); non-numeric strings
+    coerce to 0 rather than raising (the reference's var2Number default)."""
     a_num = isinstance(a, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(a.type)
     b_num = isinstance(b, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(b.type)
     a_scalar_num = isinstance(a, (int, float)) and not isinstance(a, bool)
@@ -96,10 +109,28 @@ def _coerce_pair(a, b):
     if (a_num or a_scalar_num) and (b_num or b_scalar_num):
         return a, b
     if (a_num or a_scalar_num) and _is_str(b):
-        return a, pc.cast(b, pa.int64())
+        return a, pc.fill_null(_try_num(b)[0], 0)
     if _is_str(a) and (b_num or b_scalar_num):
-        return pc.cast(a, pa.int64()), b
+        return pc.fill_null(_try_num(a)[0], 0), b
     return a, b
+
+
+def _mixed_compare(op: str, a, b):
+    """Numeric-vs-string comparison with the reference's per-value fallback
+    (grammar/rainerscript.c:3056-3124): each string value that parses as a
+    number compares numerically; the rest compare as strings against the
+    stringified numeric side. Fully vectorized (regex mask + if_else)."""
+    a_str = _is_str(a)
+    s, n = (a, b) if a_str else (b, a)  # s = string side, n = numeric side
+    s_num, ok = _try_num(s)
+    if isinstance(n, (pa.Array, pa.ChunkedArray)):
+        n_str = pc.cast(n, pa.string())
+    else:
+        n_str = pa.scalar(str(n))
+    num_cmp = (_CMP[op](s_num, n) if a_str else _CMP[op](n, s_num))
+    str_cmp = (_CMP[op](pc.cast(s, pa.string()), n_str) if a_str
+               else _CMP[op](n_str, pc.cast(s, pa.string())))
+    return pc.if_else(ok, num_cmp, str_cmp)
 
 
 def compile_expr(expr, props: PropertyRegistry):
@@ -114,6 +145,18 @@ def compile_expr(expr, props: PropertyRegistry):
     if op in _CMP:
         a = compile_expr(expr[1], props)
         b = compile_expr(expr[2], props)
+        a_numish = ((isinstance(a, (pa.Array, pa.ChunkedArray))
+                     and pa.types.is_integer(a.type))
+                    or (isinstance(a, (int, float)) and not isinstance(a, bool)))
+        b_numish = ((isinstance(b, (pa.Array, pa.ChunkedArray))
+                     and pa.types.is_integer(b.type))
+                    or (isinstance(b, (int, float)) and not isinstance(b, bool)))
+        if a_numish and isinstance(b, str):
+            b = pa.scalar(b)
+        if b_numish and isinstance(a, str):
+            a = pa.scalar(a)
+        if (a_numish and _is_str(b)) or (_is_str(a) and b_numish):
+            return _mixed_compare(op, a, b)
         a, b = _coerce_pair(a, b)
         if _is_str(a) and isinstance(b, (pa.Array, pa.ChunkedArray)) and _is_str(b) and a.type != b.type:
             b = pc.cast(b, a.type)
@@ -181,12 +224,25 @@ def compile_expr(expr, props: PropertyRegistry):
         return os.environ.get(expr[1], "")
     if op == "random":
         # grammar/rainerscript.c:1956 random(max). Deviation (documented):
-        # seeded per batch for reproducibility — true randomness would
-        # break the oracle/conformance contract.
-        import numpy as _np
-        rng = _np.random.default_rng(4242)
-        return pa.array(rng.integers(0, int(expr[1]),
-                                     size=props.table.num_rows))
+        # value derives from stable row identity (hash of the row's key
+        # columns) so the result is deterministic regardless of batch_size
+        # or partitioning — true randomness would break the oracle contract,
+        # and a per-batch RNG would make a row's value depend on its
+        # position within a batch.
+        from .functions import hash64
+        import numpy as np
+        t = props.table
+        key_cols = [c for c in ("conv_id", "turn_idx", "doc_id", "vec_id")
+                    if c in t.column_names]
+        if key_cols:
+            parts = [pc.cast(t[c], pa.string()) for c in key_cols]
+            ident = parts[0] if len(parts) == 1 else \
+                pc.binary_join_element_wise(*parts, "\x1f")
+            h = hash64(ident).to_numpy(zero_copy_only=False)
+        else:  # no identity columns: fall back to a fixed per-row stream
+            h = np.random.default_rng(4242).integers(
+                0, 2**63, size=t.num_rows, dtype=np.uint64)
+        return pa.array((h % np.uint64(int(expr[1]))).astype(np.int64))
     if op == "call":
         fname = expr[1]
         fn = REGISTRY[fname]

@@ -196,7 +196,7 @@ GROUP BY facility, severity"""
 
     q["conv_rollup"] = pc_ + """
 SELECT conv_id, count(*) AS n_turns,
-       sum(CAST(parse_success AS BIGINT)) AS n_parsed_ok,
+       CAST(sum(CAST(parse_success AS BIGINT)) AS BIGINT) AS n_parsed_ok,
        min(ts) AS first_ts, max(ts) AS last_ts
 FROM parsed GROUP BY conv_id"""
 

@@ -21,8 +21,8 @@ Execution shapes:
 
 from __future__ import annotations
 
+import hashlib
 import os
-import uuid
 from dataclasses import dataclass, field as dfield
 
 import numpy as np
@@ -76,6 +76,19 @@ class Ruleset:
             if a.kind == "call" and a.target is not None:
                 out.extend(a.target.all_actions())
         return out
+
+    def validate(self) -> "Ruleset":
+        """Reject duplicate action names across the flattened statement
+        list — routed output is keyed by action name, so a callee action
+        shadowing a caller action would silently drop the caller's rows."""
+        seen: set[str] = set()
+        for a in self.all_actions():
+            if a.name in seen:
+                raise ValueError(
+                    f"duplicate action name {a.name!r} in ruleset "
+                    f"{self.name!r} (incl. called rulesets)")
+            seen.add(a.name)
+        return self
 
 
 def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
@@ -145,7 +158,7 @@ class RouteWriter:
                  compression: str = "snappy", shard_col: str | None = None,
                  max_retries: int = 3, retry_backoff_s: float = 0.05,
                  fail_injector=None):
-        self.ruleset = ruleset
+        self.ruleset = ruleset.validate()
         self.out_root = out_root
         self.templates = ruleset.compiled_templates()
         self.compression = compression
@@ -154,12 +167,35 @@ class RouteWriter:
         self.retry_backoff_s = retry_backoff_s
         self.fail_injector = fail_injector  # (action, attempt) -> raise | None
 
+    @staticmethod
+    def _det_name(table: pa.Table, action: str) -> str:
+        """Deterministic part-file name derived from batch content.
+
+        A Ray task retried after a partially/fully successful write (worker
+        crash, preemption) re-produces the SAME batch (deterministic
+        upstream transforms) → the same name → tmp→rename overwrites the
+        earlier file instead of duplicating rows. This is what makes
+        per-task side-effect writes idempotent WITHIN a wave; cross-run
+        idempotence stays shard-manifest-granular (state/checkpoint.py)."""
+        h = hashlib.sha1(action.encode())
+        h.update(str(table.num_rows).encode())
+        key_cols = [c for c in ("conv_id", "turn_idx", "doc_id", "vec_id")
+                    if c in table.column_names] or table.column_names[:1]
+        for c in key_cols:
+            col = table[c]
+            chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+            for ch in chunks:
+                for buf in ch.buffers():
+                    if buf is not None:
+                        h.update(buf)
+        return f"part-{h.hexdigest()[:20]}.parquet"
+
     def _write_once(self, table: pa.Table, d: str, action: str,
                     attempt: int) -> str:
         if self.fail_injector is not None:
             self.fail_injector(action, attempt)
         os.makedirs(d, exist_ok=True)
-        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fname = self._det_name(table, action)
         tmp = os.path.join(d, f"._tmp-{fname}")
         pq.write_table(table, tmp, compression=self.compression)
         final = os.path.join(d, fname)
@@ -193,7 +229,7 @@ class RouteWriter:
     def _write_error_rows(self, table: pa.Table, action: str) -> None:
         d = os.path.join(self.out_root, "_error_rows", action)
         os.makedirs(d, exist_ok=True)
-        fname = f"part-{uuid.uuid4().hex}.parquet"
+        fname = self._det_name(table, "_error:" + action)
         tmp = os.path.join(d, f"._tmp-{fname}")
         pq.write_table(table, tmp, compression=self.compression)
         os.rename(tmp, os.path.join(d, fname))
