@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_opts": Q.q_template_opts,
         "prifilt": Q.q_prifilt,
         "parse_json": Q.q_parse_json,
+        "grok_parse": Q.q_grok_parse,
         # training-data extras: text analysis / dedup / similarity
         "quality": Q.q_quality,
         "langid": Q.q_langid,

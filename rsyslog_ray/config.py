@@ -62,6 +62,14 @@ register_stage("mmanon", _enrich_mod.mmanon_table)
 register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
 
 
+def _mmnormalize(batch, **kw):
+    from .stages.normalize import mmnormalize_table
+    return mmnormalize_table(batch, **kw)
+
+
+register_stage("mmnormalize", _mmnormalize)
+
+
 # ---------------------------------------------------------------------------
 # compile
 # ---------------------------------------------------------------------------

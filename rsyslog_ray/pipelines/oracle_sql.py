@@ -156,6 +156,71 @@ def _sp(msgcol: str) -> str:
     return f"CASE WHEN starts_with({msgcol}, ' ') THEN '' ELSE ' ' END"
 
 
+def _grok_sql(src: str) -> str:
+    """Generate the grok_parse oracle from the SAME compiled rulebase the
+    engine runs (stages/normalize.py) — both sides are RE2, so embedding
+    the engine's anchored regexes in regexp_matches/regexp_extract gives
+    identical match + capture semantics by construction."""
+    from ..stages.normalize import RuleBase
+    from .queries import TRANSCRIPT_RULEBASE
+    rb = RuleBase.from_string(TRANSCRIPT_RULEBASE)
+
+    m_parts, g_parts = [], []
+    for i, r in enumerate(rb.rules):
+        pat = r.regex.replace("'", "''")
+        m_parts.append(f"regexp_matches(s, '{pat}') AS m{i}")
+        if r.fields:
+            names = ", ".join(f"'f{j}'" for j in range(len(r.fields)))
+            g_parts.append(f"regexp_extract(s, '{pat}', [{names}]) AS g{i}")
+    ri_case = ("CASE "
+               + " ".join(f"WHEN m{i} THEN {i}"
+                          for i in range(len(rb.rules)))
+               + " ELSE -1 END")
+    tag_case = ("CASE "
+                + " ".join(f"WHEN ri = {i} THEN '{r.tag}'"
+                           for i, r in enumerate(rb.rules))
+                + " ELSE '' END")
+
+    field_sel = []
+    for fname, ftype in rb.all_fields():
+        whens = []
+        for i, r in enumerate(rb.rules):
+            if fname in r.fields:
+                j = r.fields.index(fname)
+                whens.append(f"WHEN ri = {i} THEN g{i}.f{j}")
+            else:
+                for tag, pairs in rb.annotations.items():
+                    if tag == r.tag:
+                        for af, av in pairs:
+                            if af == fname:
+                                whens.append(
+                                    f"WHEN ri = {i} THEN '{av}'")
+        expr = "CASE " + " ".join(whens) + " END"
+        if ftype == "number":
+            expr = f"CAST({expr} AS BIGINT)"
+        elif ftype == "float":
+            expr = f"CAST({expr} AS DOUBLE)"
+        field_sel.append(f'{expr} AS "{fname}"')
+
+    return f"""
+WITH src AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text AS s
+  FROM read_parquet('{src}')
+),
+m AS (
+  SELECT *, {", ".join(m_parts + g_parts)} FROM src
+),
+sel AS (
+  SELECT *, {ri_case} AS ri FROM m
+)
+SELECT conv_id, turn_idx,
+  {tag_case} AS event_tag,
+  ri >= 0 AS parse_success,
+  {", ".join(field_sel)},
+  CASE WHEN ri < 0 THEN s END AS unparsed_data
+FROM sel"""
+
+
 def build_oracle_sql(src: str = TRANSCRIPTS_GLOB) -> dict[str, str]:
     pc_ = _parse_cte(src)
     q: dict[str, str] = {}
@@ -416,6 +481,8 @@ SELECT conv_id, turn_idx,
   json_extract_string(cee_payload, '$.event') AS event,
   CAST(json_extract_string(cee_payload, '$.n') AS BIGINT) AS n
 FROM cee WHERE cee_parsesuccess"""
+
+    q["grok_parse"] = _grok_sql(src)
 
     q["neardup_pairs"] = """
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -453,6 +453,35 @@ def q_parse_json(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+# liblognorm-style rulebase applied to the RAW transcript text (the
+# pmnormalize/useRawMsg shape): first-match-wins cascade over four sample
+# rules + per-tag annotations. The oracle SQL is GENERATED from the same
+# compiled RE2 regexes (oracle_sql._grok_sql) — semantics match by
+# construction.
+TRANSCRIPT_RULEBASE = r"""
+rule=ietf:<%pri:number%>1 %ts5424:date-rfc5424% %host:word% %app:word% %procid:word% %msgid:word% %-:rest%
+annotate=ietf:+proto="rfc5424"
+rule=cee:<%pri:number%>%ts3164:date-rfc3164% %host:word% %tag:char-to:\x3a%: @cee: %cee:rest%
+annotate=cee:+proto="rfc3164"
+rule=bsd:<%pri:number%>%ts3164:date-rfc3164% %host:word% %tag:char-to:\x3a%: msgnum:%num:number%:%-:rest%
+annotate=bsd:+proto="rfc3164"
+rule=bsd3339:<%pri:number%>%ts5424:date-rfc5424% %host:word% %tag:char-to:\x3a%: msgnum:%num:number%:%-:rest%
+annotate=bsd3339:+proto="rfc3164"
+"""
+
+
+def q_grok_parse(sf_dir: str) -> pa.Table:
+    """mmnormalize/pmnormalize rulebase parse (§2.2/§2.6): vectorized
+    first-match-wins regex-dictionary cascade over raw transcript text,
+    typed captures + annotations + unparsed-data on failure."""
+    from ..stages.normalize import NormalizeStage, RuleBase
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    stage = NormalizeStage(RuleBase.from_string(TRANSCRIPT_RULEBASE),
+                           source="text")
+    return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
+
+
 def q_multimodal(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: binary payload column (document bytes standing
     in for image data) → typed metadata → decode/resize stubs (actor pool).
