@@ -426,6 +426,15 @@ def q_neardup_pairs(sf_dir: str) -> pa.Table:
     return _to_table(neardup_pairs_exact(ds, threshold=0.4))
 
 
+def q_lsh_neardup(sf_dir: str) -> pa.Table:
+    """Distributed LSH-bucketed near-dup pairs (the 100 TB path: no driver
+    materialization, no O(N²) broadcast) — approximate by design; recall
+    vs the exact pairs is pinned by a unit test; rows-only driver check."""
+    from ..stages.similarity import lsh_neardup_pairs
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
+    return _to_table(lsh_neardup_pairs(ds, threshold=0.4))
+
+
 def q_lsh_cosine(sf_dir: str) -> pa.Table:
     """LSH-bucketed cosine top-k (ANN scale path) — approximate by design;
     rows-only + recall unit test vs the exact baseline."""

@@ -129,6 +129,113 @@ def neardup_pairs_exact(ds, threshold: float = 0.4, id_col: str = "vec_id",
         batch_format="pyarrow", concurrency=concurrency)
 
 
+class PairBucketStage:
+    """Multi-table hyperplane-LSH bucketing for PAIR generation: each row is
+    emitted once per hash table with gkey = (table << n_planes) | bucket.
+    The t× row duplication is the price of recall — it shuffles ids +
+    embeddings, never the corpus² pair space."""
+
+    def __init__(self, dim: int, n_planes: int, n_tables: int, id_col: str,
+                 col: str, seed: int = 13):
+        rng = np.random.RandomState(seed)
+        # (tables, dim, planes) — built once per task/actor instance
+        self.planes = rng.normal(size=(n_tables, dim, n_planes))
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        n = len(m)
+        weights = 1 << np.arange(self.n_planes)
+        gkeys = np.empty((self.n_tables, n), dtype=np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t]) > 0
+            gkeys[t] = (t << self.n_planes) | (bits @ weights)
+        idx = pa.array(np.tile(np.arange(n), self.n_tables), pa.int64())
+        ids = batch[self.id_col]
+        emb = batch[self.col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table({
+            "gkey": pa.array(gkeys.ravel()),
+            self.id_col: ids.take(idx),
+            self.col: emb.take(idx),
+        })
+
+
+def _score_bucket(group: pa.Table, threshold: float, id_col: str, col: str,
+                  block: int = 4096) -> pa.Table:
+    """Exact all-pairs cosine WITHIN one LSH bucket (a < b, score ≥ τ).
+    Blockwise so a pathological hot bucket stays memory-bounded."""
+    n = group.num_rows
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if n < 2:
+        return empty
+    m = _batch_matrix(group, col)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = m / norms
+    ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    outs = []
+    for lo in range(0, n, block):
+        hi = min(n, lo + block)
+        scores = mn[lo:hi] @ mn.T                      # block × n
+        ii, jj = np.nonzero(scores >= threshold)
+        a, b = ids[lo + ii], ids[jj]
+        keep = a < b
+        if keep.any():
+            outs.append((a[keep], b[keep],
+                         np.round(scores[ii, jj][keep], 6)))
+    if not outs:
+        return empty
+    return pa.table({
+        "a": pa.array(np.concatenate([o[0] for o in outs])),
+        "b": pa.array(np.concatenate([o[1] for o in outs])),
+        "score": pa.array(np.concatenate([o[2] for o in outs]),
+                          pa.float64()),
+    })
+
+
+def lsh_neardup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                      col: str = "embedding", n_planes: int = 4,
+                      n_tables: int = 16, dim: int | None = None):
+    """Distributed near-duplicate pair generation — the 100 TB shape.
+
+    bucket (t tables × 2^p buckets, map_batches) → groupby(gkey) →
+    within-bucket exact scoring (blockwise matmul) → per-(a,b) dedupe
+    across tables (min(score); scores are equal, min is just the combiner).
+    NOTHING materializes the corpus on the driver: the only driver read is
+    one row to learn the embedding dim, and the all-to-all moves t× the
+    corpus once — not the O(N²) pair space.
+
+    Approximate by construction: a pair at exactly τ=0.4 (angle ≈ 66°,
+    per-bit agreement ≈ 0.63) collides in ≥1 of 16 4-plane tables w.p.
+    ≈ 0.94; higher-similarity pairs approach 1. Tune (n_planes, n_tables)
+    per workload; the exact broadcast path (neardup_pairs_exact) remains
+    the small-scale oracle. Recall is pinned by a unit test."""
+    if dim is None:
+        first = ds.limit(1).take_all()[0]
+        dim = len(first[col])
+    bucketed = ds.map_batches(
+        PairBucketStage(dim, n_planes, n_tables, id_col, col),
+        batch_format="pyarrow")
+    pairs = bucketed.groupby("gkey").map_groups(
+        lambda g: _score_bucket(g, threshold, id_col, col),
+        batch_format="pyarrow")
+    from ray.data.aggregate import Min
+    out = pairs.groupby(["a", "b"]).aggregate(Min("score"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "score"])
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 class HyperplaneHasher:
     """Random-hyperplane signatures (deterministic seed) for cosine LSH."""
 

@@ -125,3 +125,23 @@ def test_lsh_topk_subset_of_exact_and_finds_self(ray_session):
     assert got[0] == 0              # the query vector itself tops the list
     exact = [r["vec_id"] for r in topk_cosine(ds, k=60).to_pylist()]
     assert set(got).issubset(set(exact))
+
+
+def test_lsh_neardup_pairs_recall_and_exactness(ray_session):
+    """Distributed LSH pair generation: every emitted pair must be a TRUE
+    pair (within-bucket scoring is exact), and recall vs the exact
+    broadcast path must clear the tuned floor on the planted corpus."""
+    from rsyslog_ray.stages.similarity import lsh_neardup_pairs
+    tbl, _ = _vec_table(n=80)
+    ds = rd.from_arrow(tbl)
+    exact = {(r["a"], r["b"]): r["score"] for r in
+             neardup_pairs_exact(ds, threshold=0.6).take_all()}
+    got = {(r["a"], r["b"]): r["score"] for r in
+           lsh_neardup_pairs(ds, threshold=0.6, n_planes=4,
+                             n_tables=16).take_all()}
+    assert set(got).issubset(set(exact))            # no false positives
+    assert (3, 7) in got                            # planted near-dup found
+    recall = len(got) / max(1, len(exact))
+    assert recall >= 0.8, f"recall {recall:.2f} below floor"
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 1e-9             # same exact scores
