@@ -418,6 +418,15 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
     return _to_table(simhash_table(ds).select_columns(["doc_id", "simhash"]))
 
 
+def q_simhash_dedup(sf_dir: str) -> pa.Table:
+    """SimHash near-dup removal (Hamming-radius block bucketing): surviving
+    doc_ids — deterministic; rows-only + Python-oracle unit test."""
+    from ..stages.dedup import simhash_dedup
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(simhash_dedup(ds, radius=3).select_columns(["doc_id"]))
+
+
 def q_neardup_pairs(sf_dir: str) -> pa.Table:
     """Exact embedding-cosine near-duplicate pairs (a<b, score>=0.4):
     broadcast-matrix brute force, matches the DuckDB self-join oracle."""

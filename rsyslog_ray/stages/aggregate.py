@@ -73,7 +73,7 @@ def _partial_conv_rollup(batch: pa.Table) -> pa.Table:
                              "first_ts", "last_ts"])
 
 
-def conv_rollup(ds, batch_size: int = 65536, n_buckets: int = 64):
+def conv_rollup(ds, batch_size: int = 65536, n_buckets: int | None = None):
     """Per-conv_id session rollup: n_turns, n_parsed_ok, first/last ts.
 
     Two-stage: per-batch partials (one row per conv per batch — hot convs
@@ -93,13 +93,17 @@ def conv_rollup(ds, batch_size: int = 65536, n_buckets: int = 64):
 
 
 def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
-                 n_buckets: int = 64):
+                 n_buckets: int | None = None):
     """Merge per-batch partial aggregates by hash-bucketed pandas groupby —
     ONE vectorized call per bucket instead of Ray's sort-based Aggregate
     (measured ~2s fixed cost + high variance on tiny partials).
 
     agg_spec: {out_col: (src_col, how)} where how ∈ sum/min/max/first and
-    every src_col is already a partial (so the merge is algebraic)."""
+    every src_col is already a partial (so the merge is algebraic);
+    n_buckets defaults to cluster width (cluster.cluster_buckets)."""
+    if n_buckets is None:
+        from ..cluster import cluster_buckets
+        n_buckets = cluster_buckets()
     import pandas as pd
 
     def add_bucket(t: pa.Table) -> pa.Table:

