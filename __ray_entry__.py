@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_window": Q.q_rate_window,
         "token_bucket": Q.q_token_bucket,       # no SQL oracle (stateful)
         "template_opts": Q.q_template_opts,
+        "properties": Q.q_properties,
         "prifilt": Q.q_prifilt,
         "parse_json": Q.q_parse_json,
         "grok_parse": Q.q_grok_parse,

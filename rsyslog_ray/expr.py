@@ -38,14 +38,30 @@ _CMP = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
         "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
 
 
+#: facility number → rsyslog name (runtime/srUtils.c syslog_fac_names)
+FACILITY_NAMES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "audit", "alert", "clock",
+    "local0", "local1", "local2", "local3", "local4", "local5", "local6",
+    "local7",
+]
+#: severity number → name (runtime/srUtils.c syslog_severity_names)
+SEVERITY_NAMES = ["emerg", "alert", "crit", "err", "warning", "notice",
+                  "info", "debug"]
+
+
 class PropertyRegistry:
     """Name → column (or derived expression) map; the MsgGetProp analogue
-    (runtime/msg.c:3526). Extend with computed properties as needed."""
+    (runtime/msg.c:3526). Covers the addressable-property surface of
+    runtime/typedefs.h:193-246: message properties, *-text renderings,
+    and the $now* system-time bucket family (derived from timegenerated —
+    deterministic, documented deviation from wall-clock)."""
 
     #: rsyslog property name → engine column name (runtime/typedefs.h:193-246)
     ALIASES = {
         "msg": "msg", "rawmsg": "text", "hostname": "hostname",
-        "source": "hostname", "syslogtag": "syslogtag",
+        "source": "hostname", "fromhost": "hostname",
+        "syslogtag": "syslogtag",
         "programname": "tag", "pri": "pri",
         "syslogfacility": "facility", "syslogseverity": "severity",
         "syslogpriority": "severity", "app-name": "appname",
@@ -60,13 +76,143 @@ class PropertyRegistry:
         self.table = table
 
     def get(self, name: str) -> pa.Array | pa.ChunkedArray:
-        col = self.ALIASES.get(name, name)
+        name_l = name.lower().lstrip("$")
+        if name_l in self._COMPUTED:
+            return self._COMPUTED[name_l](self)
+        col = self.ALIASES.get(name, self.ALIASES.get(name_l, name))
         if col == "syslogtag":
             return self._syslogtag()
         if col in self.table.column_names:
             c = self.table[col]
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         raise KeyError(f"unknown property {name!r}")
+
+    # ---- computed properties (runtime/msg.c:3526-3930) -------------------
+
+    def _col(self, name: str):
+        c = self.table[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def _fac_text(self):
+        import numpy as np
+        fac = self._col("facility").to_numpy(zero_copy_only=False)
+        names = np.asarray(FACILITY_NAMES + ["invld"], dtype=object)
+        return pa.array(names[np.clip(fac, 0, 24)], pa.string())
+
+    def _sev_text(self):
+        import numpy as np
+        sev = self._col("severity").to_numpy(zero_copy_only=False)
+        names = np.asarray(SEVERITY_NAMES, dtype=object)
+        return pa.array(names[np.clip(sev, 0, 7)], pa.string())
+
+    def _pri_text(self):
+        # msg.c textpri(): "<facility-text>.<severity-text>"
+        return pc.binary_join_element_wise(self._fac_text(),
+                                           self._sev_text(), ".")
+
+    def _fromhost_ip(self):
+        # file/parquet source has no socket peer; the reference resolves
+        # the local sender to 127.0.0.1 (imdiag injection path)
+        import numpy as np
+        return pa.array(np.full(self.table.num_rows, "127.0.0.1",
+                                dtype=object), pa.string())
+
+    def _inputname(self):
+        import numpy as np
+        return pa.array(np.full(self.table.num_rows, "imfile",
+                                dtype=object), pa.string())
+
+    def _bom(self):
+        import numpy as np
+        return pa.array(np.full(self.table.num_rows, "\ufeff",
+                                dtype=object), pa.string())
+
+    def _uuid(self):
+        # msg.c uuid is random per message; ours derives deterministically
+        # from row identity (documented deviation — reproducible runs)
+        from .functions import hash64
+        import numpy as np
+        key = pc.binary_join_element_wise(
+            pc.cast(self._col("conv_id"), pa.string()),
+            pc.cast(self._col("turn_idx"), pa.string()), "\x1f")
+        h = hash64(key).to_numpy(zero_copy_only=False)
+        h2 = hash64(pc.binary_join_element_wise(
+            pc.cast(key, pa.string()), pa.scalar("#2"), "")).to_numpy(
+                zero_copy_only=False)
+        s = np.char.add(
+            np.char.zfill(np.vectorize(lambda v: format(v, "x"))(h), 16),
+            np.char.zfill(np.vectorize(lambda v: format(v, "x"))(h2), 16))
+        out = [f"{x[0:8]}-{x[8:12]}-{x[12:16]}-{x[16:20]}-{x[20:32]}"
+               for x in s]
+        return pa.array(out, pa.string())
+
+    def _jsonmesg(self):
+        # msg.c jsonmesg: the message as a JSON object; subset of props,
+        # keys in msg.c emission order
+        from .templates import Template
+        tpl = Template('{"msg":"%msg:::json%","rawmsg":"%rawmsg:::json%",'
+                       '"hostname":"%hostname:::json%",'
+                       '"syslogtag":"%syslogtag:::json%",'
+                       '"syslogfacility":%syslogfacility%,'
+                       '"syslogseverity":%syslogseverity%}')
+        return pc.cast(tpl.render(self.table), pa.string())
+
+    def _now_part(self, fmt: str):
+        from .functions import format_time
+        return format_time(self._col("ts"), fmt)
+
+    def _now(self):
+        ts = self._col("ts")
+        secs = pc.cast(pc.divide(pc.cast(pc.cast(ts, pa.timestamp("us")),
+                                         pa.int64()), 1_000_000),
+                       pa.timestamp("s"))
+        return pc.strftime(secs, format="%Y-%m-%d")
+
+    def _hhour(self):
+        mins = pc.minute(pc.cast(self._col("ts"), pa.timestamp("us")))
+        return pc.cast(pc.divide(mins, 30), pa.string())
+
+    def _qhour(self):
+        mins = pc.minute(pc.cast(self._col("ts"), pa.timestamp("us")))
+        return pc.cast(pc.divide(mins, 15), pa.string())
+
+    def _wday(self):
+        from .functions import _format_wday_week
+        secs = pc.cast(pc.divide(pc.cast(pc.cast(self._col("ts"),
+                                                 pa.timestamp("us")),
+                                         pa.int64()), 1_000_000),
+                       pa.timestamp("s"))
+        return _format_wday_week(secs, "date-wday")
+
+    _COMPUTED = {
+        "syslogfacility-text": _fac_text,
+        "syslogseverity-text": _sev_text,
+        "syslogpriority-text": _sev_text,
+        "pri-text": _pri_text,
+        "fromhost-ip": _fromhost_ip,
+        "inputname": _inputname,
+        "bom": _bom,
+        "uuid": _uuid,
+        "jsonmesg": _jsonmesg,
+        "now": _now,
+        "now-utc": _now,                  # engine time is already UTC
+        "year": lambda self: self._now_part("date-year"),
+        "year-utc": lambda self: self._now_part("date-year"),
+        "month": lambda self: self._now_part("date-month"),
+        "month-utc": lambda self: self._now_part("date-month"),
+        "day": lambda self: self._now_part("date-day"),
+        "day-utc": lambda self: self._now_part("date-day"),
+        "hour": lambda self: self._now_part("date-hour"),
+        "hour-utc": lambda self: self._now_part("date-hour"),
+        "minute": lambda self: self._now_part("date-minute"),
+        "minute-utc": lambda self: self._now_part("date-minute"),
+        "hhour": _hhour,
+        "hhour-utc": _hhour,
+        "qhour": _qhour,
+        "qhour-utc": _qhour,
+        "wday": _wday,
+        "wday-utc": _wday,
+    }
 
     def _syslogtag(self) -> pa.Array:
         """tag+':' for RFC3164 rows with a tag; appname for RFC5424; else ''.

@@ -304,9 +304,71 @@ def format_time(arr, fmt: str) -> pa.Array:
         day = pc.ascii_lpad(pc.cast(pc.day(secs), pa.string()), 2, " ")
         hms = pc.strftime(secs, format="%H:%M:%S")
         return pc.binary_join_element_wise(mon, day, hms, " ")
-    if fmt == "date-unix":
+    if fmt in ("date-unix", "date-unixtimestamp"):
         return pc.cast(pc.divide(pc.cast(arr, pa.int64()), 1_000_000), pa.string())
+    if fmt == "date-mysql":            # datetime.c:825 YYYYMMDDhhmmss
+        return pc.strftime(secs, format="%Y%m%d%H%M%S")
+    if fmt == "date-pgsql":            # datetime.c:856
+        return pc.strftime(secs, format="%Y-%m-%d %H:%M:%S")
+    if fmt == "date-rfc3164-buggyday":  # zero-padded day (msg.c:1796)
+        return pc.strftime(secs, format="%b %d %H:%M:%S")
+    if fmt == "date-subseconds":       # datetime.c:896 (us precision → 6)
+        us = _pc_mod_u64(pc.cast(pc.cast(arr, pa.int64()), pa.uint64()),
+                         1_000_000)
+        return pc.ascii_lpad(pc.cast(pc.cast(us, pa.int64()), pa.string()),
+                             6, "0")
+    if fmt == "date-year":
+        return pc.strftime(secs, format="%Y")
+    if fmt == "date-month":
+        return pc.strftime(secs, format="%m")
+    if fmt == "date-day":
+        return pc.strftime(secs, format="%d")
+    if fmt == "date-hour":
+        return pc.strftime(secs, format="%H")
+    if fmt == "date-minute":
+        return pc.strftime(secs, format="%M")
+    if fmt == "date-second":
+        return pc.strftime(secs, format="%S")
+    if fmt in ("date-tzoffshour", "date-tzoffsmin"):
+        # engine timestamps are UTC-naive (sanitize normalizes) → 00
+        return pa.array(np.full(len(arr), "00", dtype=object), pa.string())
+    if fmt == "date-tzoffsdirection":
+        return pa.array(np.full(len(arr), "+", dtype=object), pa.string())
+    if fmt in ("date-wday", "date-wdayname", "date-week", "date-ordinal"):
+        return _format_wday_week(secs, fmt)
     raise ValueError(f"unknown time format {fmt!r}")
+
+
+_WDAY_NAMES = np.asarray(["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"],
+                         dtype=object)
+
+
+def _format_wday_week(secs: pa.Array, fmt: str) -> pa.Array:
+    """rsyslog weekday/week renderings (runtime/datetime.c:1176-1266):
+    weekday 0=Sunday via the reference's own Zeller-style formula; week =
+    ((yday0 + 6) // 7) + (dow < jan1dow) zero-padded to two digits;
+    ordinal = 1-based day-of-year zero-padded to three."""
+    y = pc.year(secs).to_numpy(zero_copy_only=False).astype(np.int64)
+    m = pc.month(secs).to_numpy(zero_copy_only=False).astype(np.int64)
+    d = pc.day(secs).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def wday(yy, mm, dd):
+        g = np.where(mm < 3, yy - 1, yy)
+        f = np.where(mm < 3, mm + 13, mm + 1)
+        return ((36525 * g) // 100 + (306 * f) // 10 + dd - 621049) % 7
+
+    if fmt == "date-wday":
+        return pa.array(wday(y, m, d).astype(str), pa.string())
+    if fmt == "date-wdayname":
+        return pa.array(_WDAY_NAMES[wday(y, m, d)], pa.string())
+    yday0 = (pc.day_of_year(secs).to_numpy(zero_copy_only=False)
+             .astype(np.int64) - 1)
+    if fmt == "date-ordinal":
+        return pc.ascii_lpad(pa.array((yday0 + 1).astype(str), pa.string()),
+                             3, "0")
+    week = (yday0 + 6) // 7 + (wday(y, m, d)
+                               < wday(y, np.ones_like(m), np.ones_like(d)))
+    return pc.ascii_lpad(pa.array(week.astype(str), pa.string()), 2, "0")
 
 
 def is_time(arr, fmt: str = "rfc3339") -> pa.Array:

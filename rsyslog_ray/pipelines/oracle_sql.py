@@ -408,12 +408,42 @@ r AS (
 )
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx FROM r WHERE rn <= 5"""
 
-    q["template_opts"] = pc_ + """
+    # secpath-replace on hostname: '/'→'_', then ''→'_', '.'→'_', '..'→'_.'
+    _secpath_h = ("CASE replace(hostname, '/', '_') WHEN '' THEN '_' "
+                  "WHEN '.' THEN '_' WHEN '..' THEN '_.' "
+                  "ELSE replace(hostname, '/', '_') END")
+    q["template_opts"] = pc_ + f"""
 SELECT conv_id, turn_idx,
   upper(hostname) || '|' || substr(msg, 2, 11) || '|'
   || CASE WHEN length(msg) - length(replace(msg, ':', '')) >= 1
           THEN split_part(msg, ':', 2) ELSE '***FIELD NOT FOUND***' END
-  || '|' || CAST(epoch_us(ts_reported) // 1000000 AS VARCHAR) AS rendered
+  || '|' || CAST(epoch_us(ts_reported) // 1000000 AS VARCHAR)
+  || '|' || regexp_extract(msg, 'msgnum.([0-9]+)', 1)
+  || '|' || rpad(substr(msg, 1, 6), 6, ' ')
+  || '|' || right(msg, 4)
+  || '|' || strftime(ts_reported, '%Y%m%d%H%M%S')
+  || '|' || strftime(ts_reported, '%a')
+  || '|' || {_secpath_h} AS rendered
+FROM parsed"""
+
+    _FACS = ("['kern','user','mail','daemon','auth','syslog','lpr','news',"
+             "'uucp','cron','authpriv','ftp','ntp','audit','alert','clock',"
+             "'local0','local1','local2','local3','local4','local5',"
+             "'local6','local7']")
+    _SEVS = ("['emerg','alert','crit','err','warning','notice','info',"
+             "'debug']")
+    q["properties"] = pc_ + f"""
+SELECT conv_id, turn_idx,
+  list_extract({_FACS}, CAST(facility AS INTEGER) + 1) AS fac_text,
+  list_extract({_SEVS}, CAST(severity AS INTEGER) + 1) AS sev_text,
+  list_extract({_FACS}, CAST(facility AS INTEGER) + 1) || '.'
+    || list_extract({_SEVS}, CAST(severity AS INTEGER) + 1) AS pri_text,
+  strftime(ts, '%Y-%m-%d') AS now_day,
+  CAST(minute(ts) // 30 AS VARCHAR) AS hhour,
+  CAST(minute(ts) // 15 AS VARCHAR) AS qhour,
+  CAST(dayofweek(ts) AS VARCHAR) AS wday,
+  '127.0.0.1' AS fromhost_ip,
+  'imfile' AS inputname
 FROM parsed"""
 
     q["prifilt"] = pc_ + """

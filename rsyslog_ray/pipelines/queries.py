@@ -342,12 +342,18 @@ def q_token_bucket(sf_dir: str) -> pa.Table:
 
 
 TPL_OPTS_SPEC = ("%HOSTNAME:::uppercase%|%msg:2:12%|%msg:F,58:2%|"
-                 "%TIMESTAMP:::date-unix%")
+                 "%TIMESTAMP:::date-unix%|"
+                 "%msg:R,ERE,1,BLANK:msgnum.([0-9]+)--end%|"
+                 "%msg:1:6:fixed-width%|%msg:4:1:pos-end-relative%|"
+                 "%TIMESTAMP:::date-mysql%|%TIMESTAMP:::date-wdayname%|"
+                 "%HOSTNAME:::secpath-replace%")
 
 
 def q_template_opts(sf_dir: str) -> pa.Table:
     """Property-replacer options: substring FromPos:ToPos, field F,ch:N,
-    case conversion, date-unix (§2.5 template.h:77-148)."""
+    case conversion, date-unix, regex submatch extraction w/ nomatch
+    policy, fixed-width + end-relative positions, date-mysql/wdayname,
+    secpath (§2.5 template.h:62-148, template.c:839-930)."""
     from ..templates import Template
     tpl = Template(TPL_OPTS_SPEC, name="opts")
     ds = _parsed(sf_dir)
@@ -356,6 +362,31 @@ def q_template_opts(sf_dir: str) -> pa.Table:
         return pa.table({"conv_id": batch["conv_id"],
                          "turn_idx": batch["turn_idx"],
                          "rendered": tpl.render(batch)})
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_properties(sf_dir: str) -> pa.Table:
+    """Named-property surface (§1.1 runtime/typedefs.h:193-246): facility/
+    severity text names, pri-text, $now*/$hhour/$qhour/$wday system
+    buckets, fromhost-ip, inputname — all rendered per row."""
+    from ..expr import PropertyRegistry
+    ds = _parsed(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        p = PropertyRegistry(batch)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "fac_text": p.get("syslogfacility-text"),
+            "sev_text": p.get("syslogseverity-text"),
+            "pri_text": p.get("pri-text"),
+            "now_day": p.get("$now"),
+            "hhour": p.get("$hhour"),
+            "qhour": p.get("$qhour"),
+            "wday": p.get("$wday"),
+            "fromhost_ip": p.get("fromhost-ip"),
+            "inputname": p.get("inputname"),
+        })
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 

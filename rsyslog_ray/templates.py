@@ -63,9 +63,43 @@ class TplEntry:
     field_delim: str | None = None
     field_n: int | None = None
     options: list[str] = dfield(default_factory=list)
+    # regex extraction (template.c:839-930 "R" FromPos):
+    re_pattern: str | None = None
+    re_type: str = "BRE"           # BRE | ERE (template.h tplRegexType)
+    re_submatch: int = 0
+    re_match: int = 0
+    re_nomatch: str = "DFLT"       # DFLT | BLANK | FIELD | ZERO
 
 
 _PROP_RE = re.compile(r"%([^%]*)%")
+
+_NOMATCH_KEYWORDS = ("DFLT", "BLANK", "FIELD", "ZERO")
+
+
+def _parse_regex_spec(e: TplEntry, body: str) -> None:
+    """'name:R[,BRE|ERE][,submatch][,nomatch][,match]:regex--end[:options]'
+    (template.c:839-930). The regex lives in the ToPos slot, terminated by
+    the literal '--end' (template.c:1019-1027)."""
+    flags_part, _, rest = body.partition(":")  # flags_part = 'R,...'
+    idx = rest.find("--end")
+    if idx < 0:
+        raise ValueError(f"template regex missing '--end': %{body}%")
+    e.re_pattern = rest[:idx]
+    tail = rest[idx + 5:]
+    if tail.startswith(":"):
+        e.options = [o.strip() for o in tail[1:].split(",") if o.strip()]
+    digits_seen = 0
+    for tok in flags_part.split(",")[1:]:
+        if tok in ("BRE", "ERE"):
+            e.re_type = tok
+        elif tok in _NOMATCH_KEYWORDS:
+            e.re_nomatch = tok
+        elif tok.isdigit():
+            if digits_seen == 0:
+                e.re_submatch = int(tok)
+            else:
+                e.re_match = int(tok)
+            digits_seen += 1
 
 
 def parse_template(tpl: str) -> list[TplEntry]:
@@ -79,6 +113,11 @@ def parse_template(tpl: str) -> list[TplEntry]:
         name = parts[0]
         e = TplEntry("prop", prop=name.lower())
         if len(parts) > 1 and parts[1]:
+            if parts[1].startswith("R"):
+                _parse_regex_spec(e, body.partition(":")[2])
+                entries.append(e)
+                pos = m.end()
+                continue
             if parts[1].startswith("F"):
                 # field mode: F or F,<delimiter char code>
                 ch = 9  # default TAB (template.c field mode default)
@@ -99,6 +138,108 @@ def parse_template(tpl: str) -> list[TplEntry]:
     return entries
 
 
+def _bre_to_ere(pat: str) -> str:
+    """POSIX BRE → ERE: in BRE, unescaped ()|+?{} are literals and the
+    escaped forms are operators — swap the escapedness. Char classes pass
+    through untouched."""
+    out = []
+    i, n = 0, len(pat)
+    in_class = False
+    swap = set("()|+?{}")
+    while i < n:
+        c = pat[i]
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+        elif c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+        elif c == "\\" and i + 1 < n and pat[i + 1] in swap:
+            out.append(pat[i + 1])           # \( → ( operator
+            i += 2
+        elif c in swap:
+            out.append("\\" + c)             # ( → \( literal
+            i += 1
+        else:
+            out.append(pat[i:i + 2] if c == "\\" and i + 1 < n else c)
+            i += 2 if c == "\\" and i + 1 < n else 1
+    return "".join(out)
+
+
+def _name_groups(pat: str) -> tuple[str, int]:
+    """Rename unnamed capture groups to g1..gN (pc.extract_regex requires
+    named groups) and wrap the whole pattern as g0; returns (pattern,
+    n_groups). Group numbers follow opening-paren order = POSIX submatch
+    numbering."""
+    out = []
+    i, n = 0, len(pat)
+    in_class = False
+    gi = 0
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+            out.append(c)
+        elif c == "(" and pat[i + 1:i + 2] != "?":
+            gi += 1
+            out.append(f"(?P<g{gi}>")
+        else:
+            out.append(c)
+        i += 1
+    return "(?P<g0>" + "".join(out) + ")", gi
+
+
+def _regex_extract(val: pa.Array, e: TplEntry) -> pa.Array:
+    """Property-replacer regex extraction (runtime/msg.c:3990-4100):
+    take match #re_match, submatch #re_submatch; apply the nomatch policy
+    (DFLT '**NO MATCH**' / BLANK / WHOLE FIELD / ZERO) when the regex does
+    not match. ERE runs vectorized on RE2 (match 0); BRE is translated to
+    ERE first; match #>0 falls back to a pandas extractall pass."""
+    pat = e.re_pattern or ""
+    if e.re_type == "BRE":
+        pat = _bre_to_ere(pat)
+    named, ngroups = _name_groups(pat)
+    sub = min(e.re_submatch, ngroups)
+    gname = f"g{sub}"
+    if e.re_match == 0:
+        st = pc.extract_regex(val, pattern=named)
+        matched = pc.is_valid(st)
+        got = pc.fill_null(st.field(gname), "")
+    else:
+        import pandas as pd
+        s = pd.Series(val.to_pandas(), dtype="string").fillna("")
+        all_m = s.str.extractall(named)
+        want = all_m.xs(e.re_match, level="match", drop_level=True) \
+            if e.re_match in all_m.index.get_level_values("match") \
+            else all_m.iloc[0:0]
+        col = want[gname] if gname in want.columns else want.iloc[:, 0]
+        out = pd.Series([None] * len(s), dtype="object")
+        out.iloc[col.index] = col.to_numpy(dtype=object)
+        got_pd = pa.array(out.tolist(), pa.string())
+        matched = pc.is_valid(got_pd)
+        got = pc.fill_null(got_pd, "")
+    if e.re_nomatch == "BLANK":
+        nomatch_val = pa.scalar("")
+    elif e.re_nomatch == "ZERO":
+        nomatch_val = pa.scalar("0")
+    elif e.re_nomatch == "FIELD":
+        nomatch_val = val
+    else:
+        nomatch_val = pa.scalar("**NO MATCH**")   # msg.c:4044
+    return pc.if_else(matched, got, nomatch_val)
+
+
 def _json_escape(arr: pa.Array) -> pa.Array:
     """Vectorized JSON string escape for \\ and \" (control chars were
     octal-escaped at sanitize — template.h:48-53 JSON escape mode)."""
@@ -111,14 +252,57 @@ def _csv_quote(arr: pa.Array) -> pa.Array:
     return pc.binary_join_element_wise(pa.scalar('"'), doubled, pa.scalar('"'), "")
 
 
-def _render_entry(e: TplEntry, props: PropertyRegistry, n: int):
+_CC_RE = r"[\x00-\x1f\x7f]"
+
+
+def _escape_cc(val: pa.Array) -> pa.Array:
+    """'escape-cc': control chars → '#' + 3-digit octal (runtime/msg.c
+    bEscapeCC). Regex-found chars are few post-sanitize; the replacement
+    callable runs only on matches (pandas C match loop)."""
+    import re as _re
+    import pandas as pd
+    s = pd.Series(val.to_pandas(), dtype="string")
+    out = s.str.replace(_re.compile(_CC_RE),
+                        lambda m: "#%03o" % ord(m.group(0)), regex=True)
+    return pa.array(out.astype(object), pa.string())
+
+
+def _secpath(val: pa.Array, mode: str) -> pa.Array:
+    """secpath-drop / secpath-replace (runtime/msg.c:4366-4456): drop or
+    '_'-replace slashes, then map '' → '_', '.' → '_', '..' → '_.' so the
+    value is safe as a filesystem path component."""
+    if mode == "drop":
+        val = pc.replace_substring(val, pattern="/", replacement="")
+    else:
+        val = pc.replace_substring(val, pattern="/", replacement="_")
+    val = pc.if_else(pc.equal(val, ""), pa.scalar("_"), val)
+    val = pc.if_else(pc.equal(val, "."), pa.scalar("_"), val)
+    return pc.if_else(pc.equal(val, ".."), pa.scalar("_."), val)
+
+
+def _sql_escape(arr: pa.Array, mode: str) -> pa.Array:
+    """template.c doEscape: 'sql' (MySQL-style: \\ and ' get backslash-
+    escaped), 'stdsql' (' doubled), 'json' (\\ and \" escaped)."""
+    if mode == "stdsql":
+        return pc.replace_substring(arr, pattern="'", replacement="''")
+    if mode == "sql":
+        arr = pc.replace_substring(arr, pattern="\\", replacement="\\\\")
+        return pc.replace_substring(arr, pattern="'", replacement="\\'")
+    if mode == "json":
+        return _json_escape(arr)
+    return arr
+
+
+def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
+                  escape: str | None = None):
     if e.kind == "const":
         return e.text
     val = props.get(e.prop)
     if isinstance(val, pa.ChunkedArray):
         val = val.combine_chunks()
     is_ts = pa.types.is_timestamp(val.type)
-    dateopt = next((o for o in e.options if o.startswith("date-")), None)
+    dateopt = next((o for o in e.options if o.startswith("date-")
+                    and o != "date-utc"), None)
     if is_ts:
         val = format_time(val, dateopt or "date-rfc3164")
     elif pa.types.is_boolean(val.type):
@@ -126,11 +310,28 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int):
     elif not (pa.types.is_string(val.type) or pa.types.is_large_string(val.type)):
         val = pc.cast(val, pa.string())
     val = pc.fill_null(pc.cast(val, pa.string()), "")
+    if e.re_pattern is not None:
+        val = _regex_extract(val, e)
     if e.field_delim is not None:
         val = field_fn(val, e.field_delim, e.field_n or 1)
     if e.frompos is not None:
-        val = pc.utf8_slice_codeunits(val, e.frompos - 1,
-                                      e.topos if e.topos is not None else 2**30)
+        fixed = "fixed-width" in e.options
+        if "pos-end-relative" in e.options:
+            # runtime/msg.c:4128: iFrom = len-from, iTo = len-to (negative
+            # python-style indices give the same clamped window)
+            start = -e.frompos
+            stop = (-(e.topos - 1) if e.topos and e.topos > 1 else 2**30)
+            val = pc.utf8_slice_codeunits(val, start, stop)
+            width = (e.frompos - (e.topos or 1) + 1)
+        else:
+            val = pc.utf8_slice_codeunits(
+                val, e.frompos - 1,
+                e.topos if e.topos is not None else 2**30)
+            width = ((e.topos - e.frompos + 1)
+                     if e.topos is not None else None)
+        if fixed and width and width > 0:
+            # space-pad to the full window (msg.c:4158-4185 bFixedWidth)
+            val = pc.utf8_rpad(val, width, " ")
     for o in e.options:
         if o == "lowercase":
             val = pc.utf8_lower(val)
@@ -142,25 +343,47 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int):
                              pa.scalar(""), pa.scalar(" "))
         elif o == "drop-last-lf":
             val = pc.replace_substring_regex(val, pattern=r"\n$", replacement="")
+        elif o == "drop-cc":
+            val = pc.replace_substring_regex(val, pattern=_CC_RE,
+                                             replacement="")
+        elif o == "space-cc":
+            val = pc.replace_substring_regex(val, pattern=_CC_RE,
+                                             replacement=" ")
+        elif o == "escape-cc":
+            val = _escape_cc(val)
+        elif o == "compressspace":
+            val = pc.replace_substring_regex(val, pattern="  +",
+                                             replacement=" ")
+        elif o == "secpath-drop":
+            val = _secpath(val, "drop")
+        elif o == "secpath-replace":
+            val = _secpath(val, "replace")
         elif o == "json":
             val = _json_escape(val)
         elif o == "csv":
             val = _csv_quote(val)
+    if escape and not isinstance(val, str):
+        val = _sql_escape(val, escape)
     return val
 
 
 class Template:
-    """A compiled template; call .render(batch) → large_string column."""
+    """A compiled template; call .render(batch) → large_string column.
 
-    def __init__(self, spec: str, name: str = ""):
+    `escape` = template-level option.sql / option.stdsql / option.json
+    (template.h optFormatEscape, applied per field by tplToString:215)."""
+
+    def __init__(self, spec: str, name: str = "", escape: str | None = None):
         self.name = name or spec
         self.spec = BUILTIN_TEMPLATES.get(spec, spec)
         self.entries = parse_template(self.spec)
+        self.escape = escape
 
     def render(self, batch: pa.Table) -> pa.Array:
         props = PropertyRegistry(batch)
         n = batch.num_rows
-        parts = [_render_entry(e, props, n) for e in self.entries]
+        parts = [_render_entry(e, props, n, self.escape)
+                 for e in self.entries]
         arrays = []
         for p in parts:
             if isinstance(p, str):

@@ -1,0 +1,151 @@
+"""Template property-replacer option surface (templates.py).
+
+Goldens follow template.c:839-930 (regex FromPos), template.h:62-68 (date
+formats), runtime/msg.c:3936-4600 (option application order), doEscape
+(template.c:341-450 SQL modes).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rsyslog_ray.expr import PropertyRegistry
+from rsyslog_ray.templates import Template, _bre_to_ere, parse_template
+
+
+def _batch(msgs, ts="2024-03-06T16:57:54.123456"):
+    n = len(msgs)
+    return pa.table({
+        "msg": pa.array(msgs, pa.string()),
+        "hostname": pa.array([f"h-{i}" for i in range(n)]),
+        "tag": pa.array([""] * n), "appname": pa.array(["app"] * n),
+        "ts_reported": pa.array(np.array([ts] * n, dtype="datetime64[us]")),
+        "ts": pa.array(np.array([ts] * n, dtype="datetime64[us]")),
+        "facility": pa.array([16] * n, pa.int64()),
+        "severity": pa.array([3] * n, pa.int64()),
+        "conv_id": pa.array([f"c{i}" for i in range(n)]),
+        "turn_idx": pa.array(list(range(n)), pa.int32()),
+        "text": pa.array(msgs, pa.string()),
+    })
+
+
+def test_regex_spec_parsing():
+    [e] = parse_template("%msg:R,ERE,1,BLANK,0:port ([0-9]+)--end%")
+    assert (e.re_type, e.re_submatch, e.re_nomatch, e.re_match) == \
+        ("ERE", 1, "BLANK", 0)
+    assert e.re_pattern == "port ([0-9]+)"
+    [e2] = parse_template("%msg:R:x.*y--end%")      # all-default flags
+    assert (e2.re_type, e2.re_submatch, e2.re_nomatch) == ("BRE", 0, "DFLT")
+
+
+def test_regex_extract_nomatch_policies():
+    b = _batch(["port 8080 open", "nothing here"])
+    for policy, expect in (("BLANK", ""), ("ZERO", "0"),
+                           ("FIELD", "nothing here"),
+                           ("DFLT", "**NO MATCH**")):
+        t = Template(f"%msg:R,ERE,1,{policy}:port ([0-9]+)--end%")
+        got = t.render(b).to_pylist()
+        assert got == ["8080", expect], policy
+
+
+def test_regex_bre_translation():
+    # BRE: \( \) are groups, bare parens are literals
+    assert _bre_to_ere(r"a\(b+c\)d") == "a(b\\+c)d"
+    b = _batch(["num 42!", "(literal)"])
+    t = Template(r"%msg:R,BRE,1,BLANK:num \([0-9]*\)--end%")
+    assert t.render(b).to_pylist() == ["42", ""]
+    t2 = Template(r"%msg:R,BRE,0,BLANK:(literal)--end%")  # literal parens
+    assert t2.render(b).to_pylist() == ["", "(literal)"]
+
+
+def test_regex_match_number():
+    b = _batch(["a=1 a=2 a=3"])
+    t = Template("%msg:R,ERE,1,BLANK,1:a=([0-9])--end%")   # match #1 = 2nd
+    assert t.render(b).to_pylist() == ["2"]
+
+
+def test_date_formats():
+    b = _batch(["x"])
+    spec = ("%TIMESTAMP:::date-mysql%|%TIMESTAMP:::date-pgsql%|"
+            "%TIMESTAMP:::date-wdayname%|%TIMESTAMP:::date-wday%|"
+            "%TIMESTAMP:::date-ordinal%|%TIMESTAMP:::date-week%|"
+            "%TIMESTAMP:::date-subseconds%|%TIMESTAMP:::date-year%|"
+            "%TIMESTAMP:::date-month%|%TIMESTAMP:::date-day%|"
+            "%TIMESTAMP:::date-hour%|%TIMESTAMP:::date-minute%|"
+            "%TIMESTAMP:::date-second%|%TIMESTAMP:::date-tzoffshour%|"
+            "%TIMESTAMP:::date-tzoffsdirection%|"
+            "%TIMESTAMP:::date-rfc3164-buggyday%")
+    got = Template(spec).render(b)[0].as_py()
+    assert got == ("20240306165754|2024-03-06 16:57:54|Wed|3|066|10|123456|"
+                   "2024|03|06|16|57|54|00|+|Mar 06 16:57:54")
+
+
+def test_fixed_width_and_end_relative():
+    b = _batch(["abcdef", "ab"])
+    t = Template("[%msg:1:4:fixed-width%]")
+    assert t.render(b).to_pylist() == ["[abcd]", "[ab  ]"]
+    t2 = Template("[%msg:3:1:pos-end-relative%]")
+    assert t2.render(b).to_pylist() == ["[def]", "[ab]"]
+
+
+def test_cc_and_space_options():
+    b = _batch(["a\x01b  c"])
+    assert Template("%msg:::drop-cc%").render(b)[0].as_py() == "ab  c"
+    assert Template("%msg:::space-cc%").render(b)[0].as_py() == "a b  c"
+    assert Template("%msg:::escape-cc%").render(b)[0].as_py() == "a#001b  c"
+    assert Template("%msg:::compressspace%").render(b)[0].as_py() == "a\x01b c"
+
+
+def test_secpath_options():
+    b = _batch(["../etc/passwd", ".", "..", ""])
+    assert Template("%msg:::secpath-replace%").render(b).to_pylist() == \
+        [".._etc_passwd", "_", "_.", "_"]
+    assert Template("%msg:::secpath-drop%").render(b).to_pylist() == \
+        ["..etcpasswd", "_", "_.", "_"]
+
+
+def test_sql_escape_modes():
+    b = _batch(["it's \\a"])
+    assert Template("%msg%", escape="stdsql").render(b)[0].as_py() == \
+        "it''s \\a"
+    assert Template("%msg%", escape="sql").render(b)[0].as_py() == \
+        "it\\'s \\\\a"
+    assert Template("%msg%", escape="json").render(b)[0].as_py() == \
+        "it's \\\\a"
+
+
+def test_property_registry_text_and_buckets():
+    b = _batch(["m"])
+    p = PropertyRegistry(b)
+    assert p.get("syslogfacility-text")[0].as_py() == "local0"
+    assert p.get("syslogseverity-text")[0].as_py() == "err"
+    assert p.get("pri-text")[0].as_py() == "local0.err"
+    assert p.get("$now")[0].as_py() == "2024-03-06"
+    assert p.get("$hhour")[0].as_py() == "1"     # minute 57 → half-hour 1
+    assert p.get("$qhour")[0].as_py() == "3"     # minute 57 → quarter 3
+    assert p.get("$wday")[0].as_py() == "3"      # Wednesday, 0=Sunday
+    assert p.get("fromhost")[0].as_py() == "h-0"
+    assert p.get("fromhost-ip")[0].as_py() == "127.0.0.1"
+    assert p.get("inputname")[0].as_py() == "imfile"
+    assert p.get("$bom")[0].as_py() == "﻿"
+
+
+def test_uuid_deterministic_and_distinct():
+    b = _batch(["m", "m"])
+    p = PropertyRegistry(b)
+    u = p.get("uuid").to_pylist()
+    assert u == PropertyRegistry(b).get("uuid").to_pylist()
+    assert u[0] != u[1] and len(u[0]) == 36
+
+
+def test_jsonmesg_valid_json():
+    import json
+    b = _batch(['body "quoted"'])
+    doc = json.loads(PropertyRegistry(b).get("jsonmesg")[0].as_py())
+    assert doc["msg"] == 'body "quoted"'
+    assert doc["syslogfacility"] == 16
+
+
+def test_unknown_property_raises():
+    with pytest.raises(KeyError):
+        PropertyRegistry(_batch(["m"])).get("no-such-prop")
