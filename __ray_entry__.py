@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mm* modifiers / dynstats / ratelimit / templates (§2.4-2.8)
         "mmfields": Q.q_mmfields,
         "mmanon": Q.q_mmanon,
+        "mmanon_modes": Q.q_mmanon_modes,
+        "exec_interval": Q.q_exec_interval,
         "sd_params": Q.q_sd_params,
         "dynstats_tool": Q.q_dynstats_tool,
         "rate_window": Q.q_rate_window,

@@ -59,6 +59,7 @@ register_stage("mmjsonparse", _enrich_mod.mmjsonparse_table)
 register_stage("mmfields", _enrich_mod.mmfields_table)
 register_stage("mmpstrucdata", _enrich_mod.mmpstrucdata_table)
 register_stage("mmanon", _enrich_mod.mmanon_table)
+register_stage("mmanon_ipv6", _enrich_mod.mmanon_ipv6_table)
 register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
 
 

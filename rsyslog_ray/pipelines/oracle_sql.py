@@ -356,6 +356,56 @@ SELECT doc_id,
     '\1.\2.0.0', 'g') AS line
 FROM documents"""
 
+    # zero12: (ip >> 12) << 12 via integer arithmetic on the octets the
+    # line was synthesized from; simple16: digits of the last two octets
+    # overwritten with 'x' preserving text layout (mmanon.c simpleAnon)
+    q["mmanon_modes"] = """
+WITH b AS (
+  SELECT doc_id,
+    1 + doc_id % 223 AS o1, doc_id % 191 AS o2,
+    doc_id % 157 AS o3, doc_id % 119 AS o4,
+    doc_id % 250 AS e3,
+    substr(text, 1, 16) AS tail
+  FROM documents
+),
+z AS (
+  SELECT *,
+    ((o1*16777216 + o2*65536 + o3*256 + o4) // 4096) * 4096 AS z1,
+    ((10*16777216 + e3*256 + 7) // 4096) * 4096 AS z2
+  FROM b
+)
+SELECT doc_id,
+  'src=' || CAST(z1 // 16777216 % 256 AS VARCHAR) || '.'
+         || CAST(z1 // 65536 % 256 AS VARCHAR) || '.'
+         || CAST(z1 // 256 % 256 AS VARCHAR) || '.'
+         || CAST(z1 % 256 AS VARCHAR)
+  || ' dst=' || CAST(z2 // 16777216 % 256 AS VARCHAR) || '.'
+             || CAST(z2 // 65536 % 256 AS VARCHAR) || '.'
+             || CAST(z2 // 256 % 256 AS VARCHAR) || '.'
+             || CAST(z2 % 256 AS VARCHAR)
+  || ' ' || tail AS zero12,
+  'src=' || CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+         || repeat('x', length(CAST(o3 AS VARCHAR))) || '.'
+         || repeat('x', length(CAST(o4 AS VARCHAR)))
+  || ' dst=10.0.' || repeat('x', length(CAST(e3 AS VARCHAR))) || '.x'
+  || ' ' || tail AS simple16
+FROM z"""
+
+    # exec_interval: the transcripts fixture spaces consecutive turns of a
+    # conv EXACTLY 1 s apart (datagen.py: ts = BASE + seq·1s with convs
+    # contiguous in seq), so "≥45 s since last emission" reduces to every
+    # 45th turn. The general sequential semantics are pinned by the Python
+    # oracle in tests/test_ratelimit.py; this SQL is the driver-side
+    # equivalence ON THIS DATA.
+    q["exec_interval"] = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM read_parquet('{src}')
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+FROM w WHERE (rn - 1) % 45 = 0"""
+
     # element pattern is the engine's _SD_ELEM verbatim (group 0 = whole
     # element); params are extracted twice (names, values) and unnested in
     # lockstep; unescape order matches parse_structured_data exactly

@@ -263,6 +263,38 @@ def q_mmanon(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+def q_mmanon_modes(sf_dir: str) -> pa.Table:
+    """mmanon non-octet zero mode (bits=12 → arithmetic mask + canonical
+    re-render) and simple mode (digit overwrite preserving layout), §2.6
+    mmanon.c:624-641/739-755. Same synthesized IP line as q_mmanon."""
+    from ..stages.enrich import mmanon_table
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.utf8_slice_codeunits(pc.cast(batch["text"], pa.string()), 0, 16)
+        ips = ["src=%d.%d.%d.%d dst=10.0.%d.7 " %
+               (1 + i % 223, i % 191, i % 157, i % 119, i % 250) for i in ids]
+        val = pc.binary_join_element_wise(pa.array(ips, pa.string()), txt, "")
+        t = pa.table({"doc_id": batch["doc_id"], "line": val})
+        z = mmanon_table(t, col="line", mode="zero", bits=12)["line"]
+        s = mmanon_table(t, col="line", mode="simple", bits=16)["line"]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "zero12": z, "simple16": s})
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_exec_interval(sf_dir: str) -> pa.Table:
+    """execOnlyOnceEveryInterval (action.c:408): at most one emission per
+    45 s per conv, interval measured from the last emission."""
+    from ..stages.ratelimit import exec_once_per_interval
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "ts"])
+    out = exec_once_per_interval(ds, interval_s=45)
+    return _to_table(out.select_columns(["conv_id", "turn_idx"]))
+
+
 def q_sd_params(sf_dir: str) -> pa.Table:
     """mmpstrucdata: RFC5424 STRUCTURED-DATA → exploded (sd_id, pname,
     pvalue) rows — flat_map explode (§2.6, foreach §2.3)."""

@@ -157,16 +157,102 @@ def mmpstrucdata_table(batch: pa.Table, col: str = "structured_data") -> pa.Tabl
 _IPV4_RE = r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b"
 
 
+def _anon_rand(ip_num: int, bits: int, seed: int) -> int:
+    """Deterministic stand-in for the reference's rand_r low-bits fill
+    (mmanon.c:624-641 RANDOMINT): derived from the ORIGINAL address, so
+    the same input maps to the same output (random-consistent semantics,
+    mmanon.c:700-735 findip) and the oracle/conformance contract holds.
+    Documented deviation: the reference draws a fresh random per new IP."""
+    import hashlib
+    h = hashlib.sha1(f"{seed}:{ip_num}".encode()).digest()
+    return int.from_bytes(h[:4], "big") & ((1 << bits) - 1)
+
+
 def mmanon_table(batch: pa.Table, col: str = "msg", mode: str = "zero",
-                 bits: int = 16) -> pa.Table:
-    """zero mode with bits=16 → a.b.0.0 (the reference's default octet
-    zeroing); implemented as one RE2 pass."""
-    if mode != "zero" or bits not in (8, 16, 24, 32):
-        raise NotImplementedError("only zero mode with octet-aligned bits")
-    keep = 4 - bits // 8
-    repl = ".".join([f"\\{i+1}" for i in range(keep)] + ["0"] * (bits // 8))
-    out = pc.replace_substring_regex(
-        pc.cast(batch[col], pa.string()), pattern=_IPV4_RE, replacement=repl)
+                 bits: int = 16, replace_char: str = "x",
+                 seed: int = 4242) -> pa.Table:
+    """IPv4 anonymization (plugins/mmanon/mmanon.c:53-126, code_int
+    :624-641, simpleAnon :739-755):
+
+    - zero: num = (ip >> bits) << bits, re-rendered. Octet-aligned bits run
+      as ONE vectorized RE2 pass; arbitrary bit counts take the per-match
+      path (canonical re-render, like the reference's REWRITE_MODE).
+    - random / random-consistent: zeroed high bits + deterministic
+      hash-derived low bits (consistent per input IP; see _anon_rand).
+    - simple: overwrite the DIGITS of the last bits/8 octets with
+      `replace_char`, preserving text layout (SIMPLE_MODE in-place).
+    """
+    src = pc.cast(batch[col], pa.string())
+    if mode == "zero" and bits in (8, 16, 24, 32):
+        keep = 4 - bits // 8
+        repl = ".".join([f"\\{i+1}" for i in range(keep)]
+                        + ["0"] * (bits // 8))
+        out = pc.replace_substring_regex(src, pattern=_IPV4_RE,
+                                         replacement=repl)
+        return batch.set_column(batch.schema.get_field_index(col), col,
+                                pc.cast(out, batch[col].type))
+    if mode not in ("zero", "random", "random-consistent", "simple"):
+        raise ValueError(f"unknown mmanon mode {mode!r}")
+    import pandas as pd
+    rex = re.compile(_IPV4_RE)
+    n_oct = max(0, min(4, bits // 8 + (1 if bits % 8 else 0)))
+
+    def fix(m: re.Match) -> str:
+        octs = [int(x) for x in m.groups()]
+        if any(o > 255 for o in octs):
+            return m.group(0)       # not a valid address — leave untouched
+        if mode == "simple":
+            parts = m.group(0).split(".")
+            for i in range(4 - n_oct, 4):
+                parts[i] = replace_char * len(parts[i])
+            return ".".join(parts)
+        num = (octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]
+        num = (num >> bits) << bits
+        if mode.startswith("random"):
+            num += _anon_rand((octs[0] << 24) | (octs[1] << 16)
+                              | (octs[2] << 8) | octs[3], bits, seed)
+        return f"{num >> 24 & 255}.{num >> 16 & 255}" \
+               f".{num >> 8 & 255}.{num & 255}"
+
+    s = pd.Series(src.to_pandas(), dtype="string").fillna("")
+    out = pa.array(s.str.replace(rex, fix, regex=True).astype(object),
+                   pa.string())
+    return batch.set_column(batch.schema.get_field_index(col), col,
+                            pc.cast(out, batch[col].type))
+
+
+# liberal candidate pattern; every match is validated by ipaddress before
+# rewriting (the reference's getipv6 does its own strict parse)
+_IPV6_RE = r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]*(?:[0-9A-Fa-f]{1,4})?\b"
+
+
+def mmanon_ipv6_table(batch: pa.Table, col: str = "msg",
+                      mode: str = "zero", bits: int = 96,
+                      seed: int = 4242) -> pa.Table:
+    """IPv6 anonymization (mmanon.c ipv6.* params): zero the low `bits`
+    (or fill them hash-deterministically for random-consistent), re-render
+    canonically via the stdlib ipaddress module. Per-match Python on regex
+    candidates only — v6 literals are rare in log text."""
+    if mode not in ("zero", "random-consistent", "random"):
+        raise ValueError(f"unknown mmanon ipv6 mode {mode!r}")
+    import ipaddress
+    import pandas as pd
+    rex = re.compile(_IPV6_RE)
+
+    def fix(m: re.Match) -> str:
+        try:
+            addr = ipaddress.IPv6Address(m.group(0))
+        except ValueError:
+            return m.group(0)
+        num = (int(addr) >> bits) << bits
+        if mode.startswith("random"):
+            num += _anon_rand(int(addr), min(bits, 32), seed)
+        return str(ipaddress.IPv6Address(num))
+
+    src = pc.cast(batch[col], pa.string())
+    s = pd.Series(src.to_pandas(), dtype="string").fillna("")
+    out = pa.array(s.str.replace(rex, fix, regex=True).astype(object),
+                   pa.string())
     return batch.set_column(batch.schema.get_field_index(col), col,
                             pc.cast(out, batch[col].type))
 

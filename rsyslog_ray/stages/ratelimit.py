@@ -141,3 +141,27 @@ def _fixed_window_bucket(g: pd.DataFrame, interval_s: int, burst: int) -> pd.Dat
 
 def fixed_window_limit(ds, interval_s: int = 60, burst: int = 20):
     return _per_bucket(ds, lambda g: _fixed_window_bucket(g, interval_s, burst))
+
+
+def _once_interval_frame(g: pd.DataFrame, interval_s: int) -> pd.DataFrame:
+    """execOnlyOnceEveryInterval (action.c:408): emit a row only when at
+    least `interval_s` has elapsed since the LAST EMITTED row of the conv.
+    The recurrence depends on the previous emission → sequential numpy
+    loop per bucket (same shape as the token bucket)."""
+    g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    ts = g["ts"].astype("int64").to_numpy() // 1_000_000
+    conv = g["conv_id"].to_numpy()
+    keep = np.zeros(len(g), dtype=bool)
+    last, cur = None, None
+    for i in range(len(g)):
+        if conv[i] != cur:
+            cur, last = conv[i], None
+        if last is None or ts[i] - last >= interval_s:
+            keep[i] = True
+            last = ts[i]
+    return g[keep]
+
+
+def exec_once_per_interval(ds, interval_s: int):
+    """Per-conv execOnlyOnceEveryInterval action filter."""
+    return _per_bucket(ds, lambda g: _once_interval_frame(g, interval_s))

@@ -54,3 +54,56 @@ def test_mmanon_zero_modes():
 def test_mmrm1stspace():
     t = mmrm1stspace_table(_t("msg", [" leading", "none", "  two"]))
     assert t["msg"].to_pylist() == ["leading", "none", " two"]
+
+
+def test_mmanon_zero_suboctet_bits():
+    from rsyslog_ray.stages.enrich import mmanon_table
+    t = pa.table({"line": pa.array(["src=10.1.2.255 x", "no ip"], pa.string())})
+    out = mmanon_table(t, col="line", mode="zero", bits=12)["line"].to_pylist()
+    # 10.1.2.255 = 0x0A0102FF; >>12<<12 → 0x0A010000... wait low 12 bits of
+    # 0x0102FF: 0x2FF cleared → 0x0A010000 | (0x02FF & ~0xFFF)=0 → 10.1.0.0
+    assert out == ["src=10.1.0.0 x", "no ip"]
+
+
+def test_mmanon_simple_mode_preserves_layout():
+    from rsyslog_ray.stages.enrich import mmanon_table
+    t = pa.table({"line": pa.array(["a 192.168.10.7 b 1.2.3.4"], pa.string())})
+    out = mmanon_table(t, col="line", mode="simple", bits=16)["line"][0].as_py()
+    assert out == "a 192.168.xx.x b 1.2.x.x"
+
+
+def test_mmanon_random_consistent_and_prefix():
+    from rsyslog_ray.stages.enrich import mmanon_table
+    t = pa.table({"line": pa.array(["ip 10.1.2.3 and 10.1.2.3 again",
+                                    "ip 10.1.9.9"], pa.string())})
+    out = mmanon_table(t, col="line", mode="random-consistent",
+                       bits=16)["line"].to_pylist()
+    import re as _re
+    ips = _re.findall(r"\d+\.\d+\.\d+\.\d+", out[0])
+    assert ips[0] == ips[1]                       # consistent per input
+    assert ips[0].startswith("10.1.")             # high bits preserved
+    # deterministic across calls
+    again = mmanon_table(t, col="line", mode="random-consistent",
+                         bits=16)["line"].to_pylist()
+    assert again == out
+
+
+def test_mmanon_invalid_octet_untouched():
+    from rsyslog_ray.stages.enrich import mmanon_table
+    t = pa.table({"line": pa.array(["v=999.1.2.3"], pa.string())})
+    out = mmanon_table(t, col="line", mode="zero", bits=12)["line"][0].as_py()
+    assert out == "v=999.1.2.3"
+
+
+def test_mmanon_ipv6_zero_and_random():
+    from rsyslog_ray.stages.enrich import mmanon_ipv6_table
+    t = pa.table({"line": pa.array(
+        ["x 2001:db8:85a3::8a2e:370:7334 y", "none here"], pa.string())})
+    out = mmanon_ipv6_table(t, col="line", mode="zero", bits=96)["line"]
+    assert out.to_pylist() == ["x 2001:db8:: y", "none here"]
+    r1 = mmanon_ipv6_table(t, col="line", mode="random-consistent",
+                           bits=96)["line"][0].as_py()
+    assert r1.startswith("x 2001:db8::") and r1 != "x 2001:db8:: y"
+    r2 = mmanon_ipv6_table(t, col="line", mode="random-consistent",
+                           bits=96)["line"][0].as_py()
+    assert r1 == r2

@@ -57,3 +57,21 @@ def test_fixed_window_limit_grid_aligned(ray_session):
                  for r in fixed_window_limit(ds, interval_s=60, burst=3).take_all())
     # win0: ts 0,1,2 kept (3,59 over burst); win1: 60,61,62; win2: 120
     assert got == [0, 1, 2, 5, 6, 7, 10]
+
+
+def test_exec_once_per_interval_matches_python_oracle(ray_session):
+    from rsyslog_ray.stages.ratelimit import exec_once_per_interval
+    # irregular spacing: the sequential last-emission recurrence differs
+    # from any fixed-window formula here
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:00:10",
+                   "2024-01-01T00:01:00", "2024-01-01T00:01:30",
+                   "2024-01-01T00:02:30", "2024-01-01T00:02:31"],
+                  dtype="datetime64[us]")
+    t = pa.table({"conv_id": pa.array(["c"] * 6),
+                  "turn_idx": pa.array(range(6), pa.int32()),
+                  "ts": pa.array(ts)})
+    got = sorted(r["turn_idx"] for r in
+                 exec_once_per_interval(rd.from_arrow(t), 60).take_all())
+    # keep t0 (00:00), next >= 00:01 → idx2 (00:01:00), next >= 00:02 →
+    # idx4 (00:02:30), idx5 only 1s later → dropped
+    assert got == [0, 2, 4]
