@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmanon_modes": Q.q_mmanon_modes,
         "exec_interval": Q.q_exec_interval,
         "sd_params": Q.q_sd_params,
+        "foreach_list": Q.q_foreach_list,
+        "foreach_obj": Q.q_foreach_obj,
         "dynstats_tool": Q.q_dynstats_tool,
         "rate_window": Q.q_rate_window,
         "token_bucket": Q.q_token_bucket,       # no SQL oracle (stateful)

@@ -562,6 +562,22 @@ SELECT conv_id, turn_idx,
   CAST(json_extract_string(cee_payload, '$.n') AS BIGINT) AS n
 FROM cee WHERE cee_parsesuccess"""
 
+    q["foreach_list"] = """
+SELECT vec_id,
+  CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,
+  round(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+FROM embeddings"""
+
+    q["foreach_obj"] = pc_ + "," + _CEE + """,
+k AS (
+  SELECT conv_id, turn_idx, cee_payload,
+         unnest(json_keys(cee_payload)) AS key
+  FROM cee WHERE cee_parsesuccess
+)
+SELECT conv_id, turn_idx, key,
+  json_extract_string(cee_payload, '$."' || key || '"') AS value
+FROM k"""
+
     q["grok_parse"] = _grok_sql(src)
 
     q["neardup_pairs"] = """

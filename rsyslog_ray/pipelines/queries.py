@@ -345,6 +345,37 @@ def q_sd_params(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(explode, batch_format="pyarrow"))
 
 
+def q_foreach_list(sf_dir: str) -> pa.Table:
+    """Generic foreach over a typed array column (runtime/ruleset.c:323-417
+    foreachCallArray → flat_map explode): embeddings.embedding list<float>
+    → one row per element with a 1-based loop index."""
+    from ..stages.foreach import explode_list
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = explode_list(batch, "embedding", out="val", idx_out="idx")
+        return pa.table({
+            "vec_id": out["vec_id"],
+            "idx": out["idx"],
+            "val": pc.round(pc.cast(out["val"], pa.float64()), ndigits=6),
+        })
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_foreach_obj(sf_dir: str) -> pa.Table:
+    """foreach over a JSON object (foreachCallObject): CEE payloads →
+    (key, value) rows."""
+    from ..stages.foreach import explode_json_object
+    ds = build_parsed_dataset(ensure_transcripts(sf_dir))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = pc.fill_null(batch["cee_parsesuccess"], False)
+        sub = batch.filter(ok).select(["conv_id", "turn_idx", "cee_json"])
+        return explode_json_object(sub, "cee_json")
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
 def q_dynstats_tool(sf_dir: str) -> pa.Table:
     """dyn_inc('tools', $tool) counter bucket (§2.4/§2.8 dynstats)."""
     from ..stages.aggregate import dyn_inc
