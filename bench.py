@@ -89,6 +89,11 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("events_window", Q.q_events_window, sf_dir)
     timed("topk_cosine", Q.q_topk_cosine, sf_dir)
     timed("neardup_pairs", Q.q_neardup_pairs, sf_dir)
+    # round-2 additions: rulebase parse cascade, simhash dedup, distributed
+    # LSH pair generation
+    timed("grok_parse", Q.q_grok_parse, sf_dir)
+    timed("simhash_dedup", Q.q_simhash_dedup, sf_dir)
+    timed("lsh_neardup", Q.q_lsh_neardup, sf_dir)
 
     out["queries"] = timings
     return out

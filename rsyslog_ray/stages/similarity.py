@@ -204,7 +204,8 @@ def _score_bucket(group: pa.Table, threshold: float, id_col: str, col: str,
 
 def lsh_neardup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
                       col: str = "embedding", n_planes: int = 4,
-                      n_tables: int = 16, dim: int | None = None):
+                      n_tables: int = 16, dim: int | None = None,
+                      driver_threshold: int = 5_000_000):
     """Distributed near-duplicate pair generation — the 100 TB shape.
 
     bucket (t tables × 2^p buckets, map_batches) → groupby(gkey) →
@@ -228,6 +229,20 @@ def lsh_neardup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
     pairs = bucketed.groupby("gkey").map_groups(
         lambda g: _score_bucket(g, threshold, id_col, col),
         batch_format="pyarrow")
+    # dedupe pairs found in several tables. Near-dup pairs are sparse —
+    # below the threshold one driver pass replaces a whole sort shuffle;
+    # above it, a hash-partitioned distributed dedupe (same dual-path rule
+    # as dedup.minhash_lsh_dedup).
+    from ..stages.dedup import _materialize_nonempty
+    i64, f64 = pa.int64(), pa.float64()
+    pairs, n_pairs = _materialize_nonempty(
+        pairs, [("a", i64), ("b", i64), ("score", f64)])
+    if n_pairs <= driver_threshold:
+        tbl = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+        df = tbl.to_pandas().drop_duplicates(["a", "b"])
+        import ray.data as rd
+        return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
+                                                  preserve_index=False))
     from ray.data.aggregate import Min
     out = pairs.groupby(["a", "b"]).aggregate(Min("score"))
 
