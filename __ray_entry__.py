@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_pairs": Q.q_neardup_pairs,
         "lsh_neardup": Q.q_lsh_neardup,         # no SQL oracle (approximate)
         "lsh_cosine": Q.q_lsh_cosine,           # no SQL oracle (approximate)
+        "ivf_cosine": Q.q_ivf_cosine,           # no SQL oracle (approximate)
         "multimodal": Q.q_multimodal,           # no SQL oracle (binary stub)
     }
 

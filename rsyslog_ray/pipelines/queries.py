@@ -546,6 +546,14 @@ def q_lsh_cosine(sf_dir: str) -> pa.Table:
     return _to_table(lsh_topk_cosine(ds, k=20, n_planes=4))
 
 
+def q_ivf_cosine(sf_dir: str) -> pa.Table:
+    """IVF coarse-quantizer ANN top-k (the FAISS-style inverted-file scale
+    path) — approximate by design; rows-only + recall unit test."""
+    from ..stages.similarity import ivf_topk_cosine
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
+    return _to_table(ivf_topk_cosine(ds, k=20, n_lists=8, n_probes=4))
+
+
 def q_parse_json(sf_dir: str) -> pa.Table:
     """parse_json + json path access (get_property/$!tree analogue,
     §2.4): extract $!event and $!n from CEE payloads."""

@@ -276,18 +276,108 @@ class LshBucketStage:
 
 def lsh_topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
                     col: str = "embedding", n_planes: int = 8,
-                    query: np.ndarray | None = None, concurrency: int = 2):
-    """Scale path: score only rows whose LSH bucket matches the query's
-    bucket (approximate — documented recall/latency tradeoff)."""
+                    query: np.ndarray | None = None, concurrency: int = 2,
+                    n_probes: int = 1):
+    """Scale path: score only rows whose LSH bucket is within the probe
+    set of the query's bucket. n_probes=1 checks the exact bucket;
+    n_probes=p additionally probes the buckets reachable by flipping the
+    p-1 hyperplane bits CLOSEST to the query (standard multi-probe LSH,
+    Lv et al. 2007) — recall rises steeply with a few probes while the
+    candidate set stays a tiny fraction of the corpus."""
     if query is None:
         first = ds.sort(id_col).limit(1).take_all()[0]
         query = np.asarray(first[col], dtype=np.float64)
     dim = len(query)
     hasher = HyperplaneHasher(dim, n_planes)
     qbucket = int(hasher.bucket(query.reshape(1, -1))[0])
+    probes = [qbucket]
+    if n_probes > 1:
+        # flip bits in order of |projection| — the planes the query sits
+        # closest to are the likeliest to disagree for true neighbors
+        proj = (query @ hasher.planes).ravel()
+        order = np.argsort(np.abs(proj))
+        for bit in order[:max(0, n_probes - 1)]:
+            probes.append(qbucket ^ (1 << int(bit)))
     bucketed = ds.map_batches(
         LshBucketStage, fn_constructor_args=(dim, n_planes, id_col, col),
         batch_format="pyarrow", concurrency=concurrency)
-    cand = bucketed.filter(expr=f"bucket == {qbucket}")
+    pset = pa.array(probes, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["bucket"], pa.int64()),
+                                 value_set=pset))
+    cand = bucketed.map_batches(keep, batch_format="pyarrow")
     return topk_cosine(cand, k=k, id_col=id_col, col=col, query=query,
                        concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# --------------------------------------------------------------------------
+
+
+def train_ivf_centroids(ds, n_lists: int = 16, col: str = "embedding",
+                        sample_size: int = 4096, iters: int = 10,
+                        seed: int = 29) -> np.ndarray:
+    """Coarse quantizer: k-means over a bounded SAMPLE of the corpus
+    (standard IVF training — FAISS trains on a subsample too). Only the
+    sample (≤ sample_size rows) reaches the driver; deterministic
+    (seeded init, fixed iteration count). Returns (n_lists, dim)."""
+    sample = ds.limit(sample_size).take_all()
+    m = np.asarray([r[col] for r in sample], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)          # cosine on unit
+        for j in range(len(cents)):
+            members = m[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cents[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cents
+
+
+class IvfAssignStage:
+    """map_batches stage: nearest-centroid list id per vector. Centroids
+    ship once (serialized instance / ray.put ref resolved in __init__)."""
+
+    def __init__(self, cents_ref, id_col: str, col: str):
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) \
+            else cents_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        lists = np.argmax((m / norms) @ self.cents.T, axis=1)
+        return batch.append_column("ivf_list",
+                                   pa.array(lists.astype(np.int64)))
+
+
+def ivf_topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
+                    col: str = "embedding", n_lists: int = 16,
+                    n_probes: int = 4, query: np.ndarray | None = None,
+                    centroids: np.ndarray | None = None):
+    """IVF ANN: assign every vector to its nearest coarse centroid
+    (one map_batches pass), then brute-score only the n_probes lists
+    closest to the query — the candidate set shrinks ~n_probes/n_lists.
+    At 100 TB the assignment column is written once and reused per query
+    (the inverted file); here it is computed inline."""
+    if query is None:
+        first = ds.sort(id_col).limit(1).take_all()[0]
+        query = np.asarray(first[col], dtype=np.float64)
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_lists=n_lists, col=col)
+    qn = query / max(np.linalg.norm(query), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:n_probes].astype(np.int64)
+    assigned = ds.map_batches(IvfAssignStage(centroids, id_col, col),
+                              batch_format="pyarrow")
+    pset = pa.array(probe)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["ivf_list"], value_set=pset))
+    cand = assigned.map_batches(keep, batch_format="pyarrow")
+    return topk_cosine(cand, k=k, id_col=id_col, col=col, query=query)

@@ -204,3 +204,44 @@ def test_connected_components_labels():
     labels = {r["node"]: r["label"]
               for r in connected_components(pairs, num_partitions=4).take_all()}
     assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_lsh_multiprobe_improves_recall(ray_session):
+    tbl, _ = _vec_table()
+    ds = rd.from_arrow(tbl)
+    exact = [r["vec_id"] for r in topk_cosine(ds, k=10).to_pylist()]
+    one = {r["vec_id"] for r in
+           lsh_topk_cosine(ds, k=10, n_planes=6, n_probes=1).to_pylist()}
+    multi = {r["vec_id"] for r in
+             lsh_topk_cosine(ds, k=10, n_planes=6, n_probes=4).to_pylist()}
+    r1 = len(one & set(exact)) / 10
+    rm = len(multi & set(exact)) / 10
+    assert rm >= r1                      # probing never hurts recall
+    assert 0 in multi                    # query vector found
+    assert multi.issubset(set(r["vec_id"] for r in
+                              topk_cosine(ds, k=60).to_pylist()))
+
+
+def test_ivf_topk_recall_and_determinism(ray_session):
+    from rsyslog_ray.stages.similarity import ivf_topk_cosine
+    tbl, _ = _vec_table(n=120)
+    ds = rd.from_arrow(tbl)
+    exact = [r["vec_id"] for r in topk_cosine(ds, k=10).to_pylist()]
+    got = [r["vec_id"] for r in
+           ivf_topk_cosine(ds, k=10, n_lists=8, n_probes=4).to_pylist()]
+    assert got[0] == 0                   # finds the query itself
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.6, f"recall {recall}"
+    again = [r["vec_id"] for r in
+             ivf_topk_cosine(ds, k=10, n_lists=8, n_probes=4).to_pylist()]
+    assert got == again                  # deterministic training
+
+
+def test_ivf_full_probe_equals_exact(ray_session):
+    from rsyslog_ray.stages.similarity import ivf_topk_cosine
+    tbl, _ = _vec_table(n=80)
+    ds = rd.from_arrow(tbl)
+    exact = [r["vec_id"] for r in topk_cosine(ds, k=10).to_pylist()]
+    got = [r["vec_id"] for r in
+           ivf_topk_cosine(ds, k=10, n_lists=8, n_probes=8).to_pylist()]
+    assert got == exact                  # probing every list = brute force
