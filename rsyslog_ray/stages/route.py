@@ -374,3 +374,51 @@ def routed_datasets(ds, ruleset: Ruleset) -> dict:
 def _empty_like(batch: pa.Table, ruleset: Ruleset, action_name: str) -> pa.Table:
     routed = route_table(batch.slice(0, 0), ruleset)
     return routed[action_name]
+
+
+def compact_partitions(out_root: str, action: str,
+                       max_files_per_dir: int = 8,
+                       target_rows_per_file: int = 1_000_000) -> dict:
+    """Post-pass compaction for dynafile sinks (tools/omfile.c dynafile
+    writes one stream per file name; our per-batch writes produce one
+    part-file per (batch × partition value), which at scale explodes into
+    small files). Merges every leaf directory with more than
+    `max_files_per_dir` parts into ~target_rows_per_file chunks, atomic
+    tmp→rename, originals removed only after the replacement lands.
+
+    Runs as Ray tasks (one per leaf directory) so compaction parallelizes
+    across partitions; returns {dir: (files_before, files_after)}."""
+    import glob as _glob
+
+    import ray as _ray
+
+    @_ray.remote
+    def _compact_dir(d: str, max_files: int, target_rows: int):
+        files = sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        if len(files) <= max_files:
+            return d, (len(files), len(files))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        n_out = max(1, (tbl.num_rows + target_rows - 1) // target_rows)
+        per = (tbl.num_rows + n_out - 1) // n_out
+        new_files = []
+        for i in range(n_out):
+            chunk = tbl.slice(i * per, per)
+            if chunk.num_rows == 0:
+                continue
+            name = RouteWriter._det_name(chunk, f"compact:{d}")
+            tmp = os.path.join(d, f"._tmp-{name}")
+            pq.write_table(chunk, tmp, compression="snappy")
+            os.rename(tmp, os.path.join(d, name))
+            new_files.append(name)
+        for f in files:
+            if os.path.basename(f) not in new_files:
+                os.remove(f)
+        return d, (len(files), len(new_files))
+
+    root = os.path.join(out_root, action)
+    leaf_dirs = sorted({os.path.dirname(f) for f in _glob.glob(
+        os.path.join(root, "**", "part-*.parquet"), recursive=True)})
+    results = _ray.get([_compact_dir.remote(d, max_files_per_dir,
+                                            target_rows_per_file)
+                        for d in leaf_dirs])
+    return dict(results)

@@ -95,3 +95,24 @@ def test_input_metric_counts_dropped(engine_sinks, oracle_result, tiny_table):
     _, counts = engine_sinks
     assert counts["_input"] == len(oracle_result.rows)
     assert tiny_table.num_rows - counts["_input"] == oracle_result.dropped_empty
+
+
+def test_compact_partitions_preserves_rows(ray_session, tmp_path):
+    import glob
+    import pyarrow.parquet as pq
+    from rsyslog_ray.stages.route import compact_partitions
+    d = tmp_path / "sink" / "fac=7"
+    d.mkdir(parents=True)
+    total = 0
+    for i in range(20):                      # 20 small part files
+        t = pa.table({"x": pa.array(range(i * 10, i * 10 + 10), pa.int64())})
+        pq.write_table(t, d / f"part-{i:04d}.parquet")
+        total += t.num_rows
+    res = compact_partitions(str(tmp_path), "sink", max_files_per_dir=4)
+    files = glob.glob(str(d / "part-*.parquet"))
+    assert len(files) < 20
+    merged = pa.concat_tables([pq.read_table(f) for f in files])
+    assert merged.num_rows == total
+    assert sorted(merged["x"].to_pylist()) == list(range(total))
+    (before, after) = res[str(d)]
+    assert before == 20 and after == len(files)
