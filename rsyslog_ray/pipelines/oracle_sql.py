@@ -331,6 +331,24 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS "rows",
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2"""
 
+    q["sessionize"] = """
+WITH w AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           OR (epoch_us(ts) // 1000000)
+              - (epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                 // 1000000) > 600
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM w
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, sid"""
+
     q["mmfields"] = """
 WITH s AS (
   SELECT doc_id, text, length(string_split(text, ' ')) AS nf FROM documents

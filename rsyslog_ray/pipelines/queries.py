@@ -218,6 +218,14 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return _to_table(out.map_batches(roundit, batch_format="pyarrow"))
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization over events (10-min inactivity gap per
+    user) — per-session rollup rows."""
+    from ..stages.aggregate import sessionize
+    ds = read_scaled(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return _to_table(sessionize(ds, key="user_id", ts_col="ts", gap_s=600))
+
+
 def q_topk_cosine(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-k over embeddings vs a fixed query vector
     (similarity-search baseline)."""

@@ -170,3 +170,41 @@ def pipeline_metrics(route_counts: dict, extra: dict | None = None) -> pa.Table:
         "counter": pa.array(list(rows.keys()), pa.string()),
         "value": pa.array([int(v) for v in rows.values()], pa.int64()),
     })
+
+
+def _sessionize_bucket(g: "pd.DataFrame", key: str, ts_col: str,
+                       gap_s: int) -> "pd.DataFrame":
+    """Vectorized over every key in the bucket: a new session starts at the
+    first event of a key or when the inactivity gap exceeds gap_s."""
+    import pandas as pd
+    g = g.sort_values([key, ts_col], kind="mergesort")
+    ts = g[ts_col].astype("int64") // 1_000_000
+    new_key = g[key].ne(g[key].shift())
+    gap = ts - ts.shift()
+    new_sess = new_key | (gap > gap_s)
+    sid_global = new_sess.cumsum()
+    # per-key 1-based session index
+    first_rows = g[new_sess].groupby(key, sort=False).cumcount() + 1
+    sess_idx = pd.Series(first_rows, index=g.index[new_sess]).reindex(
+        g.index).ffill().astype("int64")
+    out = (g.assign(_sid=sid_global, _sidx=sess_idx)
+           .groupby("_sid", sort=False)
+           .agg(**{key: (key, "first"), "session_idx": ("_sidx", "first"),
+                   "n_events": (ts_col, "size"),
+                   "start_ts": (ts_col, "min"), "end_ts": (ts_col, "max")})
+           .reset_index(drop=True))
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
+               gap_s: int = 1800, n_buckets: int | None = None):
+    """Gap-based session windows (the streaming sessionization every
+    telemetry pipeline needs; the reference's nearest analogues are the
+    ratelimit windows, ratelimit.c:145-205). Hash-bucketed per-key ordered
+    computation — same scale shape as suppress_repeats: one vectorized
+    pandas pass per bucket, a key never spans buckets."""
+    from .ratelimit import _per_bucket
+    return _per_bucket(ds.select_columns([key, ts_col]),
+                       lambda g: _sessionize_bucket(g, key, ts_col, gap_s),
+                       n_buckets=n_buckets, key=key)

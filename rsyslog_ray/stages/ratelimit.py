@@ -45,12 +45,14 @@ def _with_bucket(ds, key: str = "conv_id", n_buckets: int | None = None):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def _per_bucket(ds, fn, n_buckets: int | None = None):
-    """groupby hash-bucket → ONE pandas call per bucket; fn sees every conv
-    of the bucket at once and must return a frame without `_bucket`."""
+def _per_bucket(ds, fn, n_buckets: int | None = None,
+                key: str = "conv_id"):
+    """groupby hash-bucket → ONE pandas call per bucket; fn sees every key's
+    rows of the bucket at once and must return a frame without `_bucket`."""
     if n_buckets is None:
         n_buckets = _default_buckets()
-    out = _with_bucket(ds, n_buckets=n_buckets).groupby("_bucket").map_groups(
+    out = _with_bucket(ds, key=key, n_buckets=n_buckets).groupby(
+        "_bucket").map_groups(
         lambda g: fn(g.drop(columns=["_bucket"])), batch_format="pandas")
     return out
 

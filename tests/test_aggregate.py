@@ -109,3 +109,19 @@ def test_token_bucket(tiny_table):
                 used += 1
     assert got == exp
     assert len(got) < tiny_table.num_rows
+
+
+def test_sessionize_gap_semantics(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import sessionize
+    ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:05:00",
+                   "2024-01-01T00:20:01",          # gap > 600 s → new sess
+                   "2024-01-01T00:25:00",
+                   "2024-01-01T01:00:00"],         # new sess again
+                  dtype="datetime64[us]")
+    t = pa.table({"user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                  "ts": pa.array(ts)})
+    out = sorted((r["user_id"], r["session_idx"], r["n_events"])
+                 for r in sessionize(rd.from_arrow(t), gap_s=600).take_all())
+    assert out == [(1, 1, 2), (1, 2, 2), (2, 1, 1)]
