@@ -113,6 +113,7 @@ def test_token_bucket(tiny_table):
 
 def test_sessionize_gap_semantics(ray_session):
     import numpy as np
+    import pyarrow as pa
     import ray.data as rd
     from rsyslog_ray.stages.aggregate import sessionize
     ts = np.array(["2024-01-01T00:00:00", "2024-01-01T00:05:00",
