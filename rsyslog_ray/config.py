@@ -114,6 +114,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
             template=tpl,
             partition_by=a.get("partition_by"),
             keep_columns=a.get("keep_columns"),
+            format=a.get("format", "parquet"),
             only_if_previous_suspended=a.get("only_if_previous_suspended",
                                              False),
             target=target,

@@ -43,6 +43,10 @@ class Action:
     template: str | None = None          # template spec/name for `rendered`
     partition_by: str | None = None      # dynafile analogue
     keep_columns: list[str] | None = None
+    # sink format: "parquet" (columnar default) or "text" — omfile writes
+    # the rendered template verbatim (tools/omfile.c writeFile); text mode
+    # concatenates the `rendered` column bytes into .log part files
+    format: str = "parquet"
     # execOnlyWhenPreviousIsSuspended (action.c:409,509-521): run only for
     # batches whose previous write-action just entered the suspended state
     only_if_previous_suspended: bool = False
@@ -196,6 +200,20 @@ class RouteWriter:
             self.fail_injector(action, attempt)
         os.makedirs(d, exist_ok=True)
         fname = self._det_name(table, action)
+        act = self.ruleset_action(action)
+        if getattr(act, "format", "parquet") == "text":
+            # omfile text mode: rendered template output verbatim (the
+            # template carries its own line terminator, e.g. FileFormat)
+            col = "rendered" if "rendered" in table.column_names                 else table.column_names[0]
+            vals = pc.fill_null(pc.cast(table[col], pa.string()), "")
+            body = "".join(vals.to_pylist()).encode()
+            fname = fname.replace(".parquet", ".log")
+            tmp = os.path.join(d, f"._tmp-{fname}")
+            with open(tmp, "wb") as fh:
+                fh.write(body)
+            final = os.path.join(d, fname)
+            os.rename(tmp, final)
+            return final
         tmp = os.path.join(d, f"._tmp-{fname}")
         pq.write_table(table, tmp, compression=self.compression)
         final = os.path.join(d, fname)

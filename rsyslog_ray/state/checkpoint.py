@@ -54,7 +54,8 @@ def list_shards(input_dir: str) -> list[tuple[str, str]]:
 def job_fingerprint(ruleset) -> str:
     acts = ruleset.all_actions() if hasattr(ruleset, "all_actions") else ruleset.actions
     spec = [(a.name, a.kind, repr(a.filter), a.template, a.partition_by,
-             a.keep_columns, a.only_if_previous_suspended)
+             a.keep_columns, a.only_if_previous_suspended,
+             getattr(a, "format", "parquet"))
             for a in acts]
     return hashlib.sha256(json.dumps(spec).encode()).hexdigest()[:16]
 

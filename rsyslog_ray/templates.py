@@ -360,6 +360,14 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
             val = _secpath(val, "replace")
         elif o == "json":
             val = _json_escape(val)
+        elif o == "jsonr":
+            pass  # raw JSON value, no escaping (template.h bJSONr)
+        elif o == "jsonf":
+            # JSON name/value pair field (template.h bJSONf): emit
+            # "prop":"escaped-value"
+            val = pc.binary_join_element_wise(
+                pa.scalar(f'"{e.prop}":"'), _json_escape(val),
+                pa.scalar('"'), "")
         elif o == "csv":
             val = _csv_quote(val)
     if escape and not isinstance(val, str):

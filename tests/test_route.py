@@ -116,3 +116,21 @@ def test_compact_partitions_preserves_rows(ray_session, tmp_path):
     assert sorted(merged["x"].to_pylist()) == list(range(total))
     (before, after) = res[str(d)]
     assert before == 20 and after == len(files)
+
+
+def test_text_sink_writes_rendered_lines(ray_session, tmp_path):
+    import glob
+    import ray.data as rd
+    from rsyslog_ray.stages.route import Action, RouteWriter, Ruleset
+    rs = Ruleset("m", [Action("logs", template="%msg%\n", format="text")])
+    batch = pa.table({"msg": pa.array(["line one", "line two"]),
+                      "conv_id": pa.array(["c1", "c2"]),
+                      "turn_idx": pa.array([0, 1], pa.int32()),
+                      "hostname": pa.array(["h", "h"]),
+                      "tag": pa.array(["", ""]),
+                      "appname": pa.array(["a", "a"])})
+    w = RouteWriter(rs, str(tmp_path))
+    w(batch)
+    files = glob.glob(str(tmp_path / "logs" / "part-*.log"))
+    assert len(files) == 1
+    assert open(files[0]).read() == "line one\nline two\n"

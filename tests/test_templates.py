@@ -149,3 +149,9 @@ def test_jsonmesg_valid_json():
 def test_unknown_property_raises():
     with pytest.raises(KeyError):
         PropertyRegistry(_batch(["m"])).get("no-such-prop")
+
+
+def test_jsonf_and_jsonr_options():
+    b = _batch(['va"l'])
+    assert Template("%msg:::jsonf%").render(b)[0].as_py() == '"msg":"va\\"l"'
+    assert Template("%msg:::jsonr%").render(b)[0].as_py() == 'va"l'
