@@ -331,6 +331,20 @@ SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS "rows",
        round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2"""
 
+    q["hopping_window"] = """
+WITH e AS (
+  SELECT event_type, value, epoch_us(ts) // 1000000 AS tss FROM events
+),
+w AS (
+  SELECT event_type, value,
+    unnest(generate_series((tss - 3600) // 900 * 900 + 900,
+                           tss // 900 * 900, 900)) AS wstart
+  FROM e
+)
+SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
+       count(*) AS "rows", round(sum(value), 4) AS value_sum
+FROM w GROUP BY 1, 2"""
+
     q["sessionize"] = """
 WITH w AS (
   SELECT user_id, ts,

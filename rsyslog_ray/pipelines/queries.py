@@ -218,6 +218,15 @@ def q_events_window(sf_dir: str) -> pa.Table:
     return _to_table(out.map_batches(roundit, batch_format="pyarrow"))
 
 
+def q_hopping_window(sf_dir: str) -> pa.Table:
+    """Hopping-window aggregate over events (1h windows every 15min):
+    overlapping-window counts + value sums per event_type."""
+    from ..stages.aggregate import hopping_window_counts
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    return _to_table(hopping_window_counts(ds, size_s=3600, hop_s=900))
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization over events (10-min inactivity gap per
     user) — per-session rollup rows."""

@@ -208,3 +208,54 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
     return _per_bucket(ds.select_columns([key, ts_col]),
                        lambda g: _sessionize_bucket(g, key, ts_col, gap_s),
                        n_buckets=n_buckets, key=key)
+
+
+def hopping_window_counts(ds, size_s: int = 3600, hop_s: int = 900,
+                          key: str = "event_type", ts_col: str = "ts",
+                          value_col: str | None = "value",
+                          n_buckets: int | None = None):
+    """Hopping (sliding) window aggregate: each event lands in every
+    window [s, s+size) with s ≡ 0 (mod hop) — the overlapping-window
+    generalization of the tumbling $now* buckets (§2.8). Implemented as a
+    vectorized per-batch explode (size/hop window rows per event, offsets
+    via repeat/arange — no per-row Python) + partial pre-aggregation per
+    batch, then the small bucket-merge groupby; the shuffle carries one
+    row per (key, window) per batch, never the exploded events."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tss = (pc.cast(pc.cast(batch[ts_col], pa.timestamp("us")),
+                       pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000)
+        smin = (tss - size_s) // hop_s * hop_s + hop_s
+        smax = tss // hop_s * hop_s
+        counts = (smax - smin) // hop_s + 1
+        parents = np.repeat(np.arange(len(tss)), counts)
+        total = int(counts.sum())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total) - np.repeat(starts, counts)
+        wstart = np.repeat(smin, counts) + within * hop_s
+        keys = batch[key]
+        keys = (keys.combine_chunks()
+                if isinstance(keys, pa.ChunkedArray) else keys)
+        t = pa.table({
+            key: keys.take(pa.array(parents, pa.int64())),
+            "wstart": pa.array(wstart),
+            "value": (batch[value_col].take(pa.array(parents, pa.int64()))
+                      if value_col else pa.array(np.ones(total))),
+        })
+        return (t.group_by([key, "wstart"])
+                .aggregate([([], "count_all"), ("value", "sum")])
+                .rename_columns([key, "wstart", "rows", "value_sum"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = bucket_merge(partials, [key, "wstart"],
+                       {"rows": ("rows", "sum"),
+                        "value_sum": ("value_sum", "sum")},
+                       n_buckets=n_buckets)
+
+    def roundit(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("value_sum"), "value_sum",
+            pc.round(batch["value_sum"], ndigits=4))
+    return out.map_batches(roundit, batch_format="pyarrow")

@@ -126,3 +126,20 @@ def test_sessionize_gap_semantics(ray_session):
     out = sorted((r["user_id"], r["session_idx"], r["n_events"])
                  for r in sessionize(rd.from_arrow(t), gap_s=600).take_all())
     assert out == [(1, 1, 2), (1, 2, 2), (2, 1, 1)]
+
+
+def test_hopping_window_membership(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import hopping_window_counts
+    # one event at t=3600+10; windows of size 100 hop 50 containing it:
+    # starts 3550 and 3600
+    ts = np.array(["2024-01-01T00:00:10"], dtype="datetime64[us]")
+    t = pa.table({"event_type": pa.array(["e"]), "ts": pa.array(ts),
+                  "value": pa.array([2.0])})
+    out = sorted((r["wstart"], r["rows"], r["value_sum"]) for r in
+                 hopping_window_counts(rd.from_arrow(t), size_s=100,
+                                       hop_s=50).take_all())
+    base = 1704067200  # 2024-01-01T00:00:00 epoch
+    assert out == [(base - 50, 1, 2.0), (base, 1, 2.0)]
