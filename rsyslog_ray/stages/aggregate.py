@@ -113,8 +113,13 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
                                pa.array((h % n_buckets).astype(np.int64)))
 
     def merge(g):
-        return (g.drop(columns=["_bucket"])
-                .groupby(keys, sort=False, as_index=False)
+        g = g.drop(columns=["_bucket"])
+        # canonical row order before summing: map_groups delivers bucket
+        # rows in nondeterministic order and float addition is
+        # order-sensitive — an ulp flip at a round() boundary makes
+        # value sums flaky run-to-run without this sort
+        g = g.sort_values(list(g.columns), kind="mergesort")
+        return (g.groupby(keys, sort=False, as_index=False)
                 .agg(**{out: (src, how)
                         for out, (src, how) in agg_spec.items()}))
 
