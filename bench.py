@@ -94,6 +94,10 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("grok_parse", Q.q_grok_parse, sf_dir)
     timed("simhash_dedup", Q.q_simhash_dedup, sf_dir)
     timed("lsh_neardup", Q.q_lsh_neardup, sf_dir)
+    # windowed/session aggregates and IVF ANN over embeddings
+    timed("hopping_window", Q.q_hopping_window, sf_dir)
+    timed("sessionize", Q.q_sessionize, sf_dir)
+    timed("ivf_cosine", Q.q_ivf_cosine, sf_dir)
 
     out["queries"] = timings
     return out

@@ -328,7 +328,8 @@ FROM documents"""
 
     q["events_window"] = """
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS "rows",
-       round(sum(value), 4) AS value_sum
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS value_sum
 FROM events GROUP BY 1, 2"""
 
     q["hopping_window"] = """
@@ -342,7 +343,9 @@ w AS (
   FROM e
 )
 SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
-       count(*) AS "rows", round(sum(value), 4) AS value_sum
+       count(*) AS "rows",
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS value_sum
 FROM w GROUP BY 1, 2"""
 
     q["sessionize"] = """

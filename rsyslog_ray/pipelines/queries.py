@@ -200,8 +200,12 @@ def q_events_window(sf_dir: str) -> pa.Table:
     def fn(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(pc.cast(batch["ts"], pa.timestamp("us")),
                                  unit="hour")
+        # exact integer-cent sums: order-independent across distributed
+        # partials (see hopping_window_counts)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch["value"], pa.float64()), 100.0)), pa.int64())
         t = pa.table({"event_type": batch["event_type"], "hour": hour,
-                      "value": batch["value"]})
+                      "value": cents})
         return t.group_by(["event_type", "hour"]).aggregate(
             [([], "count_all"), ("value", "sum")]).rename_columns(
             ["event_type", "hour", "rows", "value_sum"])
@@ -211,11 +215,11 @@ def q_events_window(sf_dir: str) -> pa.Table:
                        {"rows": ("rows", "sum"),
                         "value_sum": ("value_sum", "sum")})
 
-    def roundit(batch: pa.Table) -> pa.Table:
+    def uncent(batch: pa.Table) -> pa.Table:
         return batch.set_column(
             batch.schema.get_field_index("value_sum"), "value_sum",
-            pc.round(batch["value_sum"], ndigits=4))
-    return _to_table(out.map_batches(roundit, batch_format="pyarrow"))
+            pc.divide(pc.cast(batch["value_sum"], pa.float64()), 100.0))
+    return _to_table(out.map_batches(uncent, batch_format="pyarrow"))
 
 
 def q_hopping_window(sf_dir: str) -> pa.Table:

@@ -243,11 +243,19 @@ def hopping_window_counts(ds, size_s: int = 3600, hop_s: int = 900,
         keys = batch[key]
         keys = (keys.combine_chunks()
                 if isinstance(keys, pa.ChunkedArray) else keys)
+        # sum exact integer cents, not floats: distributed partials add in
+        # a different order than a single-pass oracle and float addition
+        # is non-associative — a boundary-straddling round() would then
+        # differ by one ulp from the oracle's
+        cents = (pc.cast(pc.round(pc.multiply(
+                     pc.cast(batch[value_col], pa.float64()), 100.0)),
+                     pa.int64())
+                 if value_col else pa.array(np.full(len(tss), 100,
+                                                    dtype=np.int64)))
         t = pa.table({
             key: keys.take(pa.array(parents, pa.int64())),
             "wstart": pa.array(wstart),
-            "value": (batch[value_col].take(pa.array(parents, pa.int64()))
-                      if value_col else pa.array(np.ones(total))),
+            "value": cents.take(pa.array(parents, pa.int64())),
         })
         return (t.group_by([key, "wstart"])
                 .aggregate([([], "count_all"), ("value", "sum")])
@@ -259,8 +267,8 @@ def hopping_window_counts(ds, size_s: int = 3600, hop_s: int = 900,
                         "value_sum": ("value_sum", "sum")},
                        n_buckets=n_buckets)
 
-    def roundit(batch: pa.Table) -> pa.Table:
+    def uncent(batch: pa.Table) -> pa.Table:
         return batch.set_column(
             batch.schema.get_field_index("value_sum"), "value_sum",
-            pc.round(batch["value_sum"], ndigits=4))
-    return out.map_batches(roundit, batch_format="pyarrow")
+            pc.divide(pc.cast(batch["value_sum"], pa.float64()), 100.0))
+    return out.map_batches(uncent, batch_format="pyarrow")

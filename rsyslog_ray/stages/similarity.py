@@ -119,9 +119,11 @@ def neardup_pairs_exact(ds, threshold: float = 0.4, id_col: str = "vec_id",
     The full matrix is broadcast (fits comfortably for lookup-scale sides;
     for corpus² at 100 TB use lsh_topk_cosine-style bucketing to bound
     candidates instead). Matches the DuckDB self-join oracle exactly."""
-    rows = ds.select_columns([id_col, col]).sort(id_col).take_all()
+    rows = ds.select_columns([id_col, col]).take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[col] for r in rows], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")  # driver-side: cheaper than a
+    ids, mat = ids[order], mat[order]       # distributed sort pre-take_all
     mref, iref = ray.put(mat), ray.put(ids)
     return ds.map_batches(
         NearDupPairScorer, fn_constructor_args=(mref, iref, threshold,
