@@ -615,6 +615,31 @@ FROM k"""
 
     q["grok_parse"] = _grok_sql(src)
 
+    # word-trigram Jaccard: the engine hashes grams (64-bit, collision
+    # probability negligible at oracle scale) — intersection/size counts
+    # and the final int÷int double division match bit-exactly
+    q["jaccard_pairs"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+             JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4"""
+
     q["neardup_pairs"] = """
 SELECT a.vec_id AS a, b.vec_id AS b,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -542,6 +542,16 @@ def q_simhash_dedup(sf_dir: str) -> pa.Table:
     return _to_table(simhash_dedup(ds, radius=3).select_columns(["doc_id"]))
 
 
+def q_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-trigram Jaccard near-dup pairs (a<b, j>=0.4),
+    gram-partitioned — shuffles 24-byte postings, never pair candidates;
+    matches the DuckDB gram self-join oracle bit-exactly."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(ngram_jaccard_pairs(ds, n=3, threshold=0.4))
+
+
 def q_neardup_pairs(sf_dir: str) -> pa.Table:
     """Exact embedding-cosine near-duplicate pairs (a<b, score>=0.4):
     broadcast-matrix brute force, matches the DuckDB self-join oracle."""

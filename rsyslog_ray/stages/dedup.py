@@ -496,3 +496,112 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _gram_postings(batch: pa.Table, text_col: str, id_col: str,
+                   n: int) -> pa.Table:
+    """documents → distinct word-n-gram hash postings (g, id, nd).
+
+    nd = the doc's distinct-gram count, carried on every posting row so
+    the pair stage needs no separate sizes join. One vectorized pass:
+    Arrow whitespace split → token hashes over the flattened token array
+    → windowed polynomial mix with doc-boundary masking → pandas
+    drop_duplicates. No per-doc Python loop."""
+    texts = pc.cast(batch[text_col], pa.string())
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy()
+    vals = toks.values
+    empty = pa.table({"g": pa.array([], pa.int64()),
+                      "id": pa.array([], pa.int64()),
+                      "nd": pa.array([], pa.int64())})
+    if len(vals) == 0:
+        return empty
+    doc_flat = np.repeat(np.arange(len(batch)), np.diff(offs))
+    mask = pc.greater(pc.utf8_length(vals), 0).to_numpy(zero_copy_only=False)
+    doc_flat = doc_flat[mask]
+    hv = pd.util.hash_array(vals.to_numpy(zero_copy_only=False)[mask])
+    if len(hv) < n:
+        return empty
+    tail = len(hv) - (n - 1)
+    valid = doc_flat[:tail] == doc_flat[n - 1:]
+    with np.errstate(over="ignore"):
+        g = hv[:tail].copy()
+        for k in range(1, n):
+            g = g * _GRAM_P ^ hv[k:tail + k]
+    g = g[valid]
+    d = doc_flat[:tail][valid]
+    df = pd.DataFrame({"d": d, "g": g.view(np.int64)}).drop_duplicates()
+    nd = df.groupby("d")["g"].transform("size").to_numpy()
+    ids = (pc.cast(batch[id_col], pa.int64())
+           .to_numpy(zero_copy_only=False))
+    return pa.table({"g": pa.array(df["g"].to_numpy()),
+                     "id": pa.array(ids[df["d"].to_numpy()]),
+                     "nd": pa.array(nd.astype(np.int64))})
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.4,
+                        max_df: int | None = None,
+                        n_buckets: int | None = None):
+    """Exact word-n-gram Jaccard near-duplicate pairs (a < b, j ≥ τ),
+    gram-partitioned — the exact counterpart of the MinHash estimate.
+
+    postings (g, id, nd) → hash-bucket by gram (a gram's FULL posting
+    list lands in exactly one bucket, so the optional per-gram
+    document-frequency cutoff `max_df` is exact, not per-partition) →
+    within-bucket self-join per gram (vectorized pandas hash join) →
+    per-bucket partial (a, b) intersection counts → bucket-merged sum →
+    jaccard = c / (n_a + n_b − c).  The shuffle moves 24-byte posting
+    rows, never cross-bucket pair candidates; the within-bucket blowup is
+    Σ df(gram)², which `max_df` bounds at web scale (boilerplate grams
+    carry no near-dup signal)."""
+    from ..cluster import cluster_buckets
+    from .aggregate import bucket_merge
+    nb = n_buckets or cluster_buckets()
+
+    postings = ds.map_batches(
+        lambda b: _gram_postings(b, text_col, id_col, n),
+        batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = (t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(nb)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(h))
+
+    def pairs_bucket(gdf: pd.DataFrame) -> pd.DataFrame:
+        gdf = gdf.drop(columns=["_bucket"])
+        if max_df is not None:
+            gdf = gdf[gdf.groupby("g")["g"].transform("size") <= max_df]
+        m = gdf.merge(gdf, on="g", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        out = (m.groupby(["id_a", "id_b", "nd_a", "nd_b"], sort=False)
+               .size().reset_index(name="c"))
+        return pd.DataFrame({"a": out["id_a"], "b": out["id_b"],
+                             "na": out["nd_a"], "nb": out["nd_b"],
+                             "c": out["c"].astype(np.int64)})
+
+    partials = (postings.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(pairs_bucket, batch_format="pandas"))
+    merged = bucket_merge(partials, ["a", "b", "na", "nb"],
+                          {"c": ("c", "sum")}, n_buckets=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb_ = t["nb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # int64 → float64 division: bit-identical to the SQL oracle's
+        j = c / (na + nb_ - c)
+        keep = j >= threshold
+        return pa.table({"a": pa.array(t["a"].to_numpy(
+                             zero_copy_only=False)[keep]),
+                         "b": pa.array(t["b"].to_numpy(
+                             zero_copy_only=False)[keep]),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    return merged.map_batches(score, batch_format="pyarrow")

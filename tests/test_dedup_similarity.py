@@ -245,3 +245,50 @@ def test_ivf_full_probe_equals_exact(ray_session):
     got = [r["vec_id"] for r in
            ivf_topk_cosine(ds, k=10, n_lists=8, n_probes=8).to_pylist()]
     assert got == exact                  # probing every list = brute force
+
+
+def _py_wordgram_jaccard(texts: list[str], n: int = 3) -> dict:
+    """Python oracle: exact word-n-gram Jaccard over every pair."""
+    sets = []
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        sets.append({" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)})
+    out = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            u = len(sets[a] | sets[b])
+            if u:
+                out[(a, b)] = len(sets[a] & sets[b]) / u
+    return out
+
+
+def test_ngram_jaccard_pairs_matches_python_oracle(ray_session):
+    from rsyslog_ray.stages.dedup import ngram_jaccard_pairs
+    tbl = _doc_table()
+    ds = rd.from_arrow(tbl)
+    got = {(r["a"], r["b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(ds, threshold=0.2).take_all()}
+    want = {k: v for k, v in
+            _py_wordgram_jaccard(tbl["text"].to_pylist()).items()
+            if v >= 0.2}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_ngram_jaccard_pairs_max_df_prunes_stop_grams(ray_session):
+    from rsyslog_ray.stages.dedup import ngram_jaccard_pairs
+    # every doc shares the boilerplate prefix; max_df=2 removes grams
+    # present in >2 docs, so only the genuinely-duplicated tail pairs up
+    texts = ["common header words here doc %d unique tail %d" % (i, i)
+             for i in range(4)] + ["common header words here doc 0 unique tail 0"]
+    tbl = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    ds = rd.from_arrow(tbl)
+    full = {(r["a"], r["b"]) for r in
+            ngram_jaccard_pairs(ds, threshold=0.9).take_all()}
+    assert (0, 4) in full                      # exact dup pair survives
+    pruned = ngram_jaccard_pairs(ds, threshold=0.01, max_df=2).take_all()
+    # shared-by-all grams are pruned, so cross pairs lose their overlap
+    assert all({r["a"], r["b"]} == {0, 4} for r in pruned)
