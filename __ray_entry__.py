@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_dedup_simhash,     # no SQL oracle (simhash)
         "simhash_dedup": Q.q_simhash_dedup,     # no SQL oracle (Python-oracle test)
         "jaccard_pairs": Q.q_jaccard_pairs,
+        "jaccard_dedup": Q.q_jaccard_dedup,
+        "cosine_dedup": Q.q_cosine_dedup,
         "neardup_pairs": Q.q_neardup_pairs,
         "lsh_neardup": Q.q_lsh_neardup,         # no SQL oracle (approximate)
         "lsh_cosine": Q.q_lsh_cosine,           # no SQL oracle (approximate)

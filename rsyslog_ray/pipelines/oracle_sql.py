@@ -640,6 +640,38 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a
              JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4"""
 
+    q["jaccard_dedup"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT i.b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT b FROM dropped)"""
+
+    q["cosine_dedup"] = """
+SELECT e.vec_id FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.vec_id < e.vec_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) >= 0.4)"""
+
     q["neardup_pairs"] = """
 SELECT a.vec_id AS a, b.vec_id AS b,
   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -552,6 +552,26 @@ def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     return _to_table(ngram_jaccard_pairs(ds, n=3, threshold=0.4))
 
 
+def q_jaccard_dedup(sf_dir: str) -> pa.Table:
+    """Word-trigram Jaccard dedup: surviving doc_ids after dropping every
+    doc with a smaller-id near-dup (j>=0.4) — distributed anti-join."""
+    from ..stages.dedup import ngram_jaccard_dedup
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _to_table(ngram_jaccard_dedup(ds, threshold=0.4)
+                     .select_columns(["doc_id"]))
+
+
+def q_cosine_dedup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine dedup: surviving vec_ids after dropping every
+    vector with a smaller-id partner at cosine>=0.4 (exact pair path for
+    the oracle; method='lsh' is the corpus-scale shape)."""
+    from ..stages.similarity import cosine_dedup
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet")
+    return _to_table(cosine_dedup(ds, threshold=0.4)
+                     .select_columns(["vec_id"]))
+
+
 def q_neardup_pairs(sf_dir: str) -> pa.Table:
     """Exact embedding-cosine near-duplicate pairs (a<b, score>=0.4):
     broadcast-matrix brute force, matches the DuckDB self-join oracle."""

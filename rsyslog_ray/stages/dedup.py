@@ -318,6 +318,49 @@ def connected_components(pairs, num_partitions: int | None = None,
     return labels
 
 
+def drop_pair_partners(ds, pairs, id_col: str,
+                       num_partitions: int | None = None):
+    """Drop every row that appears as the LARGER id of any near-dup pair
+    (b of an (a, b) pair with a < b) — the SQL-expressible dedup rule
+    (`NOT EXISTS a smaller near-dup partner`), vs drop_by_components'
+    keep-one-per-cluster rule. Distinct-b partial per batch → small
+    groupby → hash-partitioned LEFT ANTI join; no driver drop-set."""
+    from ..cluster import cluster_buckets
+    if num_partitions is None:
+        num_partitions = max(8, cluster_buckets() // 8)
+    i64 = pa.int64()
+
+    def bs(t: pa.Table) -> pa.Table:
+        b = pc.cast(t["b"], i64)
+        return pa.table({"node": pc.unique(
+            b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b)})
+    drops, n_drop = _materialize_nonempty(
+        pairs.map_batches(bs, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("node"))
+        .select_columns(["node"]),
+        [("node", i64)])
+
+    def cast_id(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index(id_col), id_col,
+                            pc.cast(t[id_col], i64))
+    casted = ds.map_batches(cast_id, batch_format="pyarrow")
+    if n_drop == 0:
+        return casted
+    return casted.join(drops, "left_anti", num_partitions,
+                       on=(id_col,), right_on=("node",))
+
+
+def ngram_jaccard_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.4,
+                        max_df: int | None = None):
+    """Exact word-n-gram Jaccard dedup: remove every document with a
+    smaller-id near-duplicate (j ≥ τ). Pair generation is the
+    gram-partitioned ngram_jaccard_pairs; the drop is a distributed
+    anti-join (drop_pair_partners)."""
+    pairs = ngram_jaccard_pairs(ds, text_col, id_col, n, threshold, max_df)
+    return drop_pair_partners(ds, pairs, id_col)
+
+
 def drop_by_components(ds, pairs, id_col: str,
                        num_partitions: int | None = None):
     """Scale path for the keep filter: connected components over the pairs

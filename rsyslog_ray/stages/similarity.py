@@ -383,3 +383,22 @@ def ivf_topk_cosine(ds, k: int = 20, id_col: str = "vec_id",
         return t.filter(pc.is_in(t["ivf_list"], value_set=pset))
     cand = assigned.map_batches(keep, batch_format="pyarrow")
     return topk_cosine(cand, k=k, id_col=id_col, col=col, query=query)
+
+
+def cosine_dedup(ds, threshold: float = 0.4, id_col: str = "vec_id",
+                 col: str = "embedding", method: str = "exact"):
+    """Embedding-cosine near-dup removal: drop every vector that has a
+    smaller-id partner with cosine ≥ τ. method='exact' scores all pairs
+    (broadcast matrix — verification scale, matches the SQL oracle);
+    method='lsh' generates pairs through the distributed bucketed path
+    (the 100 TB shape; recall bounded by the LSH table count). Either
+    way the drop itself is a distributed anti-join, never a driver set."""
+    from .dedup import drop_pair_partners
+    pairs = (neardup_pairs_exact(ds, threshold, id_col, col)
+             if method == "exact"
+             else lsh_neardup_pairs(ds, threshold=threshold,
+                                    id_col=id_col, col=col))
+    # Arrow's hash join rejects list-typed non-key columns, so the anti-
+    # join runs on the id projection; survivors re-attach their embedding
+    # downstream with a second (id-keyed) pass over the source when needed.
+    return drop_pair_partners(ds.select_columns([id_col]), pairs, id_col)

@@ -292,3 +292,35 @@ def test_ngram_jaccard_pairs_max_df_prunes_stop_grams(ray_session):
     pruned = ngram_jaccard_pairs(ds, threshold=0.01, max_df=2).take_all()
     # shared-by-all grams are pruned, so cross pairs lose their overlap
     assert all({r["a"], r["b"]} == {0, 4} for r in pruned)
+
+
+def test_jaccard_dedup_drops_partnered_docs(ray_session):
+    from rsyslog_ray.stages.dedup import ngram_jaccard_dedup
+    ds = rd.from_arrow(_doc_table())
+    kept = sorted(r["doc_id"] for r in
+                  ngram_jaccard_dedup(ds, threshold=0.4)
+                  .select_columns(["doc_id"]).take_all())
+    # 1, 2, 5 all pair with 0 (smaller id) → dropped; 3, 4 unrelated
+    assert kept == [0, 3, 4]
+
+
+def test_cosine_dedup_exact_and_lsh_agree(ray_session):
+    from rsyslog_ray.stages.similarity import cosine_dedup
+    tbl, _ = _vec_table(n=60)
+    ds = rd.from_arrow(tbl)
+    exact = sorted(r["vec_id"] for r in
+                   cosine_dedup(ds, threshold=0.9)
+                   .select_columns(["vec_id"]).take_all())
+    # python oracle: drop any vec with a smaller-id partner >= 0.9
+    import numpy as np
+    m = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    s = mn @ mn.T
+    drop = {j for i in range(len(m)) for j in range(i + 1, len(m))
+            if s[i, j] >= 0.9}
+    assert exact == sorted(set(range(len(m))) - drop)
+    lsh = sorted(r["vec_id"] for r in
+                 cosine_dedup(ds, threshold=0.9, method="lsh")
+                 .select_columns(["vec_id"]).take_all())
+    # LSH recall may miss pairs → keeps a superset of the exact survivors
+    assert set(exact) <= set(lsh)
