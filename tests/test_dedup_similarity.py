@@ -275,6 +275,11 @@ def test_ngram_jaccard_pairs_matches_python_oracle(ray_session):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+    # distributed bucket path (driver_threshold=0) must agree exactly
+    dist = {(r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(ds, threshold=0.2,
+                                         driver_threshold=0).take_all()}
+    assert dist == got
 
 
 def test_ngram_jaccard_pairs_max_df_prunes_stop_grams(ray_session):
