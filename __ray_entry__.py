@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": Q.q_events_window,
         "sessionize": Q.q_sessionize,
         "hopping_window": Q.q_hopping_window,
+        "percentiles": Q.q_percentiles,
         "topk_cosine": Q.q_topk_cosine,
         # mm* modifiers / dynstats / ratelimit / templates (§2.4-2.8)
         "mmfields": Q.q_mmfields,

@@ -98,6 +98,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("hopping_window", Q.q_hopping_window, sf_dir)
     timed("jaccard_pairs", Q.q_jaccard_pairs, sf_dir)
     timed("sessionize", Q.q_sessionize, sf_dir)
+    timed("percentiles", Q.q_percentiles, sf_dir)
     timed("ivf_cosine", Q.q_ivf_cosine, sf_dir)
 
     out["queries"] = timings

@@ -348,6 +348,13 @@ SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
          AS value_sum
 FROM w GROUP BY 1, 2"""
 
+    q["percentiles"] = """
+SELECT event_type,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY 1"""
+
     q["sessionize"] = """
 WITH w AS (
   SELECT user_id, ts,

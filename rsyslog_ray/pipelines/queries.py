@@ -231,6 +231,15 @@ def q_hopping_window(sf_dir: str) -> pa.Table:
     return _to_table(hopping_window_counts(ds, size_s=3600, hop_s=900))
 
 
+def q_percentiles(sf_dir: str) -> pa.Table:
+    """Exact p50/p95/p99 of value per event_type — histogram-fold shape
+    (no distributed sort), quantile_disc rank semantics."""
+    from ..stages.aggregate import percentiles_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return percentiles_by_key(ds)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization over events (10-min inactivity gap per
     user) — per-session rollup rows."""

@@ -272,3 +272,48 @@ def hopping_window_counts(ds, size_s: int = 3600, hop_s: int = 900,
             batch.schema.get_field_index("value_sum"), "value_sum",
             pc.divide(pc.cast(batch["value_sum"], pa.float64()), 100.0))
     return out.map_batches(uncent, batch_format="pyarrow")
+
+
+def percentiles_by_key(ds, key: str = "event_type", value_col: str = "value",
+                       qs: tuple = (0.5, 0.95, 0.99),
+                       names: tuple = ("p50", "p95", "p99"),
+                       n_buckets: int | None = None) -> pa.Table:
+    """Exact distributed percentiles WITHOUT a distributed sort: per-batch
+    (key, value-cent) histogram partials → bucket-merged counts → a tiny
+    driver fold over the histogram (O(|keys| × |distinct values|),
+    independent of row count — the 2-decimal value domain is bounded).
+    Rank semantics match DuckDB quantile_disc: sorted element at
+    ceil(q·n)−1. For an unbounded value domain use fixed-width bins
+    (approximate) or a t-digest; the shuffle/fold shape stays the same."""
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(batch[value_col], pa.float64()), 100.0)), pa.int64())
+        t = pa.table({key: batch[key], "cents": cents})
+        return (t.group_by([key, "cents"])
+                .aggregate([([], "count_all")])
+                .rename_columns([key, "cents", "n"]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # the histogram is bounded (O(|keys| × |distinct cents|) per batch) —
+    # stream the partials back and fold on the driver, skipping the
+    # shuffle's fixed cost entirely (count_by fold_driver pattern); at an
+    # unbounded domain switch to bucket_merge + fixed-width bins instead
+    hist = (pa.concat_tables(
+        [b for b in partials.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")])
+        .to_pandas()
+        .groupby([key, "cents"], sort=False, as_index=False)["n"].sum())
+    out_keys, out_cols = [], {nm: [] for nm in names}
+    for k, g in hist.groupby(key, sort=True):
+        g = g.sort_values("cents")
+        counts = g["n"].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        vals = g["cents"].to_numpy().astype(np.float64) / 100.0
+        out_keys.append(k)
+        for q, nm in zip(qs, names):
+            rank = int(np.ceil(q * n)) - 1
+            out_cols[nm].append(vals[np.searchsorted(cum, rank + 1)])
+    return pa.table({key: pa.array(out_keys),
+                     **{nm: pa.array(out_cols[nm], pa.float64())
+                        for nm in names}})

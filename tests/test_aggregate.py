@@ -143,3 +143,21 @@ def test_hopping_window_membership(ray_session):
                                        hop_s=50).take_all())
     base = 1704067200  # 2024-01-01T00:00:00 epoch
     assert out == [(base - 50, 1, 2.0), (base, 1, 2.0)]
+
+
+def test_percentiles_by_key_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import percentiles_by_key
+    rng = np.random.RandomState(11)
+    keys = rng.choice(["a", "b"], size=500)
+    vals = np.round(rng.uniform(0, 50, size=500), 2)
+    ds = rd.from_arrow(pa.table({"event_type": pa.array(keys),
+                                 "value": pa.array(vals, pa.float64())}))
+    got = percentiles_by_key(ds).to_pandas().set_index("event_type")
+    for k in ("a", "b"):
+        v = np.sort(vals[keys == k])
+        for q, nm in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            want = v[int(np.ceil(q * len(v))) - 1]  # quantile_disc rank
+            assert got.loc[k, nm] == want, (k, nm)
