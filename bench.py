@@ -99,6 +99,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("jaccard_pairs", Q.q_jaccard_pairs, sf_dir)
     timed("sessionize", Q.q_sessionize, sf_dir)
     timed("percentiles", Q.q_percentiles, sf_dir)
+    timed("distinct_users", Q.q_distinct_users, sf_dir)
+    timed("distinct_users_hll", Q.q_distinct_users_hll, sf_dir)
     timed("ivf_cosine", Q.q_ivf_cosine, sf_dir)
 
     out["queries"] = timings

@@ -348,6 +348,10 @@ SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
          AS value_sum
 FROM w GROUP BY 1, 2"""
 
+    q["distinct_users"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1"""
+
     q["percentiles"] = """
 SELECT event_type,
        quantile_disc(value, 0.5)  AS p50,

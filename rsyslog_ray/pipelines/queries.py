@@ -240,6 +240,25 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return percentiles_by_key(ds)
 
 
+def q_distinct_users(sf_dir: str) -> pa.Table:
+    """Exact count-distinct users per event_type — distinct-pair combiner
+    → value-bucketed global distinct → driver fold (16 B/row shuffle)."""
+    from ..stages.aggregate import distinct_count_by
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return distinct_count_by(ds)
+
+
+def q_distinct_users_hll(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-user estimate per event_type (p=12, σ≈1.6%) —
+    one pass, no value shuffle; accuracy pinned by a unit test vs the
+    exact count; rows-only driver check (approximate by design)."""
+    from ..stages.aggregate import hll_distinct_by
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return hll_distinct_by(ds)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based sessionization over events (10-min inactivity gap per
     user) — per-session rollup rows."""

@@ -161,3 +161,27 @@ def test_percentiles_by_key_matches_numpy(ray_session):
         for q, nm in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
             want = v[int(np.ceil(q * len(v))) - 1]  # quantile_disc rank
             assert got.loc[k, nm] == want, (k, nm)
+
+
+def test_distinct_count_exact_and_hll(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import distinct_count_by, hll_distinct_by
+    rng = np.random.RandomState(5)
+    keys = rng.choice(["x", "y"], size=4000)
+    vals = rng.randint(0, 700, size=4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"event_type": pa.array(keys),
+                                 "user_id": pa.array(vals)}))
+    exact = distinct_count_by(ds).to_pandas().set_index("event_type")
+    for k in ("x", "y"):
+        assert exact.loc[k, "n_distinct"] == len(set(vals[keys == k]))
+    # distributed bucket path must agree with the driver fold
+    dist = (distinct_count_by(ds, driver_threshold=0)
+            .to_pandas().set_index("event_type"))
+    assert dist["n_distinct"].to_dict() == exact["n_distinct"].to_dict()
+    est = hll_distinct_by(ds).to_pandas().set_index("event_type")
+    for k in ("x", "y"):
+        true = exact.loc[k, "n_distinct"]
+        assert abs(est.loc[k, "n_distinct_est"] - true) / true < 0.05, \
+            (k, est.loc[k, "n_distinct_est"], true)
