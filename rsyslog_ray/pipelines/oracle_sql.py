@@ -348,6 +348,12 @@ SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
          AS value_sum
 FROM w GROUP BY 1, 2"""
 
+    q["asof_join"] = """
+SELECT e.event_id, e.user_id, e.ts, s.ts AS ts_r
+FROM events e ASOF JOIN
+     (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts"""
+
     q["distinct_users"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY 1"""

@@ -240,6 +240,23 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return percentiles_by_key(ds)
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: each event paired with the user's most recent signup
+    event (signup_ts <= ts) — key-bucketed merge_asof, DuckDB ASOF JOIN
+    oracle."""
+    from ..stages.joins import asof_join
+    # one read (one parquet metadata pass), both sides derived from it
+    base = read_scaled(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type"])
+    left = base.select_columns(["event_id", "user_id", "ts"])
+    right = (base.filter(expr="event_type == 'signup'")
+             .select_columns(["user_id", "ts"]))
+    out = asof_join(left, right, key="user_id", ts_col="ts")
+    return _to_table(out.select_columns(["event_id", "user_id", "ts", "ts_r"])
+                     )
+
+
 def q_distinct_users(sf_dir: str) -> pa.Table:
     """Exact count-distinct users per event_type — distinct-pair combiner
     → value-bucketed global distinct → driver fold (16 B/row shuffle)."""

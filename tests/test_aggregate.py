@@ -185,3 +185,35 @@ def test_distinct_count_exact_and_hll(ray_session):
         true = exact.loc[k, "n_distinct"]
         assert abs(est.loc[k, "n_distinct_est"] - true) / true < 0.05, \
             (k, est.loc[k, "n_distinct_est"], true)
+
+
+def test_asof_join_matches_pandas_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import asof_join
+    rng = np.random.RandomState(7)
+    n = 300
+    left = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**6, n), unit="s"),
+    })
+    m = 60
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 20, m).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**6, m), unit="s"),
+        "version": np.arange(m, dtype=np.int64),
+    })
+    got = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key="user_id", ts_col="ts")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = pd.merge_asof(left.sort_values("ts"), right.sort_values("ts"),
+                         on="ts", by="user_id", direction="backward",
+                         suffixes=("", "_r"))
+    want = (want[want["version"].notna()]
+            .sort_values("event_id").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["version"].to_numpy() == want["version"].to_numpy()).all()
