@@ -348,6 +348,15 @@ SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
          AS value_sum
 FROM w GROUP BY 1, 2"""
 
+    q["topk_tools"] = f"""
+SELECT role, tool, "rows", rank FROM (
+  SELECT role, tool, count(*) AS "rows",
+         CAST(row_number() OVER (PARTITION BY role
+              ORDER BY count(*) DESC, tool) AS BIGINT) AS rank
+  FROM read_parquet('{src}') WHERE tool IS NOT NULL
+  GROUP BY role, tool)
+WHERE rank <= 3"""
+
     q["asof_join"] = """
 SELECT e.event_id, e.user_id, e.ts, s.ts AS ts_r
 FROM events e ASOF JOIN

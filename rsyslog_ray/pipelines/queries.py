@@ -240,6 +240,18 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return percentiles_by_key(ds)
 
 
+def q_topk_tools(sf_dir: str) -> pa.Table:
+    """Top-3 tools per role by turn count — exact heavy hitters
+    (count_by partials → driver fold → ranked head), deterministic ties
+    (count desc, tool asc)."""
+    from ..stages.aggregate import topk_by_key
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["role", "tool"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["tool"])), batch_format="pyarrow")
+    return topk_by_key(ds, ["role"], "tool", k=3)
+
+
 def q_asof_join(sf_dir: str) -> pa.Table:
     """As-of join: each event paired with the user's most recent signup
     event (signup_ts <= ts) — key-bucketed merge_asof, DuckDB ASOF JOIN

@@ -428,3 +428,21 @@ def hll_distinct_by(ds, key: str = "event_type", val: str = "user_id",
         out_n.append(int(round(e)))
     return pa.table({key: pa.array(out_k),
                      "n_distinct_est": pa.array(out_n, pa.int64())})
+
+
+def topk_by_key(ds, keys: list[str], val: str, k: int = 3) -> pa.Table:
+    """Exact heavy hitters per key: bounded-cardinality (keys, val)
+    counts via the count_by driver fold (per-batch partials — the
+    shuffle-free path for bounded domains), then per-key top-k with
+    deterministic ties (count desc, value asc). For unbounded value
+    cardinality swap the fold for distributed count_by + a per-key
+    bounded heap (SpaceSaving territory); the rank step is unchanged."""
+    import pandas as pd
+    counts = count_by(ds, keys + [val], fold_driver=True)
+    df = counts.to_pandas()
+    df = df.sort_values(keys + ["rows", val],
+                        ascending=[True] * len(keys) + [False, True],
+                        kind="mergesort")
+    df["rank"] = (df.groupby(keys, sort=False).cumcount() + 1).astype("int64")
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -217,3 +217,17 @@ def test_asof_join_matches_pandas_oracle(ray_session):
     assert len(got) == len(want)
     assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
     assert (got["version"].to_numpy() == want["version"].to_numpy()).all()
+
+
+def test_topk_by_key_ranks_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import topk_by_key
+    t = pa.table({"k": pa.array(["a"] * 6 + ["b"] * 3),
+                  "v": pa.array(["x", "x", "y", "y", "z", "w",
+                                 "p", "p", "q"])})
+    out = topk_by_key(rd.from_arrow(t), ["k"], "v", k=2).to_pylist()
+    # a: x(2) and y(2) tie on count -> value asc; z/w rank 3+ cut
+    assert [(r["k"], r["v"], r["rows"], r["rank"]) for r in out] == [
+        ("a", "x", 2, 1), ("a", "y", 2, 2),
+        ("b", "p", 2, 1), ("b", "q", 1, 2)]
