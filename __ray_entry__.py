@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles": Q.q_percentiles,
         "asof_join": Q.q_asof_join,
         "topk_tools": Q.q_topk_tools,
+        "head_per_conv": Q.q_head_per_conv,
         "distinct_users": Q.q_distinct_users,
         "distinct_users_hll": Q.q_distinct_users_hll,  # no SQL oracle (sketch)
         "topk_cosine": Q.q_topk_cosine,

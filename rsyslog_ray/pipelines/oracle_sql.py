@@ -348,6 +348,13 @@ SELECT event_type, CAST(wstart AS BIGINT) AS wstart,
          AS value_sum
 FROM w GROUP BY 1, 2"""
 
+    q["head_per_conv"] = f"""
+SELECT conv_id, turn_idx, role FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM read_parquet('{src}'))
+WHERE rn <= 2"""
+
     q["topk_tools"] = f"""
 SELECT role, tool, "rows", rank FROM (
   SELECT role, tool, count(*) AS "rows",

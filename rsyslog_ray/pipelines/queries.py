@@ -240,6 +240,16 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return percentiles_by_key(ds)
 
 
+def q_head_per_conv(sf_dir: str) -> pa.Table:
+    """First 2 turns per conversation (ordered group-head sampling) —
+    hash-bucketed, no global sort."""
+    from ..stages.aggregate import head_per_key
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "role"])
+    return _to_table(head_per_key(ds, key="conv_id", order_col="turn_idx",
+                                  n=2))
+
+
 def q_topk_tools(sf_dir: str) -> pa.Table:
     """Top-3 tools per role by turn count — exact heavy hitters
     (count_by partials → driver fold → ranked head), deterministic ties

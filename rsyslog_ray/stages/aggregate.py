@@ -446,3 +446,18 @@ def topk_by_key(ds, keys: list[str], val: str, k: int = 3) -> pa.Table:
     df["rank"] = (df.groupby(keys, sort=False).cumcount() + 1).astype("int64")
     df = df[df["rank"] <= k].reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def head_per_key(ds, key: str = "conv_id", order_col: str = "turn_idx",
+                 n: int = 2, n_buckets: int | None = None):
+    """First n rows per key in order_col order ("take the first N turns
+    per conversation / first N docs per domain") — hash-bucketed: a key's
+    rows co-locate, ONE vectorized pandas sort + groupby-head per bucket.
+    No global sort; the shuffle moves only the selected columns."""
+    from .ratelimit import _per_bucket
+
+    def fn(g):
+        g = g.sort_values([key, order_col], kind="mergesort")
+        return g.groupby(key, sort=False).head(n)
+
+    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)

@@ -231,3 +231,14 @@ def test_topk_by_key_ranks_and_ties(ray_session):
     assert [(r["k"], r["v"], r["rows"], r["rank"]) for r in out] == [
         ("a", "x", 2, 1), ("a", "y", 2, 2),
         ("b", "p", 2, 1), ("b", "q", 1, 2)]
+
+
+def test_head_per_key(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import head_per_key
+    t = pa.table({"conv_id": pa.array(["c1"] * 4 + ["c2"] * 2),
+                  "turn_idx": pa.array([3, 1, 2, 0, 5, 4], pa.int64())})
+    out = sorted((r["conv_id"], r["turn_idx"]) for r in
+                 head_per_key(rd.from_arrow(t), n=2).take_all())
+    assert out == [("c1", 0), ("c1", 1), ("c2", 4), ("c2", 5)]
