@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": Q.q_hopping_window,
         "percentiles": Q.q_percentiles,
         "asof_join": Q.q_asof_join,
+        "range_join": Q.q_range_join,
         "topk_tools": Q.q_topk_tools,
         "head_per_conv": Q.q_head_per_conv,
         "distinct_users": Q.q_distinct_users,

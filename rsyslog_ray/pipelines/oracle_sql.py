@@ -355,6 +355,14 @@ SELECT conv_id, turn_idx, role FROM (
   FROM read_parquet('{src}'))
 WHERE rn <= 2"""
 
+    q["range_join"] = """
+SELECT e.event_id, e.user_id, e.ts, s.start_ts, s.end_ts
+FROM events e JOIN (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'signup') s
+ON e.user_id = s.user_id
+   AND e.ts >= s.start_ts AND e.ts <= s.end_ts"""
+
     q["topk_tools"] = f"""
 SELECT role, tool, "rows", rank FROM (
   SELECT role, tool, count(*) AS "rows",

@@ -250,6 +250,27 @@ def q_head_per_conv(sf_dir: str) -> pa.Table:
                                   n=2))
 
 
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Interval join: every event inside the 1-hour window after any
+    signup by the same user — key-bucketed per-key merge + interval
+    mask, DuckDB inequality-join oracle."""
+    from ..stages.joins import range_join
+    base = read_scaled(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "user_id", "ts",
+                                    "event_type"])
+    left = base.select_columns(["event_id", "user_id", "ts"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        hour = pa.scalar(3_600_000_000, pa.duration("us"))
+        return pa.table({"user_id": t["user_id"], "start_ts": ts,
+                         "end_ts": pc.add(ts, hour)})
+    right = (base.filter(expr="event_type == 'signup'")
+             .map_batches(windows, batch_format="pyarrow"))
+    out = range_join(left, right, key="user_id", ts_col="ts")
+    return _to_table(out)
+
+
 def q_topk_tools(sf_dir: str) -> pa.Table:
     """Top-3 tools per role by turn count — exact heavy hitters
     (count_by partials → driver fold → ranked head), deterministic ties

@@ -242,3 +242,35 @@ def test_head_per_key(ray_session):
     out = sorted((r["conv_id"], r["turn_idx"]) for r in
                  head_per_key(rd.from_arrow(t), n=2).take_all())
     assert out == [("c1", 0), ("c1", 1), ("c2", 4), ("c2", 5)]
+
+
+def test_range_join_matches_pandas_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import range_join
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame({
+        "event_id": np.arange(200, dtype=np.int64),
+        "user_id": rng.randint(0, 10, 200).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**5, 200), unit="s"),
+    })
+    starts = pd.to_datetime(rng.randint(0, 10**5, 30), unit="s")
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 10, 30).astype(np.int64),
+        "start_ts": starts,
+        "end_ts": starts + pd.Timedelta(hours=2),
+        "win_id": np.arange(30, dtype=np.int64),
+    })
+    got = (range_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="user_id", ts_col="ts")
+           .to_pandas().sort_values(["event_id", "win_id"])
+           .reset_index(drop=True))
+    want = left.merge(right, on="user_id")
+    want = (want[(want["ts"] >= want["start_ts"]) &
+                 (want["ts"] <= want["end_ts"])]
+            .sort_values(["event_id", "win_id"]).reset_index(drop=True))
+    assert len(got) == len(want) > 0
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert (got["win_id"].to_numpy() == want["win_id"].to_numpy()).all()
