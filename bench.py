@@ -102,6 +102,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("distinct_users", Q.q_distinct_users, sf_dir)
     timed("distinct_users_hll", Q.q_distinct_users_hll, sf_dir)
     timed("asof_join", Q.q_asof_join, sf_dir)
+    timed("range_join", Q.q_range_join, sf_dir)
     timed("topk_tools", Q.q_topk_tools, sf_dir)
     timed("ivf_cosine", Q.q_ivf_cosine, sf_dir)
 
