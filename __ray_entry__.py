@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "head_per_conv": Q.q_head_per_conv,
         "distinct_users": Q.q_distinct_users,
         "distinct_users_hll": Q.q_distinct_users_hll,  # no SQL oracle (sketch)
+        "events_props": Q.q_events_props,
         "topk_cosine": Q.q_topk_cosine,
         # mm* modifiers / dynstats / ratelimit / templates (§2.4-2.8)
         "mmfields": Q.q_mmfields,

@@ -378,6 +378,12 @@ FROM events e ASOF JOIN
      (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts"""
 
+    q["events_props"] = """
+SELECT event_type, count(*) AS "rows",
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum
+FROM events GROUP BY 1"""
+
     q["distinct_users"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY 1"""

@@ -300,6 +300,28 @@ def q_asof_join(sf_dir: str) -> pa.Table:
                      )
 
 
+def q_events_props(sf_dir: str) -> pa.Table:
+    """JSON property extraction over the events side-table: parse
+    props ($!k analogue) → exact int sum + count per event_type
+    (partials → bucket merge)."""
+    from .. import functions as F
+    from ..stages.aggregate import bucket_merge
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = pc.cast(F.json_get(pc.cast(batch["props"], pa.string()), "k"),
+                    pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        return (t.group_by(["event_type"])
+                .aggregate([([], "count_all"), ("k", "sum")])
+                .rename_columns(["event_type", "rows", "k_sum"]))
+    partials = ds.map_batches(fn, batch_format="pyarrow")
+    return _to_table(bucket_merge(partials, ["event_type"],
+                                  {"rows": ("rows", "sum"),
+                                   "k_sum": ("k_sum", "sum")}))
+
+
 def q_distinct_users(sf_dir: str) -> pa.Table:
     """Exact count-distinct users per event_type — distinct-pair combiner
     → value-bucketed global distinct → driver fold (16 B/row shuffle)."""
