@@ -423,7 +423,13 @@ def compact_partitions(out_root: str, action: str,
             chunk = tbl.slice(i * per, per)
             if chunk.num_rows == 0:
                 continue
-            name = RouteWriter._det_name(chunk, f"compact:{d}")
+            # Mix the chunk index into the name: _det_name hashes raw Arrow
+            # buffers, and zero-copy slices of one concatenated table SHARE
+            # those buffers, so without the index every chunk would get the
+            # same name and each rename would overwrite the previous chunk
+            # (all but one chunk's rows destroyed). The index is
+            # deterministic, so task retries still converge on one file set.
+            name = RouteWriter._det_name(chunk, f"compact:{d}:{i}/{n_out}")
             tmp = os.path.join(d, f"._tmp-{name}")
             pq.write_table(chunk, tmp, compression="snappy")
             os.rename(tmp, os.path.join(d, name))

@@ -118,6 +118,31 @@ def test_compact_partitions_preserves_rows(ray_session, tmp_path):
     assert before == 20 and after == len(files)
 
 
+def test_compact_partitions_multi_chunk_preserves_rows(ray_session, tmp_path):
+    """target_rows_per_file small enough to force n_out > 1: chunks are
+    zero-copy slices sharing buffers, so per-chunk names must differ or
+    later renames destroy earlier chunks (round-3 ADVICE fix)."""
+    import glob
+    import pyarrow.parquet as pq
+    from rsyslog_ray.stages.route import compact_partitions
+    d = tmp_path / "sink" / "fac=3"
+    d.mkdir(parents=True)
+    total = 0
+    for i in range(10):
+        t = pa.table({"x": pa.array(range(i * 25, i * 25 + 25), pa.int64())})
+        pq.write_table(t, d / f"part-{i:04d}.parquet")
+        total += t.num_rows
+    res = compact_partitions(str(tmp_path), "sink", max_files_per_dir=4,
+                             target_rows_per_file=60)   # 250 rows → 5 chunks
+    files = glob.glob(str(d / "part-*.parquet"))
+    assert len(files) == 5
+    merged = pa.concat_tables([pq.read_table(f) for f in files])
+    assert merged.num_rows == total
+    assert sorted(merged["x"].to_pylist()) == list(range(total))
+    (before, after) = res[str(d)]
+    assert before == 10 and after == 5
+
+
 def test_text_sink_writes_rendered_lines(ray_session, tmp_path):
     import glob
     import ray.data as rd
