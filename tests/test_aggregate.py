@@ -274,3 +274,125 @@ def test_range_join_matches_pandas_oracle(ray_session):
     assert len(got) == len(want) > 0
     assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
     assert (got["win_id"].to_numpy() == want["win_id"].to_numpy()).all()
+
+
+def _join_fixture(seed=11, n=250, m=40):
+    import numpy as np
+    import pandas as pd
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        # ids above 2^53: float64 round-trip would corrupt them
+        "event_id": (np.arange(n, dtype=np.int64) + (1 << 60)),
+        "user_id": rng.randint(0, 8, n).astype(np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**5, n), unit="s"),
+    })
+    starts = pd.to_datetime(rng.randint(0, 10**5, m), unit="s")
+    right = pd.DataFrame({
+        "user_id": rng.randint(0, 8, m).astype(np.int64),
+        "start_ts": starts,
+        "end_ts": starts + pd.Timedelta(hours=2),
+        "win_id": np.arange(m, dtype=np.int64),
+    })
+    return left, right
+
+
+def test_join_output_dtypes_exact_on_both_paths(ray_session):
+    """Round-3 fix: pandas merge/merge_asof upcast int64→float64 via NaN
+    intermediates; both joins must emit the inputs' exact Arrow types on
+    the driver AND distributed paths (hash_match gate + >2^53 ids)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import asof_join, range_join
+    left, right = _join_fixture()
+    asof_right = right[["user_id", "start_ts"]].rename(
+        columns={"start_ts": "ts"})
+    for thresh in (2_000_000, 0):          # driver path / distributed path
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(asof_right),
+                        key="user_id", ts_col="ts",
+                        driver_threshold=thresh)
+        sch = out.schema()
+        assert dict(zip(sch.names, sch.types))["event_id"] == pa.int64()
+        ids = sorted(r["event_id"] for r in
+                     out.select_columns(["event_id"]).take_all())
+        assert ids and all(isinstance(i, int) and i >= (1 << 60)
+                           for i in ids)
+        out2 = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                          key="user_id", ts_col="ts",
+                          driver_threshold=thresh)
+        sch2 = out2.schema()
+        tmap = dict(zip(sch2.names, sch2.types))
+        assert tmap["event_id"] == pa.int64()
+        assert tmap["win_id"] == pa.int64()
+        # contract: output type == LEFT input's type (ns here: pandas src)
+        assert tmap["ts"] == pa.timestamp("ns")
+
+
+def test_range_join_time_bucket_copartition_equivalent(ray_session):
+    """Dense overlapping intervals: (key, coarse-time-bucket)
+    co-partitioning must produce the identical pair set while bounding
+    the per-group merge cross-product."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import range_join
+    # ONE hot key, 400 events, 50 fully-overlapping 2h windows: plain
+    # per-key merge intermediate = 400*50 = 20000 rows; with 2h buckets
+    # each (key, tb) group holds ≤ a bucket's events × ≤3 spanning
+    # windows' copies — bounded by construction.
+    rng = np.random.RandomState(3)
+    n, m = 400, 50
+    left = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "ts": pd.to_datetime(rng.randint(0, 10**5, n), unit="s"),
+    })
+    starts = pd.to_datetime(rng.randint(0, 10**5, m), unit="s")
+    right = pd.DataFrame({
+        "user_id": np.zeros(m, dtype=np.int64),
+        "start_ts": starts,
+        "end_ts": starts + pd.Timedelta(hours=2),
+        "win_id": np.arange(m, dtype=np.int64),
+    })
+
+    def pairs(**kw):
+        out = range_join(rd.from_pandas(left), rd.from_pandas(right),
+                         key="user_id", ts_col="ts",
+                         driver_threshold=0, **kw).take_all()
+        return sorted((r["event_id"], r["win_id"]) for r in out)
+
+    plain = pairs()
+    bucketed = pairs(time_bucket_s=7200)
+    assert plain == bucketed and len(plain) > 0
+    # analytic bound check on the fixture itself: the max per-(key,tb)
+    # cross size is far below the full per-key cross size
+    tb = 7200
+    lv = left.assign(_tb=left.ts.astype("int64") // (tb * 10**9))
+    per_tb_events = lv.groupby("_tb").size()
+    s = right.start_ts.astype("int64") // (tb * 10**9)
+    e = right.end_ts.astype("int64") // (tb * 10**9)
+    import collections
+    wins_per_tb = collections.Counter()
+    for a, b in zip(s, e):
+        for t in range(a, b + 1):
+            wins_per_tb[t] += 1
+    max_cross = max(per_tb_events.get(t, 0) * c
+                    for t, c in wins_per_tb.items())
+    assert max_cross < n * m / 4
+
+
+def test_asof_join_no_materialize_right(ray_session):
+    """materialize_right=False (large fact-to-fact right side) must give
+    identical results to the default dimension-side path."""
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import asof_join
+    left, right = _join_fixture(seed=5)
+    asof_right = right[["user_id", "start_ts"]].rename(
+        columns={"start_ts": "ts"})
+
+    def run(mat):
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(asof_right),
+                        key="user_id", ts_col="ts", driver_threshold=0,
+                        materialize_right=mat).take_all()
+        return sorted((r["event_id"], str(r["ts_r"])) for r in out)
+
+    assert run(True) == run(False)
