@@ -639,7 +639,10 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     jaccard = c / (n_a + n_b − c).  The shuffle moves 24-byte posting
     rows, never cross-bucket pair candidates; the within-bucket blowup is
     Σ df(gram)², which `max_df` bounds at web scale (boilerplate grams
-    carry no near-dup signal)."""
+    carry no near-dup signal). On the distributed path max_df=None is
+    replaced by a corpus-derived default (min(1e6, max(1000,
+    n_docs/100))) and logged; the driver path keeps None = unbounded so
+    the small-scale SQL oracle stays exact."""
     from ..cluster import cluster_buckets
     from .aggregate import bucket_merge
     nb = n_buckets or cluster_buckets()
@@ -660,6 +663,20 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         tbl = pa.concat_tables(_ray.get(postings.to_arrow_refs()))
         return rd.from_arrow(
             _jaccard_score(_jaccard_pair_counts(tbl, max_df), threshold))
+
+    if max_df is None:
+        # Distributed (web-scale) path: an unbounded max_df makes a single
+        # stop-gram with df=10⁸ compute df² = 10¹⁶ candidate pairs in one
+        # bucket. Derive a corpus-sized default (boilerplate grams carry no
+        # near-dup signal); the small-scale driver path above stays exact /
+        # oracle-conformant with max_df as passed.
+        import logging
+        n_docs = ds.count()
+        max_df = min(1_000_000, max(1000, n_docs // 100))
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: distributed path with max_df=None — "
+            "defaulting max_df=%d (n_docs=%d); grams with higher document "
+            "frequency are pruned before pairing", max_df, n_docs)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = (t["g"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -297,6 +297,27 @@ def test_ngram_jaccard_pairs_max_df_prunes_stop_grams(ray_session):
     pruned = ngram_jaccard_pairs(ds, threshold=0.01, max_df=2).take_all()
     # shared-by-all grams are pruned, so cross pairs lose their overlap
     assert all({r["a"], r["b"]} == {0, 4} for r in pruned)
+    # distributed path with the same explicit cutoff agrees exactly
+    dist = ngram_jaccard_pairs(ds, threshold=0.01, max_df=2,
+                               driver_threshold=0).take_all()
+    assert (sorted((r["a"], r["b"], r["jaccard"]) for r in dist)
+            == sorted((r["a"], r["b"], r["jaccard"]) for r in pruned))
+
+
+def test_ngram_jaccard_distributed_default_max_df(ray_session):
+    """Round-3 ADVICE: the distributed path must never run with an
+    unbounded max_df — a derived corpus-sized cap kicks in (and at this
+    corpus size the floor cap of 1000 prunes nothing, so the result
+    equals the unbounded driver-path result)."""
+    from rsyslog_ray.stages.dedup import ngram_jaccard_pairs
+    tbl = _doc_table()
+    ds = rd.from_arrow(tbl)
+    unbounded = sorted((r["a"], r["b"]) for r in
+                       ngram_jaccard_pairs(ds, threshold=0.2).take_all())
+    capped = sorted((r["a"], r["b"]) for r in
+                    ngram_jaccard_pairs(ds, threshold=0.2, max_df=None,
+                                        driver_threshold=0).take_all())
+    assert capped == unbounded and len(capped) > 0
 
 
 def test_jaccard_dedup_drops_partnered_docs(ray_session):
