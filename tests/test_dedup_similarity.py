@@ -53,6 +53,32 @@ def test_minhash_lsh_drops_near_dups(ray_session):
     assert 1 not in kept and 5 not in kept  # near-dups bucket with 0
 
 
+def test_minhash_stage_matches_per_doc_reference():
+    """Round-3 vectorization: the batched windowed-FNV + segmented-min
+    path must be bit-identical to signature(_shingles(t)) per doc,
+    including the pad-to-k short-doc and empty-doc behaviors."""
+    from rsyslog_ray.stages.dedup import MinHashStage
+    texts = [BASE, "", "ab", "abcd", "abcde", "exact k!",
+             "unicode café naïve 中文 text here",
+             BASE.replace("cat", "bat"), "x" * 5, " " * 7, None]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.large_string())})
+    stage = MinHashStage(num_perm=32, shingle_k=5)
+    got = stage(tbl)["minhash"].to_pylist()
+    mh = stage.mh
+    for t, sig in zip(texts, got):
+        want = mh.signature(_shingles(t or "", 5)).astype(np.int64)
+        assert list(want) == sig, repr(t)
+    # chunked + sliced input (nonzero array offset) takes the same path
+    chunked = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.chunked_array([pa.array(texts[:4], pa.large_string()),
+                                  pa.array(texts[4:], pa.large_string())]),
+    }).slice(2)
+    got2 = stage(chunked)["minhash"].to_pylist()
+    assert got2 == got[2:]
+
+
 def test_minhash_signature_similarity_tracks_jaccard():
     mh = MinHasher(num_perm=128)
     s0 = mh.signature(_shingles(BASE))
