@@ -372,6 +372,7 @@ def connected_components(pairs, num_partitions: int | None = None,
         .map_batches(init_lbl, batch_format="pyarrow"),
         [("node", i64), ("label", i64)])
     prev = labels.sum("label")
+    converged = False
     for _ in range(max_iters):
         nbr = edges.join(labels, "inner", num_partitions,
                          on=("v",), right_on=("node",))
@@ -393,8 +394,20 @@ def connected_components(pairs, num_partitions: int | None = None,
             [("node", i64), ("label", i64)])
         cur = labels.sum("label")
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # A component with graph diameter > max_iters would silently keep
+        # multiple representatives (under-dedupe). Labels only decrease and
+        # the checksum is exact, so an unchanged sum IS a fixpoint; hitting
+        # the cap without one means propagation was cut short — say so.
+        import warnings
+        warnings.warn(
+            f"connected_components: min-label propagation did not converge "
+            f"within max_iters={max_iters} rounds (label checksum still "
+            f"changing); components with diameter > {max_iters} may retain "
+            f"multiple labels. Raise max_iters.", RuntimeWarning)
     return labels
 
 

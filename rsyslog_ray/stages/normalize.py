@@ -367,6 +367,12 @@ class NormalizeStage:
                 col = st.field(f"f{gi}").to_numpy(zero_copy_only=False)
                 vals[fname][hit] = col[ok]
             for afield, aval in self.rb.annotations.get(rule.tag, []):
+                # setdefault semantics: a field CAPTURED by the matching
+                # rule wins over a same-named tag annotation (matches the
+                # generated _grok_sql oracle, which emits the capture WHEN
+                # ahead of the annotation constant).
+                if afield in rule.fields:
+                    continue
                 vals[afield][hit] = aval
 
         cols: dict[str, pa.Array] = {}

@@ -232,6 +232,20 @@ def test_connected_components_labels():
     assert labels == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
 
+def test_connected_components_warns_when_not_converged():
+    import warnings
+    import ray.data as rdd
+    from rsyslog_ray.stages.dedup import connected_components
+    # path graph 1-2-3-4-5-6: diameter 5 > max_iters=1 → must warn
+    pairs = rdd.from_arrow(pa.table({"a": [1, 2, 3, 4, 5],
+                                     "b": [2, 3, 4, 5, 6]}))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, num_partitions=2, max_iters=1).take_all()
+    assert any("did not converge" in str(x.message) for x in w
+               if issubclass(x.category, RuntimeWarning))
+
+
 def test_lsh_multiprobe_improves_recall(ray_session):
     tbl, _ = _vec_table()
     ds = rd.from_arrow(tbl)

@@ -69,6 +69,20 @@ def test_processing_rulebase_annotations_and_types():
     assert out["v_os"] == ["WinOS", "ESX"]
 
 
+def test_annotation_does_not_overwrite_captured_field():
+    """setdefault semantics (round-3 ADVICE): a field CAPTURED by the
+    matching rule wins over a same-named annotate= constant; fields the
+    rule does NOT capture still get the annotation."""
+    rb = RuleBase.from_string(
+        "rule=t:%src:word% %n:number%\n"
+        "annotate=t:+src=\"CONST\"\n"
+        "annotate=t:+extra=\"E1\"")
+    out = _run(rb, ["hello 42", "no match here at all ###"])
+    assert out["src"] == ["hello", None]     # capture beats annotation
+    assert out["extra"] == ["E1", None]      # pure annotation still lands
+    assert out["n1" if "n1" in out else "n"] == [42, None]
+
+
 def test_pmnormalize_basic_rulebase():
     rb = RuleBase.from_file(f"{REF}/pmnormalize_basic.rulebase")
     out = _run(rb, ["<17> server tag1: is no longer listening on "
