@@ -32,7 +32,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .functions import REGISTRY, prifilt
+from .functions import ERRNO_FUNCTIONS, REGISTRY, prifilt
 
 _CMP = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
         "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}
@@ -74,6 +74,26 @@ class PropertyRegistry:
 
     def __init__(self, table: pa.Table):
         self.table = table
+        # per-row script errno (wti execState.script_errno analogue,
+        # runtime/wti.h:82): set by the most recent errno-setting function
+        # call evaluated against this batch; persists across statements
+        # when one registry walks a whole ruleset (route_table)
+        self.script_errno = None  # lazily: np.int64[n], 0 = RS_SCRIPT_EOK
+
+    def set_errno(self, ok) -> None:
+        """Record per-row errno from an errno-setting function's ok mask
+        (EOK=0 / EINVAL=1, grammar/rainerscript.h:334-335)."""
+        import numpy as np
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        okn = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
+        self.script_errno = np.where(okn, 0, 1).astype(np.int64)
+
+    def get_errno(self) -> pa.Array:
+        import numpy as np
+        if self.script_errno is None:
+            return pa.array(np.zeros(self.table.num_rows, dtype=np.int64))
+        return pa.array(self.script_errno)
 
     def get(self, name: str) -> pa.Array | pa.ChunkedArray:
         name_l = name.lower().lstrip("$")
@@ -394,7 +414,19 @@ def compile_expr(expr, props: PropertyRegistry):
         fn = REGISTRY[fname]
         args = [compile_expr(a, props) if isinstance(a, tuple) else a
                 for a in expr[2:]]
-        return fn(*args)
+        res = fn(*args)
+        if fname in ERRNO_FUNCTIONS:
+            # wtiSetScriptErrno analogue: is_time's boolean result IS the
+            # ok mask; parse_time/parse_json fail as nulls
+            ok = (res if (isinstance(res, (pa.Array, pa.ChunkedArray))
+                          and pa.types.is_boolean(res.type))
+                  else pc.is_valid(res))
+            props.set_errno(ok)
+        return res
+    if op == "script_error":
+        # script_error() (grammar/rainerscript.c:2792 doFunct_ScriptError):
+        # per-row errno of the most recent errno-setting function call
+        return props.get_errno()
     raise ValueError(f"unknown expression op {op!r}")
 
 
@@ -407,10 +439,16 @@ def _to_bool(arr):
     return pc.not_equal(pc.cast(arr, pa.int64()), 0)
 
 
-def eval_mask(expr, batch: pa.Table) -> pa.Array:
+def eval_mask(expr, batch: pa.Table,
+              props: PropertyRegistry | None = None) -> pa.Array:
     """Expression → boolean mask over a batch; nulls → False (a filter that
-    cannot evaluate does not match, runtime/ruleset.c:447)."""
-    res = compile_expr(expr, PropertyRegistry(batch))
+    cannot evaluate does not match, runtime/ruleset.c:447). Pass a shared
+    `props` registry to persist script_error() state across the statements
+    of one ruleset walk (the per-worker wti execState analogue)."""
+    res = compile_expr(expr, props or PropertyRegistry(batch))
+    if isinstance(res, (pa.Array, pa.ChunkedArray)) and \
+            not pa.types.is_boolean(res.type):
+        res = _to_bool(res)
     if isinstance(res, pa.ChunkedArray):
         res = res.combine_chunks()
     return pc.fill_null(res, False)

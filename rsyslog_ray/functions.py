@@ -481,6 +481,14 @@ def parse_json_column(arr) -> tuple[pa.Array, pa.Array]:
     return pa.array(out, type=pa.string()), pa.array(ok)
 
 
+def parse_json(arr) -> pa.Array:
+    """Expression-level parse_json (grammar/rainerscript.c:1781): JSON
+    string column → normalized JSON string, null where unparseable. The
+    expr layer derives script_error() state from the null mask (the
+    wtiSetScriptErrno(EOK/EINVAL) pair at rainerscript.c:1807-1814)."""
+    return parse_json_column(arr)[0]
+
+
 def json_get(arr, path: str) -> pa.Array:
     """Extract a (possibly nested) path 'a!b!c' from a JSON string column —
     the `$!a!b!c` property access analogue (runtime/msg.c msgGetJSONPropJSON)."""
@@ -566,8 +574,14 @@ REGISTRY = {
     "hash64": hash64, "hash32mod": hash32mod, "hash64mod": hash64mod,
     "format_time": format_time, "parse_time": parse_rfc3339,
     "is_time": is_time, "prifilt": prifilt, "json_get": json_get,
-    "unflatten": unflatten,
+    "unflatten": unflatten, "parse_json": parse_json,
 }
+
+#: functions that set the per-row script errno (wtiSetScriptErrno callers,
+#: grammar/rainerscript.c:1814,1942,2670,2748): EOK=0 / EINVAL=1 per the
+#: constants at grammar/rainerscript.h:334-335. The expr layer derives the
+#: per-row ok mask from the result (null → failed; is_time: False → failed).
+ERRNO_FUNCTIONS = {"parse_json", "parse_time", "is_time"}
 
 
 def register_function(name: str, fn) -> None:

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..expr import eval_mask
+from ..expr import PropertyRegistry, eval_mask
 from ..templates import Template
 
 
@@ -97,14 +97,21 @@ class Ruleset:
 
 def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
                   templates: dict[str, Template], out: dict,
-                  gate: np.ndarray | None = None) -> None:
+                  gate: np.ndarray | None = None,
+                  props: PropertyRegistry | None = None) -> None:
     """scriptExec over one statement list; mutates `alive` and `out`.
-    `gate` restricts which rows this (called) ruleset applies to."""
+    `gate` restricts which rows this (called) ruleset applies to.
+    `props` is the batch-wide shared registry: script_error() state set by
+    an errno-setting function in one statement's filter is visible to
+    LATER statements (the per-worker wti execState analogue)."""
+    if props is None:
+        props = PropertyRegistry(batch)
     for act in actions:
         if act.kind == "write" and out is None:
             continue  # stop-only walk: write filters never touch `alive`
         if act.filter is not None:
-            m = eval_mask(act.filter, batch).to_numpy(zero_copy_only=False)
+            m = eval_mask(act.filter, batch,
+                          props=props).to_numpy(zero_copy_only=False)
         else:
             m = np.ones(batch.num_rows, dtype=bool)
         m = m & alive
@@ -117,7 +124,7 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
             # callee shares the caller's alive mask (stop propagates);
             # only rows passing this statement's filter enter the callee
             _exec_actions(batch, act.target.actions, alive, templates, out,
-                          gate=m)
+                          gate=m, props=props)
             continue
         if act.kind != "write" or out is None:
             continue

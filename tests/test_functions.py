@@ -105,3 +105,43 @@ def test_lookup_tables():
     assert L(SEV_BUCKET.lookup_array(pa.array([0, 3, 4, 5, 7, -1]))) == \
         ["crit", "crit", "warn", "warn", "info", "na"]
     assert SEV_BUCKET.lookup(6) == "info"
+
+
+def test_script_error_tracks_errno_functions():
+    """script_error() (grammar/rainerscript.c:2792): per-row errno of the
+    most recent errno-setting call — parse_json/parse_time/is_time set
+    EOK=0 / EINVAL=1 (rainerscript.h:334-335)."""
+    import pyarrow as pa
+    from rsyslog_ray.expr import PropertyRegistry, compile_expr
+    batch = pa.table({"j": pa.array(['{"a":1}', "not json", None]),
+                      "t": pa.array(["2024-01-01T00:00:00Z", "xx", "bad"])})
+    props = PropertyRegistry(batch)
+    # before any errno-setting call: all EOK
+    assert L(compile_expr(("script_error",), props)) == [0, 0, 0]
+    compile_expr(("call", "parse_json", ("prop", "j")), props)
+    assert L(compile_expr(("script_error",), props)) == [0, 1, 1]
+    # a later errno-setting call OVERWRITES the state (last-call-wins)
+    compile_expr(("call", "parse_time", ("prop", "t")), props)
+    assert L(compile_expr(("script_error",), props)) == [0, 1, 1]
+    compile_expr(("call", "is_time", ("prop", "t")), props)
+    assert L(compile_expr(("script_error",), props)) == [0, 1, 1]
+
+
+def test_script_error_visible_to_later_ruleset_statements():
+    """The forced-parse-failure fixture: statement 1's filter runs
+    parse_json; statement 2 routes the failed rows via script_error()
+    (the wti execState persists across a ruleset walk)."""
+    import pyarrow as pa
+    from rsyslog_ray.stages.route import Action, Ruleset, route_table
+    batch = pa.table({
+        "conv_id": pa.array(["c1", "c2", "c3"]),
+        "j": pa.array(['{"ok":true}', "{broken", '{"x":2}']),
+    })
+    rs = Ruleset("se", [
+        Action("parsed", filter=("not", ("isempty",
+               ("call", "parse_json", ("prop", "j"))))),
+        Action("errs", filter=("==", ("script_error",), 1)),
+    ])
+    routed = route_table(batch, rs)
+    assert routed["parsed"]["conv_id"].to_pylist() == ["c1", "c3"]
+    assert routed["errs"]["conv_id"].to_pylist() == ["c2"]
