@@ -257,6 +257,126 @@ def mmanon_ipv6_table(batch: pa.Table, col: str = "msg",
                             pc.cast(out, batch[col].type))
 
 
+def mmutf8fix_table(batch: pa.Table, col: str = "raw",
+                    mode: str = "utf-8",
+                    replacement_char: str = " ") -> pa.Table:
+    """plugins/mmutf8fix — repair invalid bytes BEFORE Arrow string
+    conversion, byte-for-byte (output length == input length):
+
+    - mode="controlcharacters" (MODE_CC, mmutf8fix.c doCC): every byte
+      < 32 or > 126 → replacement char.
+    - mode="utf-8" (MODE_UTF8 default, doUTF8): greedy left-to-right
+      UTF-8 state machine; each byte of an invalid sequence is replaced
+      — stray continuation / 0xF8+ lead (1 byte), truncated multi-byte
+      run (lead + available continuations), completed sequences that are
+      overlong / UTF-16 surrogates / > 0x10FFFF (the whole sequence).
+      Continuations beyond a completed sequence are stray.
+
+    The C plugin's per-message byte loop is re-expressed as ONE pass over
+    the flattened buffer of the whole batch: greedy parsing is locally
+    decidable (every non-continuation byte begins a new sequence, exactly
+    the reference's `goto startOfSequence`), so sequence starts, run
+    lengths and codepoints all come from vectorized masks. Row boundaries
+    break continuation runs (parser state never crosses messages).
+
+    Accepts binary OR string input; emits a valid-UTF-8 string column in
+    place (replacement char is ASCII, surviving sequences are valid)."""
+    repl = np.uint8(ord(replacement_char))
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nulls = pc.is_valid(arr)
+    arr = pc.cast(arr, pa.large_binary())
+    arr = pc.fill_null(arr, b"")
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1],
+                         np.int64)[arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    base = offs[0]
+    c = data[base:offs[-1]].copy()
+    offs = offs - base
+    N = len(c)
+    if N:
+        if mode == "controlcharacters":
+            c[(c < 32) | (c > 126)] = repl
+        else:
+            row_start = np.zeros(N, dtype=bool)
+            starts_pos = offs[:-1][np.diff(offs) > 0]
+            row_start[starts_pos] = True
+            is_cont = (c & 0xC0) == 0x80
+            lead2 = (c & 0xE0) == 0xC0
+            lead3 = (c & 0xF0) == 0xE0
+            lead4 = (c & 0xF8) == 0xF0
+            is_lead = lead2 | lead3 | lead4
+            replace = (c >= 0xF8)             # 5/6-byte starts, RFC3629
+            # continuation runs, broken at row starts
+            prev_cont = np.empty(N, dtype=bool)
+            prev_cont[0] = False
+            prev_cont[1:] = is_cont[:-1]
+            run_start_mask = is_cont & (~prev_cont | row_start)
+            run_id_at = np.cumsum(run_start_mask) - 1   # valid where is_cont
+            starts = np.flatnonzero(run_start_mask)
+            n_runs = len(starts)
+            cont_idx = np.flatnonzero(is_cont)
+            counts = np.bincount(run_id_at[cont_idx], minlength=n_runs) \
+                if n_runs else np.zeros(0, np.int64)
+            # per-lead: how many continuations follow within the row
+            lp = np.flatnonzero(is_lead)
+            need = (np.int64(1) * lead2[lp] + 2 * lead3[lp] + 3 * lead4[lp])
+            nxt = lp + 1
+            has_run = (nxt < N)
+            hr = np.flatnonzero(has_run)
+            if len(hr):
+                has_run[hr] &= is_cont[nxt[hr]] & ~row_start[nxt[hr]]
+            avail = np.zeros(len(lp), np.int64)
+            if n_runs:
+                avail[has_run] = counts[run_id_at[nxt[has_run]]]
+            complete = avail >= need
+            # codepoints of completed sequences (per class, masked)
+            cp = np.zeros(len(lp), np.uint32)
+            b1 = c[lp].astype(np.uint32)
+            for cls, klen in ((lead2, 2), (lead3, 3), (lead4, 4)):
+                m = complete & cls[lp]
+                if not m.any():
+                    continue
+                li = lp[m]
+                v = b1[m] & np.uint32({2: 0x1F, 3: 0x0F, 4: 0x07}[klen])
+                for j in range(1, klen):
+                    v = (v << np.uint32(6)) | (c[li + j].astype(np.uint32)
+                                               & np.uint32(0x3F))
+                cp[m] = v
+            seqlen = need + 1
+            seq_bad = complete & (
+                ((seqlen == 2) & (cp < 0x80))
+                | ((seqlen == 3) & (cp < 0x800))
+                | ((seqlen == 4) & (cp < 0x10000))
+                | ((cp >= 0xD800) & (cp <= 0xDFFF))
+                | (cp > 0x10FFFF))
+            replace[lp[~complete | seq_bad]] = True
+            # continuation bytes: kept iff among the first `need` of a run
+            # owned by a complete, valid lead
+            if n_runs:
+                kept_per_run = np.zeros(n_runs, np.int64)
+                owner = has_run & complete & ~seq_bad
+                kept_per_run[run_id_at[nxt[owner]]] = need[owner]
+                run_begin = np.zeros(n_runs, np.int64)
+                np.cumsum(counts[:-1], out=run_begin[1:])
+                rid = run_id_at[cont_idx]
+                pos_in_run = np.arange(len(cont_idx)) - run_begin[rid]
+                replace[cont_idx[pos_in_run >= kept_per_run[rid]]] = True
+            c[replace] = repl
+    fixed = pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(c.tobytes())])
+    out = pc.if_else(nulls, pc.cast(fixed, pa.large_string()),
+                     pa.scalar(None, pa.large_string()))
+    out = pc.cast(out, pa.string())
+    if col in batch.column_names:
+        return batch.set_column(batch.schema.get_field_index(col), col, out)
+    return batch.append_column(col, out)
+
+
 def mmrm1stspace_table(batch: pa.Table, col: str = "msg") -> pa.Table:
     """plugins/mmrm1stspace — drop ONE leading space of MSG."""
     msg = pc.cast(batch[col], pa.string())

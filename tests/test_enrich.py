@@ -107,3 +107,92 @@ def test_mmanon_ipv6_zero_and_random():
     r2 = mmanon_ipv6_table(t, col="line", mode="random-consistent",
                            bits=96)["line"][0].as_py()
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# mmutf8fix (plugins/mmutf8fix/mmutf8fix.c doCC / doUTF8)
+# ---------------------------------------------------------------------------
+
+def _utf8fix_oracle(msg: bytes, repl: int = 0x20) -> bytes:
+    """Direct sequential port of doUTF8 (mmutf8fix.c:221-295) as the
+    test oracle for the vectorized kernel."""
+    b = bytearray(msg)
+    n = len(b)
+    bytes_left = 0
+    strt = 0
+    cp = 0
+    i = 0
+    while i < n:
+        c = b[i]
+        if bytes_left:
+            if (c & 0xC0) != 0x80:
+                for j in range(strt, i):
+                    b[j] = repl
+                bytes_left = 0
+                continue            # reprocess current byte as start
+            cp = (cp << 6) | (c & 0x3F)
+            bytes_left -= 1
+            if bytes_left == 0:
+                seqlen = i - strt + 1
+                if ((seqlen == 2 and cp < 0x80)
+                        or (seqlen == 3 and cp < 0x800)
+                        or (seqlen == 4 and cp < 0x10000)
+                        or (0xD800 <= cp <= 0xDFFF) or cp > 0x10FFFF):
+                    for j in range(strt, min(strt + seqlen, n)):
+                        b[j] = repl
+        else:
+            if (c & 0x80) == 0:
+                pass
+            elif (c & 0xE0) == 0xC0:
+                strt, bytes_left, cp = i, 1, c & 0x1F
+            elif (c & 0xF0) == 0xE0:
+                strt, bytes_left, cp = i, 2, c & 0x0F
+            elif (c & 0xF8) == 0xF0:
+                strt, bytes_left, cp = i, 3, c & 0x07
+            else:
+                b[i] = repl
+        i += 1
+    if bytes_left:
+        for j in range(strt, n):
+            b[j] = repl
+    return bytes(b)
+
+
+def test_mmutf8fix_matches_reference_oracle():
+    from rsyslog_ray.stages.enrich import mmutf8fix_table
+    cases = [
+        b"plain ascii stays",
+        "valid utf-8 café 中文 \U0001f600".encode(),
+        b"stray cont \x80 and \xbf here",
+        b"truncated lead \xc3",                       # lead at end of row
+        b"truncated 3seq \xe2\x82 end",
+        b"overlong \xc0\xaf slash",                   # 2-byte overlong
+        b"overlong3 \xe0\x80\xaf x",                  # 3-byte overlong
+        b"overlong4 \xf0\x80\x80\xaf x",              # 4-byte overlong
+        b"surrogate \xed\xa0\x80 pair",               # U+D800
+        b"too large \xf4\x90\x80\x80 cp",             # > 0x10FFFF
+        b"forbidden \xf8\x88\x80\x80\x80 5byte",
+        b"\xffinvalid at both ends\xfe",
+        b"extra cont \xc3\xa9\xa9 after valid 2seq",
+        b"lead then lead \xc3\xc3\xa9",
+        b"\x80",                                      # lone cont row
+        b"",
+        b"mixed \xe2\x98\x83 snowman then bad \xe2\x28\xa1 seq",
+    ]
+    tbl = pa.table({"i": pa.array(range(len(cases) + 1), pa.int64()),
+                    "raw": pa.array(cases + [None], pa.large_binary())})
+    out = mmutf8fix_table(tbl, col="raw")["raw"].to_pylist()
+    for raw, got in zip(cases, out[:-1]):
+        want = _utf8fix_oracle(raw).decode("utf-8")
+        assert got == want, f"{raw!r}: {got!r} != {want!r}"
+    assert out[-1] is None
+
+
+def test_mmutf8fix_controlcharacters_mode_and_registry():
+    from rsyslog_ray.config import STAGE_REGISTRY
+    tbl = pa.table({"raw": pa.array([b"a\x01b\ttab\x7f~", b"ok"],
+                                    pa.binary())})
+    out = STAGE_REGISTRY["mmutf8fix"](tbl, col="raw",
+                                      mode="controlcharacters",
+                                      replacement_char="?")
+    assert out["raw"].to_pylist() == ["a?b?tab?~", "ok"]
