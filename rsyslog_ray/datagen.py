@@ -236,3 +236,84 @@ def ensure_transcripts(sf_dir_or_tag: str, seed: int = 42) -> str:
     with open(done, "w") as fh:
         fh.write(f"{n_rows}\n")
     return out_dir
+
+
+# ---------------------------------------------------------------------------
+# PNG fixture encoder (multimodal decode stage needs REAL payloads; no
+# imaging libs in the container, so we emit spec-compliant PNGs from
+# stdlib zlib — decode_png in stages/multimodal.py is the inverse)
+# ---------------------------------------------------------------------------
+
+
+def make_png(pixels, filter_type: int = 0) -> bytes:
+    """uint8 pixel array → PNG bytes. (h, w) → grayscale (colortype 0);
+    (h, w, 3) → RGB (2); (h, w, 4) → RGBA (6). Bit depth 8, one IDAT, no
+    interlace. filter_type 0-4 applies that PNG filter to EVERY scanline
+    (forward filtering — the decoder's unfilter is the inverse), which
+    lets tests exercise each reconstruction path."""
+    import zlib
+
+    import numpy as np
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+        ct = 0
+    else:
+        ct = {1: 0, 3: 2, 4: 6}[px.shape[2]]
+    h, w, bpp = px.shape
+    flat = px.reshape(h, w * bpp).astype(np.int64)
+    lines = []
+    prev = np.zeros(w * bpp, np.int64)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:        # Sub
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            filt = (cur - left) % 256
+        elif filter_type == 2:        # Up
+            filt = (cur - prev) % 256
+        elif filter_type == 3:        # Average
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            filt = (cur - ((left + prev) >> 1)) % 256
+        elif filter_type == 4:        # Paeth
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            upleft = np.concatenate((np.zeros(bpp, np.int64), prev[:-bpp]))
+            p = left + prev - upleft
+            pa_, pb_, pc_ = (np.abs(p - left), np.abs(p - prev),
+                             np.abs(p - upleft))
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, upleft))
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, ct, 0, 0, 0]))
+    idat = zlib.compress(b"".join(lines), 6)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def synth_png_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document PNG fixture: dims and a gradient pattern
+    derived from doc_id only — reproducible across batch sizes and
+    partitionings (the row-identity rule every fixture here follows)."""
+    import numpy as np
+    w = 8 + (doc_id * 7) % 25
+    h = 8 + (doc_id * 13) % 17
+    y, x = np.mgrid[0:h, 0:w]
+    if doc_id % 3 == 0:               # grayscale
+        return make_png(((x * 3 + y * 5 + doc_id) % 256).astype(np.uint8),
+                        filter_type=doc_id % 5)
+    r = (x * 2 + doc_id) % 256
+    g = (y * 4 + doc_id // 2) % 256
+    b = (x + y + doc_id // 3) % 256
+    return make_png(np.stack([r, g, b], axis=-1).astype(np.uint8),
+                    filter_type=doc_id % 5)

@@ -764,18 +764,24 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing: binary payload column (document bytes standing
-    in for image data) → typed metadata → decode/resize stubs (actor pool).
-    Deterministic fake decode; rows-only + unit tests."""
+    """Multimodal pipeline over REAL image payloads: per-doc deterministic
+    PNG fixtures (datagen.synth_png_for_id — stdlib-zlib encoder) → typed
+    metadata → actor-pool decode (stages/multimodal.decode_png: inflate +
+    scanline unfilter, real width/height/mean_luma) → resize. Rows-only at
+    the driver (payload synthesis isn't SQL) + Python-oracle pytest."""
+    from ..datagen import synth_png_for_id
     from ..stages.multimodal import attach_media_meta, image_features
     ds = read_scaled(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+                         columns=["doc_id"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
-        payload = pc.cast(batch["text"], pa.large_binary())
+        ids = batch["doc_id"].to_pylist()
+        payload = pa.array([synth_png_for_id(int(i)) for i in ids],
+                           pa.large_binary())
         return pa.table({"doc_id": batch["doc_id"], "payload": payload})
     ds = ds.map_batches(to_payload, batch_format="pyarrow")
-    ds = ds.map_batches(lambda b: attach_media_meta(b), batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: attach_media_meta(b, fmt="png"),
+                        batch_format="pyarrow")
     out = image_features(ds)
 
     def project(batch: pa.Table) -> pa.Table:

@@ -23,6 +23,90 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(b: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) →
+    (width, height, mean_luma). Real values, no imaging libs.
+
+    Supported subset (raises ValueError outside it): bit depth 8, color
+    types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA, no interlace — exactly
+    what the datagen fixture encoder emits. Filters 0-4 per the PNG spec;
+    Sub reconstructs via per-channel cumsum (mod-256 addition is
+    associative), Up is one vectorized add, Average/Paeth fall back to a
+    per-byte loop on the rows that use them (their recurrence is on the
+    reconstructed left neighbor). Luma: gray channel, or ITU-R BT.601
+    0.299R + 0.587G + 0.114B; alpha ignored."""
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    import zlib
+    pos, idat = 8, []
+    w = h = ct = None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                      # 4 len + 4 type + data + 4 crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitd, ct, _comp, _filt, interlace = data[8:13]
+            if bitd != 8 or ct not in (0, 2, 4, 6) or interlace:
+                raise ValueError(
+                    f"unsupported PNG (bitdepth={bitd} colortype={ct} "
+                    f"interlace={interlace})")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    rows = raw.reshape(h, stride + 1)
+    img = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = rows[y, 0]
+        cur = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:                        # Sub
+            rec = cur.copy()
+            for c0 in range(bpp):
+                rec[c0::bpp] = np.cumsum(cur[c0::bpp]) % 256
+        elif f == 2:                        # Up
+            rec = (cur + prev) % 256
+        elif f in (3, 4):                   # Average / Paeth
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                u = prev[i]
+                if f == 3:
+                    rec[i] = (cur[i] + ((a + u) >> 1)) & 0xFF
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + u - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - u), abs(p - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (u if pb_ <= pc_ else c)
+                    rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        img[y] = rec
+        prev = rec
+    px = img.reshape(h, w, bpp).astype(np.float64)
+    if ct in (0, 4):
+        luma = px[..., 0]
+    else:
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return w, h, float(np.round(luma.mean(), 4))
+
+
 MEDIA_META_TYPE = pa.struct([
     ("media_type", pa.string()),     # image | audio | video
     ("format", pa.string()),         # png/jpeg/wav/mp4/... (claimed)
@@ -54,22 +138,22 @@ def _payload_bytes(batch: pa.Table, col: str) -> list[bytes]:
 class ImageDecodeStub:
     """Actor stage: binary payload → (width, height, mean_luma).
 
-    With a real imaging lib this would be PIL.Image.open in __call__ with
-    the lib imported once in __init__; here __init__ probes for PIL and
-    falls back to a DETERMINISTIC fake decode (dims/luma derived from the
-    payload bytes) so the pipeline shape is fully testable.
-    """
+    PNG payloads get a REAL decode (decode_png above — stdlib zlib, no
+    imaging libs); other formats would use PIL.Image.open (imported once
+    in __init__ when available — not in this container) and otherwise
+    fall back to a DETERMINISTIC fake decode (dims/luma derived from the
+    payload bytes) so the pipeline shape stays fully testable.
+    strict=True: PNG still decodes; a non-PNG payload raises instead of
+    faking."""
 
     def __init__(self, payload_col: str = "payload", strict: bool = False):
         self.payload_col = payload_col
+        self.strict = strict
         try:  # pragma: no cover - lib not in container
             import PIL.Image  # noqa: F401
             self._pil = True
         except ImportError:
             self._pil = False
-        if strict and not self._pil:
-            raise NotImplementedError(
-                "real image decode requires Pillow; container has none")
 
     def _fake_decode(self, b: bytes) -> tuple[int, int, float]:
         if not b:
@@ -79,9 +163,17 @@ class ImageDecodeStub:
         h = 16 + int(a[-8:].sum()) % 240
         return w, h, float(np.round(a.mean(), 4))
 
+    def _decode(self, b: bytes) -> tuple[int, int, float]:
+        if b.startswith(_PNG_SIG):
+            return decode_png(b)
+        if self.strict:
+            raise NotImplementedError(
+                "non-PNG decode requires Pillow; container has none")
+        return self._fake_decode(b)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = _payload_bytes(batch, self.payload_col)
-        w, h, luma = zip(*(self._fake_decode(b) for b in payloads)) if payloads \
+        w, h, luma = zip(*(self._decode(b) for b in payloads)) if payloads \
             else ((), (), ())
         return (batch
                 .append_column("width", pa.array(w, pa.int32()))

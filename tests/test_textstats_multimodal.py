@@ -79,9 +79,57 @@ def test_media_meta_and_decode_stub():
     assert max(r["resized_w"].to_pylist()[:2]) <= 8
 
 
-def test_decode_strict_raises_without_lib():
+def test_decode_strict_raises_on_non_png_without_lib():
+    # strict mode: PNG decodes for real; non-PNG payloads raise (no
+    # imaging lib in the container) instead of silently faking
     with pytest.raises(NotImplementedError):
-        ImageDecodeStub(strict=True)
+        ImageDecodeStub(strict=True)(_payload_table())
+    from rsyslog_ray.datagen import synth_png_for_id
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "payload": pa.array([synth_png_for_id(7)],
+                                      pa.large_binary())})
+    out = ImageDecodeStub(strict=True)(t)
+    assert out["width"].to_pylist()[0] == 8 + (7 * 7) % 25
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """decode_png must recover exact dims and the numpy-computed luma of
+    the SOURCE pixel array for every PNG filter type and color type the
+    fixture encoder emits (encoder filters forward, decoder unfilters —
+    the pixel array is the independent ground truth)."""
+    import numpy as np
+    from rsyslog_ray.datagen import make_png
+    from rsyslog_ray.stages.multimodal import decode_png
+    rng = np.random.default_rng(1234)
+    for ft in range(5):
+        for shape in [(11, 13), (9, 7, 3), (6, 10, 4)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            w, h, luma = decode_png(make_png(px, filter_type=ft))
+            assert (w, h) == (shape[1], shape[0]), (ft, shape)
+            p = px.astype(np.float64)
+            if p.ndim == 2:
+                want = p.mean()
+            elif p.shape[2] == 4:
+                want = (0.299 * p[..., 0] + 0.587 * p[..., 1]
+                        + 0.114 * p[..., 2]).mean()
+            else:
+                want = (0.299 * p[..., 0] + 0.587 * p[..., 1]
+                        + 0.114 * p[..., 2]).mean()
+            assert abs(luma - round(want, 4)) < 1e-9, (ft, shape)
+
+
+def test_png_decode_rejects_unsupported():
+    from rsyslog_ray.stages.multimodal import decode_png
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth PNG header → unsupported subset
+    import zlib
+    ihdr = ((4).to_bytes(4, "big") + (4).to_bytes(4, "big")
+            + bytes([16, 0, 0, 0, 0]))
+    chunk = (len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+             + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big"))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_frame_sampling_explodes_rows():
