@@ -458,6 +458,25 @@ def prifilt(facility, severity, spec: str) -> pa.Array:
 # --------------------------------------------------------------------------
 
 
+try:
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - baked into this container
+    _orjson = None
+
+
+def loads_fast(s):
+    """C-speed JSON parse for hot per-row loops: orjson when present,
+    falling back to stdlib json for the inputs orjson rejects but stdlib
+    accepts (NaN/Infinity literals) — acceptance semantics decide ok /
+    script_error state, so they must not change with the parser."""
+    if _orjson is not None:
+        try:
+            return _orjson.loads(s)
+        except (ValueError, TypeError):
+            pass
+    return json.loads(s)
+
+
 def parse_json_column(arr) -> tuple[pa.Array, pa.Array]:
     """grammar/rainerscript.c:1781 parse_json — returns (json_string, ok).
 
@@ -472,7 +491,7 @@ def parse_json_column(arr) -> tuple[pa.Array, pa.Array]:
             ok.append(False)
             continue
         try:
-            obj = json.loads(v)
+            obj = loads_fast(v)
             out.append(json.dumps(obj, separators=(",", ":"), sort_keys=True))
             ok.append(True)
         except (ValueError, TypeError):
@@ -499,7 +518,7 @@ def json_get(arr, path: str) -> pa.Array:
         cur = None
         if v is not None:
             try:
-                cur = json.loads(v)
+                cur = loads_fast(v)
                 for k in keys:
                     if isinstance(cur, dict):
                         cur = cur.get(k)
@@ -530,7 +549,7 @@ def unflatten(arr, sep: str = ".") -> pa.Array:
             out.append(None)
             continue
         try:
-            flat = json.loads(v)
+            flat = loads_fast(v)
             nested: dict = {}
             for k, val in flat.items():
                 cur = nested

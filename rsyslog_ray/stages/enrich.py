@@ -21,6 +21,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..functions import loads_fast
 from ..lookup import LookupTable
 
 
@@ -106,7 +107,7 @@ def mmjsonparse_table(batch: pa.Table, col: str = "msg") -> pa.Table:
     for i in np.flatnonzero(np_mask):
         payload = vals[i][5:].lstrip()
         try:
-            obj = json.loads(payload)
+            obj = loads_fast(payload)
             out[i] = json.dumps(obj, separators=(",", ":"), sort_keys=True)
             ok[i] = True
         except ValueError:

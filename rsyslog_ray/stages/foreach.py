@@ -9,9 +9,12 @@ element. The Ray-Data-native analogue is a flat_map-style explode:
   (vectorized: ListArray.flatten + offsets → np.repeat of parent rows; no
   per-row Python). This is the 100 TB path for typed arrays.
 - explode_json_object: a JSON-object string column → one row per (key,
-  value) pair. JSON must be parsed per row (object keys are data), so
-  this stage is bounded by the JSON-bearing subset — filter first, as the
-  reference's foreach only runs on messages reaching the statement.
+  value) pair. JSON must be parsed per row (object keys are data, and
+  absent-key vs null-value must stay distinguishable — which rules out a
+  schema-unifying columnar parse), so the parse is per-value via the
+  C-speed orjson path (functions.loads_fast) and the stage is bounded by
+  the JSON-bearing subset — filter first, as the reference's foreach only
+  runs on messages reaching the statement.
 """
 
 from __future__ import annotations
@@ -70,9 +73,10 @@ def explode_json_object(batch: pa.Table, col: str, key_out: str = "key",
     src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
     src = pc.fill_null(pc.cast(src, pa.string()), "")
     parents, keys, vals = [], [], []
+    from ..functions import loads_fast
     for i, raw in enumerate(src.to_pylist()):
         try:
-            obj = json.loads(raw) if raw else None
+            obj = loads_fast(raw) if raw else None
         except (ValueError, TypeError):
             continue
         if not isinstance(obj, dict):

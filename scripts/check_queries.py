@@ -37,15 +37,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 qs = E.queries()
 fails = []
+import time as _time
 for name, fn in qs.items():
     if only and name not in only:
         continue
+    t0 = _time.monotonic()
     try:
         got = fn(sf_dir)
         gdf = got.to_pandas() if hasattr(got, "to_pandas") else pd.DataFrame(got)
         sql = sqls.get(name)
         if sql is None:
-            print(f"{name:20s} rows={len(gdf)} (no oracle — rows-only)")
+            print(f"{name:20s} rows={len(gdf)} (no oracle — rows-only)"
+                  f"  [{_time.monotonic() - t0:.2f}s]")
             continue
         edf = con.execute(sql).df()
         status = []
@@ -81,7 +84,8 @@ for name, fn in qs.items():
             fails.append(name)
             print(f"{name:20s} FAIL: {'; '.join(status[:4])}")
         else:
-            print(f"{name:20s} OK rows={len(gdf)}")
+            print(f"{name:20s} OK rows={len(gdf)}"
+                  f"  [{_time.monotonic() - t0:.2f}s]")
     except Exception as ex:  # noqa: BLE001
         fails.append(name)
         print(f"{name:20s} ERROR: {type(ex).__name__}: {str(ex)[:300]}")
