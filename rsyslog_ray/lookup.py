@@ -65,6 +65,9 @@ class LookupTable:
         """Column of keys → column of values (nomatch-filled)."""
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        if not self.keys:       # empty (e.g. stubbed) table: all nomatch
+            return pa.array(np.full(len(keys), self.nomatch, dtype=object),
+                            pa.string())
         if self.type == "string":
             idx = pc.index_in(pc.cast(keys, pa.string()),
                               value_set=pa.array(self.keys, pa.string()))
@@ -107,6 +110,59 @@ class LookupTable:
             return self.nomatch
         pos = bisect.bisect_right(self.keys, k) - 1
         return self.values[pos] if pos >= 0 else self.nomatch
+
+
+class ReloadableLookup:
+    """reload_lookup_table / HUP-reload analogue (runtime/lookup.c:717-866
+    lookupReload; ruleset stmt runtime/ruleset.c:553-568) for long-running
+    batch jobs: a file-backed table that hot-reloads when the backing file
+    changes.
+
+    Batch-native shape: LookupEnrich calls maybe_reload() once per batch —
+    one os.stat (mtime_ns compare), re-parse only on change. No rwlock is
+    needed: the reference guards one shared in-place table; here every
+    actor/task swaps its OWN immutable copy. Failure semantics mirror the
+    reference: a failed reload keeps serving the OLD table, unless `stub`
+    was given, in which case the table becomes stubbed — every lookup
+    returns the stub value (the reload_lookup_table(name, stub) second
+    argument, runtime/lookup.c lookupReload stub path)."""
+
+    def __init__(self, path: str, stub: str | None = None):
+        import os
+        self.path = path
+        self.stub = stub
+        self.table = LookupTable.from_file(path)
+        self._mtime = os.stat(path).st_mtime_ns
+
+    def maybe_reload(self) -> bool:
+        """Reload if the backing file changed; returns True if swapped."""
+        import os
+        try:
+            m = os.stat(self.path).st_mtime_ns
+        except OSError:
+            m = None
+        if m == self._mtime:
+            return False
+        try:
+            if m is None:
+                raise OSError(f"lookup file missing: {self.path}")
+            self.table = LookupTable.from_file(self.path)
+            self._mtime = m
+            return True
+        except (OSError, ValueError, KeyError, TypeError):
+            if self.stub is not None:
+                self.table = LookupTable(type="string", nomatch=self.stub,
+                                         keys=[], values=[])
+                self._mtime = m
+                return True
+            return False            # keep serving the old table
+
+    # duck-typed LookupTable surface (LookupEnrich/lookup() callers)
+    def lookup_array(self, keys) -> pa.Array:
+        return self.table.lookup_array(keys)
+
+    def lookup(self, key) -> str:
+        return self.table.lookup(key)
 
 
 # Fixture tables (FIXTURES.md §3) — defined in code so engine, oracle and

@@ -43,6 +43,9 @@ class LookupEnrich:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for out_col, key_col, tbl in self.spec:
+            if hasattr(tbl, "maybe_reload"):
+                # reload_lookup_table analogue: one os.stat per batch
+                tbl.maybe_reload()
             batch = batch.append_column(out_col, tbl.lookup_array(batch[key_col]))
         return batch
 

@@ -196,3 +196,42 @@ def test_mmutf8fix_controlcharacters_mode_and_registry():
                                       mode="controlcharacters",
                                       replacement_char="?")
     assert out["raw"].to_pylist() == ["a?b?tab?~", "ok"]
+
+
+# ---------------------------------------------------------------------------
+# reload_lookup_table analogue (runtime/lookup.c:717-866, ruleset.c:553-568)
+# ---------------------------------------------------------------------------
+
+def _write_lkp(path, pairs, nomatch="NONE"):
+    import json
+    with open(path, "w") as fh:
+        json.dump({"version": 1, "nomatch": nomatch, "type": "string",
+                   "table": [{"index": k, "value": v} for k, v in pairs]},
+                  fh)
+
+
+def test_reloadable_lookup_hot_reload_and_stub(tmp_path):
+    import os
+    from rsyslog_ray.lookup import ReloadableLookup
+    from rsyslog_ray.stages.enrich import LookupEnrich
+    p = str(tmp_path / "x.lkp_tbl")
+    _write_lkp(p, [("a", "1"), ("b", "2")])
+    tbl = ReloadableLookup(p)
+    batch = pa.table({"k": pa.array(["a", "b", "z"])})
+    enrich = LookupEnrich([("v", "k", tbl)])
+    assert enrich(batch)["v"].to_pylist() == ["1", "2", "NONE"]
+    # rewrite the backing file (bump mtime) → next batch sees new values
+    _write_lkp(p, [("a", "10"), ("z", "26")])
+    os.utime(p, ns=(1, 1))        # force a distinct mtime_ns
+    assert enrich(batch)["v"].to_pylist() == ["10", "NONE", "26"]
+    # corrupt file WITHOUT stub → keeps serving the old table
+    with open(p, "w") as fh:
+        fh.write("{broken json")
+    os.utime(p, ns=(2, 2))
+    assert enrich(batch)["v"].to_pylist() == ["10", "NONE", "26"]
+    # corrupt file WITH stub → every lookup returns the stub
+    stubbed = ReloadableLookup.__new__(ReloadableLookup)
+    stubbed.path, stubbed.stub = p, "STUB"
+    stubbed.table, stubbed._mtime = tbl.table, 0   # pretend old load
+    stubbed.maybe_reload()
+    assert stubbed.lookup_array(pa.array(["a"])).to_pylist() == ["STUB"]
