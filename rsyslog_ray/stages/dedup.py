@@ -101,18 +101,22 @@ class MinHashStage:
     texts' UTF-8 bytes are taken zero-copy from the Arrow buffers, ONE
     windowed-FNV pass with doc-boundary masking hashes every k-shingle
     (the `_gram_postings` shape), then per-doc signatures fold via a
-    CACHE-BLOCKED segmented min: docs are grouped into ~_CHUNK_W-window
-    chunks and one 2-D `minimum.reduceat(axis=1)` handles all
-    permutations of a chunk while its (num_perm × W) temp stays
-    cache-resident — a flat per-permutation pass over all windows
-    measured 6× SLOWER on this class of host (64 full-corpus sweeps
-    from RAM are bandwidth-bound; the chunk temp is reused from cache).
+    segmented min whose strategy ADAPTS to batch size (both measured on
+    this host class): below ~_FLAT_MAX windows the whole hash vector is
+    cache-resident, so 64 flat per-permutation `minimum.reduceat` passes
+    win (0.14s vs 0.34s at 1.5 MB text); above it those passes become 64
+    RAM sweeps and a CACHE-BLOCKED path wins instead (3× at 16 MB text):
+    docs are grouped into ~_CHUNK_W-window chunks and one 2-D
+    `minimum.reduceat(axis=1)` handles all permutations of a chunk while
+    its (num_perm × W) temp stays in cache.
     Docs shorter than k bytes keep the reference behavior (pad to k
     with spaces → exactly one shingle), also vectorized. Bit-identical
     to `MinHasher.signature(_shingles(t))` per doc (duplicate shingles
     don't change a min, so the per-doc np.unique is dropped)."""
 
     _CHUNK_W = 16384          # windows per 2-D reduceat chunk (≈8 MB temp)
+    _FLAT_MAX = 4_000_000     # ≤ this many windows (≈32 MB of hashes,
+                              # L3-resident): flat per-perm passes win
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5,
                  text_col: str = "text"):
@@ -143,36 +147,54 @@ class MinHashStage:
             with np.errstate(over="ignore"):
                 if total >= k:
                     tail = total - k + 1
-                    doc_of = np.repeat(np.arange(n), lens)
                     d64 = data.astype(np.uint64)     # widen ONCE, slice after
                     h = np.full(tail, _FNV_OFFSET, dtype=np.uint64)
                     for i in range(k):
-                        h = (h ^ d64[i:i + tail]) * _FNV_PRIME
-                    valid = doc_of[:tail] == doc_of[k - 1:]
-                    winh = h[valid]
-                    win_doc = doc_of[:tail][valid]
-                    nw = len(winh)
-                    if nw:
-                        # win_doc is sorted (flat bytes are in doc order):
-                        # first-occurrence mask gives segment starts directly
-                        first = np.empty(nw, dtype=bool)
-                        first[0] = True
-                        first[1:] = win_doc[1:] != win_doc[:-1]
-                        seg = np.flatnonzero(first)
-                        present = win_doc[seg]
-                        nd = len(seg)
-                        ac, bc = a[:, None], b[:, None]
-                        d0 = 0
-                        while d0 < nd:
-                            s0 = seg[d0]
-                            d1 = int(np.searchsorted(
-                                seg, s0 + self._CHUNK_W, side="left"))
-                            d1 = max(d1, d0 + 1)
-                            s1 = seg[d1] if d1 < nd else nw
-                            vals = ac * winh[s0:s1][None, :] + bc
-                            sigs[present[d0:d1], :] = np.minimum.reduceat(
-                                vals, seg[d0:d1] - s0, axis=1).T
-                            d0 = d1
+                        np.bitwise_xor(h, d64[i:i + tail], out=h)
+                        np.multiply(h, _FNV_PRIME, out=h)
+                    # windows crossing a doc boundary are only the k-1
+                    # starts before each boundary: POISON them to uint64
+                    # max AFTER each a·h+b map (the affine map wraps mod
+                    # 2^64, so pre-poisoning h would not survive it) —
+                    # O(n·k) scatter instead of a per-byte doc map +
+                    # mask-copies over every window
+                    bad = np.empty(0, np.int64)
+                    if n > 1 and k > 1:
+                        bad = (offs[1:-1, None]
+                               + np.arange(-(k - 1), 0)[None, :]).ravel()
+                        bad = bad[(bad >= 0) & (bad < tail)]
+                    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+                    # docs with >= 1 window own window-start range
+                    # [offs[d], offs[d]+lens[d]-k]; reduceat segments at
+                    # their starts cover it (poisoned gaps are harmless)
+                    present = np.flatnonzero(lens >= k)
+                    seg = offs[present]
+                    nd = len(seg)
+                    if nd:
+                        if tail <= self._FLAT_MAX:
+                            tmp = np.empty(tail, np.uint64)
+                            for p in range(num_perm):
+                                np.multiply(a[p], h, out=tmp)
+                                np.add(tmp, b[p], out=tmp)
+                                tmp[bad] = UMAX
+                                sigs[present, p] = np.minimum.reduceat(
+                                    tmp, seg)
+                        else:
+                            ac, bc = a[:, None], b[:, None]
+                            poison = np.zeros(tail, dtype=bool)
+                            poison[bad] = True
+                            d0 = 0
+                            while d0 < nd:
+                                s0 = seg[d0]
+                                d1 = int(np.searchsorted(
+                                    seg, s0 + self._CHUNK_W, side="left"))
+                                d1 = max(d1, d0 + 1)
+                                s1 = seg[d1] if d1 < nd else tail
+                                vals = ac * h[s0:s1][None, :] + bc
+                                vals[:, poison[s0:s1]] = UMAX
+                                sigs[present[d0:d1], :] = np.minimum.reduceat(
+                                    vals, seg[d0:d1] - s0, axis=1).T
+                                d0 = d1
                 short = np.flatnonzero(lens < k)
                 if len(short):
                     idx = offs[short][:, None] + np.arange(k)[None, :]

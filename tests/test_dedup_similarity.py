@@ -77,6 +77,12 @@ def test_minhash_stage_matches_per_doc_reference():
     }).slice(2)
     got2 = stage(chunked)["minhash"].to_pylist()
     assert got2 == got[2:]
+    # force the large-batch cache-blocked path (both strategies must be
+    # bit-identical; _CHUNK_W tiny so several chunks are exercised)
+    stage2 = MinHashStage(num_perm=32, shingle_k=5)
+    stage2._FLAT_MAX = 0
+    stage2._CHUNK_W = 7
+    assert stage2(tbl)["minhash"].to_pylist() == got
 
 
 def test_minhash_signature_similarity_tracks_jaccard():
