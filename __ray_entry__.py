@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "properties": Q.q_properties,
         "prifilt": Q.q_prifilt,
         "parse_json": Q.q_parse_json,
+        "script_error": Q.q_script_error,
         "grok_parse": Q.q_grok_parse,
         # training-data extras: text analysis / dedup / similarity
         "quality": Q.q_quality,

@@ -644,6 +644,16 @@ SELECT conv_id, turn_idx,
   CAST(json_extract_string(cee_payload, '$.n') AS BIGINT) AS n
 FROM cee WHERE cee_parsesuccess"""
 
+    # script_error(): rows whose (deterministically half-corrupted) JSON
+    # fails to parse — engine routes them via the errno expr op; the
+    # oracle applies the IDENTICAL corruption and DuckDB JSON validation
+    q["script_error"] = pc_ + "," + _CEE + """
+SELECT conv_id, turn_idx FROM cee
+WHERE cee_parsesuccess
+  AND TRY_CAST(
+        CASE WHEN turn_idx % 2 = 0 THEN cee_payload || '}'
+             ELSE cee_payload END AS JSON) IS NULL"""
+
     q["foreach_list"] = """
 SELECT vec_id,
   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,

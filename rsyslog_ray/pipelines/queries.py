@@ -734,6 +734,38 @@ def q_parse_json(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+def q_script_error(sf_dir: str) -> pa.Table:
+    """script_error() end-to-end (grammar/rainerscript.c:2792): statement
+    1's filter runs parse_json over a half-corrupted JSON column (even
+    turn_idx gets a trailing '}' — invalid in every parser), statement 2
+    routes the rows whose parse failed via the ("script_error",) expr op.
+    The errno state set in one statement is visible to LATER statements of
+    the same ruleset walk (wti execState analogue). Corruption is derived
+    from row identity only, so the result is batching-invariant; the
+    DuckDB oracle applies the identical corruption + TRY_CAST-IS-NULL."""
+    from ..stages.route import Action, Ruleset, route_table
+    ds = build_parsed_dataset(ensure_transcripts(sf_dir))
+    rs = Ruleset("se", [
+        Action("parsed_ok", filter=("not", ("isempty",
+               ("call", "parse_json", ("prop", "j"))))),
+        Action("errs", filter=("==", ("script_error",), 1)),
+    ])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ok = pc.fill_null(batch["cee_parsesuccess"], False)
+        sub = batch.filter(ok)
+        cee = pc.fill_null(pc.cast(sub["cee_json"], pa.string()), "")
+        even = pc.equal(pc.bit_wise_and(pc.cast(sub["turn_idx"],
+                                                pa.int64()), 1), 0)
+        j = pc.if_else(even, pc.binary_join_element_wise(
+            cee, pa.scalar("}"), ""), cee)
+        routed = route_table(sub.append_column("j", j), rs)
+        errs = routed["errs"]
+        return pa.table({"conv_id": errs["conv_id"],
+                         "turn_idx": errs["turn_idx"]})
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
 # liblognorm-style rulebase applied to the RAW transcript text (the
 # pmnormalize/useRawMsg shape): first-match-wins cascade over four sample
 # rules + per-tag annotations. The oracle SQL is GENERATED from the same
