@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras: text analysis / dedup / similarity
         "quality": Q.q_quality,
         "langid": Q.q_langid,
+        "hash_split": Q.q_hash_split,
+        "sample_by_source": Q.q_sample_by_source,
+        "pack_sequences": Q.q_pack_sequences,
         "jaccard_pairs": Q.q_jaccard_pairs,
         "jaccard_dedup": Q.q_jaccard_dedup,
         "cosine_dedup": Q.q_cosine_dedup,

@@ -654,6 +654,27 @@ WHERE cee_parsesuccess
         CASE WHEN turn_idx % 2 = 0 THEN cee_payload || '}'
              ELSE cee_payload END AS JSON) IS NULL"""
 
+    from ..stages.sampling import (sample_threshold_sql,  # noqa: PLC0415
+                                   split_cut_sql)
+    q["hash_split"] = f"""
+SELECT doc_id, source, {split_cut_sql()} AS split FROM documents"""
+
+    q["sample_by_source"] = ("SELECT doc_id, source, lang FROM documents "
+                             "WHERE " + sample_threshold_sql(
+                                 {"src0": 0.5, "src1": 0.25, "src2": 0.0}))
+
+    q["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id, source AS "group",
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, "group", n_tokens,
+  COALESCE(SUM(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+    AS seq_idx
+FROM t"""
+
     q["foreach_list"] = """
 SELECT vec_id,
   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,

@@ -734,6 +734,38 @@ def q_parse_json(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+def q_hash_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment (training-data op):
+    Fibonacci-hash the doc id against exact integer cut points — both
+    sides integer-only, so the HUGEINT oracle matches bit-for-bit."""
+    from ..stages.sampling import hash_split
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source"])
+    return _to_table(hash_split(ds))
+
+
+def q_sample_by_source(sf_dir: str) -> pa.Table:
+    """Per-source weighted downsampling (data-mixing op): keep-fraction
+    per source via an independent hash stream."""
+    from ..stages.sampling import sample_by_key
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "lang"])
+    return _to_table(sample_by_key(
+        ds, weights={"src0": 0.5, "src1": 0.25, "src2": 0.0},
+        key_col="source"))
+
+
+def q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Concat-then-chunk sequence packing: per-source ordered token
+    prefix sum (two-pass distributed: tiny per-chunk partials → driver
+    prefix fold → per-chunk local cumsum) → seq_idx = before //
+    max_tokens. Oracle: window cumsum over the proven token count."""
+    from ..stages.sampling import pack_sequences
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    return _to_table(pack_sequences(ds, max_tokens=2048))
+
+
 def q_script_error(sf_dir: str) -> pa.Table:
     """script_error() end-to-end (grammar/rainerscript.c:2792): statement
     1's filter runs parse_json over a half-corrupted JSON column (even

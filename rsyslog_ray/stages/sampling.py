@@ -1,0 +1,198 @@
+"""Deterministic corpus-partitioning operators for training-data
+pipelines: train/val/test splitting, per-source weighted sampling, and
+sequence packing. All three derive decisions from ROW IDENTITY only
+(multiplicative Fibonacci hashing of the integer id — Knuth §6.4), so
+results are invariant to batch size, partitioning and execution order,
+and every op has an exact DuckDB oracle (HUGEINT arithmetic expresses
+the same mod-2^64 products the numpy uint64 kernel computes).
+
+No reference counterpart — rsyslog has no corpus ops; these are the
+brief's "operations a large-scale training-data pipeline would need".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: golden-ratio multiplier (2^64 / φ, odd) — Fibonacci hashing
+SPLIT_PRIME = 0x9E3779B97F4A7C15
+#: a second odd constant → an independent hash stream for sampling, so
+#: sample membership is uncorrelated with split assignment
+SAMPLE_PRIME = 0xC2B2AE3D27D4EB4F
+_TWO64 = 1 << 64
+
+
+def _u64(ids, prime: int) -> np.ndarray:
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    v = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        return v.astype(np.uint64) * np.uint64(prime)
+
+
+def hash_split(ds, ratios: list[tuple[str, float]] | None = None,
+               id_col: str = "doc_id", out: str = "split"):
+    """Deterministic dataset split: row → named bucket with probability ~
+    its ratio. u = (id * SPLIT_PRIME) mod 2^64 compared against exact
+    integer cut points floor(cum_ratio · 2^64) — no floats anywhere, so
+    the DuckDB HUGEINT oracle matches bit-for-bit. Stateless map_batches;
+    nothing shuffles."""
+    ratios = ratios or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = np.asarray([n for n, _ in ratios], dtype=object)
+    cum, cuts = 0.0, []
+    for _, r in ratios[:-1]:
+        cum += r
+        cuts.append(min(_TWO64 - 1, int(cum * _TWO64)))
+    cuts_arr = np.asarray(cuts, dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _u64(batch[id_col], SPLIT_PRIME)
+        idx = np.searchsorted(cuts_arr, u, side="right")
+        return batch.append_column(out, pa.array(names[idx], pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_cut_sql(ratios: list[tuple[str, float]] | None = None,
+                  id_col: str = "doc_id") -> str:
+    """The matching DuckDB CASE expression for hash_split (same integer
+    cut points; HUGEINT product mod 2^64)."""
+    ratios = ratios or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    u = (f"(CAST({id_col} AS HUGEINT) * {SPLIT_PRIME}) % "
+         f"{_TWO64}")
+    cum, whens = 0.0, []
+    for name, r in ratios[:-1]:
+        cum += r
+        cut = min(_TWO64 - 1, int(cum * _TWO64))
+        whens.append(f"WHEN {u} < {cut} THEN '{name}'")
+    return ("CASE " + " ".join(whens)
+            + f" ELSE '{ratios[-1][0]}' END")
+
+
+def sample_by_key(ds, weights: dict[str, float], key_col: str = "source",
+                  id_col: str = "doc_id", default: float = 1.0):
+    """Per-source weighted downsampling (data-mixing): keep a row iff
+    (id · SAMPLE_PRIME) mod 2^64 < floor(weight(key) · 2^64). The id
+    hash stream is independent of hash_split's, so sampling composes
+    with splitting without correlation. Stateless map_batches."""
+    thresholds = {k: min(_TWO64 - 1, int(w * _TWO64))
+                  for k, w in weights.items()}
+    dflt = min(_TWO64 - 1, int(default * _TWO64))
+    keys = pa.array(list(thresholds.keys()), pa.string())
+    vals = np.asarray(list(thresholds.values()), dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _u64(batch[id_col], SAMPLE_PRIME)
+        idx = pc.index_in(pc.cast(batch[key_col], pa.string()),
+                          value_set=keys)
+        idxn = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+        thr = np.where(idxn >= 0, vals[np.clip(idxn, 0, len(vals) - 1)],
+                       np.uint64(dflt))
+        return batch.filter(pa.array(u < thr))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_threshold_sql(weights: dict[str, float],
+                         key_col: str = "source",
+                         id_col: str = "doc_id",
+                         default: float = 1.0) -> str:
+    """Matching DuckDB predicate for sample_by_key."""
+    u = f"(CAST({id_col} AS HUGEINT) * {SAMPLE_PRIME}) % {_TWO64}"
+    whens = " ".join(
+        f"WHEN '{k}' THEN CAST({min(_TWO64 - 1, int(w * _TWO64))} "
+        f"AS HUGEINT)" for k, w in weights.items())
+    dflt = min(_TWO64 - 1, int(default * _TWO64))
+    return (f"{u} < CASE {key_col} {whens} "
+            f"ELSE CAST({dflt} AS HUGEINT) END")
+
+
+def pack_sequences(ds, max_tokens: int = 2048, group_col: str = "source",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   chunk_span: int = 1 << 20):
+    """Concat-then-chunk sequence packing: within each group (ordered by
+    id), documents are conceptually concatenated and cut every
+    `max_tokens` tokens; a document's sequence index is
+    floor(tokens_before_it / max_tokens) — the standard packing
+    assignment for LM training shards (a doc may straddle a boundary;
+    the chunker downstream handles the split).
+
+    100 TB shape — a global per-group ordered prefix sum without a global
+    sort: (1) one map_batches pass computes per-(group, id-chunk) partial
+    token sums (id-chunks are the contiguous ranges id // chunk_span, so
+    chunk order IS id order); the partials are O(groups × chunks) tiny
+    rows folded on the driver into exclusive prefix offsets and broadcast
+    back; (2) a groupby((group, chunk)).map_groups pass sorts each
+    bounded chunk locally, local-cumsums, and adds the chunk's offset.
+    Nothing global ever sorts or materializes; the only shuffle is the
+    (group, chunk) co-location.
+
+    Output: (id, group, n_tokens, seq_idx). Token counting reuses the
+    token_stats whitespace rule, so the DuckDB oracle is the proven
+    regexp_extract_all count + a window cumsum."""
+    import ray as _ray
+    import ray.data as rd
+
+    from .textstats import TOKEN_RE
+
+    def partials(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[text_col], pa.string())
+        toks = pc.fill_null(pc.count_substring_regex(txt, pattern=TOKEN_RE),
+                            0)
+        ids = pc.cast(batch[id_col], pa.int64())
+        chunk = pc.cast(pc.floor(pc.divide(pc.cast(ids, pa.float64()),
+                                           float(chunk_span))), pa.int64())
+        t = pa.table({"g": pc.cast(batch[group_col], pa.string()),
+                      "c": chunk, "t": pc.cast(toks, pa.int64())})
+        return (t.group_by(["g", "c"])
+                 .aggregate([("t", "sum")])
+                 .rename_columns(["g", "c", "tsum"]))
+
+    # pass 1: tiny (group × chunk) partials → driver fold → exclusive
+    # prefix offsets per (group, chunk) in chunk order
+    part_tbls = _ray.get(ds.map_batches(
+        partials, batch_format="pyarrow").to_arrow_refs())
+    parts = pa.concat_tables([t for t in part_tbls if t.num_rows])
+    folded = (parts.group_by(["g", "c"]).aggregate([("tsum", "sum")])
+              .rename_columns(["g", "c", "tsum"]))
+    gs = folded["g"].to_pylist()
+    cs = folded["c"].to_pylist()
+    ts = folded["tsum"].to_pylist()
+    order = sorted(range(len(gs)), key=lambda i: (gs[i], cs[i]))
+    offsets: dict[tuple[str, int], int] = {}
+    run_g, acc = None, 0
+    for i in order:
+        if gs[i] != run_g:
+            run_g, acc = gs[i], 0
+        offsets[(gs[i], cs[i])] = acc
+        acc += ts[i]
+    off_ref = _ray.put(offsets)
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[text_col], pa.string())
+        toks = pc.fill_null(pc.count_substring_regex(txt, pattern=TOKEN_RE),
+                            0)
+        ids = pc.cast(batch[id_col], pa.int64())
+        chunk = pc.cast(pc.floor(pc.divide(pc.cast(ids, pa.float64()),
+                                           float(chunk_span))), pa.int64())
+        return pa.table({
+            id_col: ids, "group": pc.cast(batch[group_col], pa.string()),
+            "n_tokens": pc.cast(toks, pa.int64()), "_chunk": chunk})
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow")
+
+    def per_chunk(g: pa.Table) -> pa.Table:
+        offs = _ray.get(off_ref) if isinstance(
+            off_ref, _ray.ObjectRef) else off_ref
+        idx = np.argsort(g[id_col].to_numpy(zero_copy_only=False),
+                         kind="stable")
+        g = g.take(pa.array(idx))
+        tok = g["n_tokens"].to_numpy(zero_copy_only=False)
+        base = offs.get((g["group"][0].as_py(), g["_chunk"][0].as_py()), 0)
+        before = base + np.concatenate(([0], np.cumsum(tok[:-1])))
+        seq = (before // max_tokens).astype(np.int64)
+        return pa.table({id_col: g[id_col], "group": g["group"],
+                         "n_tokens": g["n_tokens"],
+                         "seq_idx": pa.array(seq)})
+    return (keyed.groupby(["group", "_chunk"])
+            .map_groups(per_chunk, batch_format="pyarrow"))

@@ -1,0 +1,72 @@
+"""Training-data corpus ops (stages/sampling.py): deterministic split,
+weighted mixing, sequence packing. All decisions derive from row identity
+— assert batching/partitioning invariance explicitly."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from rsyslog_ray.stages.sampling import (
+    SPLIT_PRIME, hash_split, pack_sequences, sample_by_key,
+)
+
+
+def _docs(n=400, sources=4):
+    rng = np.random.default_rng(11)
+    texts = [" ".join(["tok"] * int(rng.integers(1, 40))) for _ in range(n)]
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"s{i % sources}" for i in range(n)]),
+        "text": pa.array(texts),
+    })
+
+
+def test_hash_split_ratios_and_determinism(ray_session):
+    tbl = _docs(2000)
+    out = hash_split(rd.from_arrow(tbl)).take_all()
+    splits = {r["doc_id"]: r["split"] for r in out}
+    frac = {s: sum(1 for v in splits.values() if v == s) / len(splits)
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03 and abs(frac["test"] - 0.1) < 0.03
+    # identical under different partitioning
+    out2 = hash_split(rd.from_arrow(tbl).repartition(7)).take_all()
+    assert {r["doc_id"]: r["split"] for r in out2} == splits
+    # matches the documented integer formula
+    u = (np.arange(2000, dtype=np.uint64) * np.uint64(SPLIT_PRIME))
+    want_train = u < np.uint64(int(0.8 * 2**64))
+    got_train = np.array([splits[i] == "train" for i in range(2000)])
+    assert (want_train == got_train).all()
+
+
+def test_sample_by_key_weights(ray_session):
+    tbl = _docs(2000)
+    kept = sample_by_key(rd.from_arrow(tbl),
+                         weights={"s0": 0.5, "s1": 0.0}, key_col="source",
+                         ).take_all()
+    by_src = {}
+    for r in kept:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src.get("s1", 0) == 0                 # zero weight drops all
+    assert abs(by_src["s0"] / 500 - 0.5) < 0.1      # ~half of s0
+    assert by_src["s2"] == 500 and by_src["s3"] == 500  # default keeps
+
+def test_pack_sequences_chunk_invariance_and_oracle(ray_session):
+    tbl = _docs(400)
+    big = pack_sequences(rd.from_arrow(tbl), max_tokens=64).take_all()
+    # tiny chunk_span → many (group, chunk) partials; same assignment
+    small = pack_sequences(rd.from_arrow(tbl).repartition(5), max_tokens=64,
+                           chunk_span=16).take_all()
+    key = lambda rows: {r["doc_id"]: r["seq_idx"] for r in rows}
+    assert key(small) == key(big)
+    # python oracle: per-source ordered cumulative // max_tokens
+    toks = {r["doc_id"]: r["n_tokens"] for r in big}
+    srcs = tbl["source"].to_pylist()
+    want = {}
+    for s in sorted(set(srcs)):
+        acc = 0
+        for i in range(400):
+            if srcs[i] == s:
+                want[i] = acc // 64
+                acc += toks[i]
+    assert key(big) == want
