@@ -675,6 +675,25 @@ SELECT doc_id, "group", n_tokens,
     AS seq_idx
 FROM t"""
 
+    q["decontaminate"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM w WHERE len(ws) >= 5
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g FROM starts
+),
+eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+)
+SELECT doc_id FROM documents d
+WHERE doc_id % 20 <> 0
+  AND NOT EXISTS (SELECT 1 FROM grams t JOIN eval_g e ON t.g = e.g
+                  WHERE t.doc_id = d.doc_id)"""
+
     q["foreach_list"] = """
 SELECT vec_id,
   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,

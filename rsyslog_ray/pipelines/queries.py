@@ -766,6 +766,27 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     return _to_table(pack_sequences(ds, max_tokens=2048))
 
 
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: eval set = doc_id % 20 == 0; keep the
+    corpus docs sharing NO word 5-gram with it. Exact string containment
+    (broadcast eval gram set, vectorized per-batch membership)."""
+    from ..stages.sampling import decontaminate
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20))
+            mask = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(mask)
+        return fn
+    eval_ds = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    clean = decontaminate(corpus, eval_ds, n=5)
+    return _to_table(clean.select_columns(["doc_id"]))
+
+
 def q_script_error(sf_dir: str) -> pa.Table:
     """script_error() end-to-end (grammar/rainerscript.c:2792): statement
     1's filter runs parse_json over a half-corrupted JSON column (even

@@ -107,6 +107,69 @@ def sample_threshold_sql(weights: dict[str, float],
             f"ELSE CAST({dflt} AS HUGEINT) END")
 
 
+def _word_ngrams(txt: pa.Array, n: int):
+    """Whitespace-token word n-grams per row, space-joined — the exact
+    string DuckDB's array_to_string(ws[i:i+n-1], ' ') builds over
+    regexp_extract_all(text, '\\S+') tokens. Vectorized: one split pass,
+    U-dtype word matrix, n-1 np.char.add joins; grams never cross rows.
+    Returns (grams: np object array, gram_row: np int64 array)."""
+    lists = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    counts = offsets[1:] - offsets[:-1]
+    rowidx = np.repeat(np.arange(len(counts)), counts)
+    words = np.asarray(flat.to_pylist(), dtype=object)
+    nonempty = words != ""          # split artifacts at string edges
+    words, rowidx = words[nonempty], rowidx[nonempty]
+    m = len(words)
+    if m < n:
+        return np.empty(0, object), np.empty(0, np.int64)
+    ws = words.astype("U")          # fixed-width → np.char C kernels
+    g = ws[:m - n + 1]
+    for j in range(1, n):
+        g = np.char.add(np.char.add(g, " "), ws[j:j + m - n + 1])
+    valid = rowidx[:m - n + 1] == rowidx[n - 1:]
+    return g[valid].astype(object), rowidx[:m - n + 1][valid]
+
+
+def eval_ngram_set(eval_ds, text_col: str = "text", n: int = 5) -> pa.Array:
+    """Distinct word n-grams of the EVAL side, collected to the driver.
+    Eval benchmarks are small by definition (MBs, not the corpus), so the
+    driver set is bounded; at 10M grams it is ~100 MB — still a broadcast,
+    never a shuffle."""
+    def grams(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        return pa.table({"g": pc.unique(pa.array(g, pa.string()))})
+    parts = eval_ds.map_batches(grams, batch_format="pyarrow").take_all()
+    return pc.unique(pa.array([r["g"] for r in parts], pa.string()))
+
+
+def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text"):
+    """Benchmark decontamination: drop every training document that
+    shares ANY word n-gram with the eval set (the standard containment
+    rule used before LM training runs). The eval gram set broadcasts via
+    ray.put ONCE (read per task, never re-shipped); each batch builds its
+    grams vectorized and keeps rows with zero hits. Exact string
+    membership — no hashing, so no collision false-drops and the DuckDB
+    NOT-EXISTS oracle matches exactly."""
+    import ray as _ray
+    gram_ref = _ray.put(eval_ngram_set(eval_ds, text_col, n))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        gset = _ray.get(gram_ref) if isinstance(
+            gram_ref, _ray.ObjectRef) else gram_ref
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        if len(g):
+            m = pc.is_in(pa.array(g, pa.string()), value_set=gset)
+            hit_rows = rows[m.to_numpy(zero_copy_only=False)]
+            hit[hit_rows] = True
+        return batch.filter(pa.array(~hit))
+    return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
 def pack_sequences(ds, max_tokens: int = 2048, group_col: str = "source",
                    id_col: str = "doc_id", text_col: str = "text",
                    chunk_span: int = 1 << 20):

@@ -70,3 +70,25 @@ def test_pack_sequences_chunk_invariance_and_oracle(ray_session):
                 want[i] = acc // 64
                 acc += toks[i]
     assert key(big) == want
+
+
+def test_decontaminate_drops_ngram_overlap(ray_session):
+    from rsyslog_ray.stages.sampling import decontaminate, eval_ngram_set
+    evald = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["the quick brown fox jumps over the lazy dog"]),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "totally unrelated content with no shared phrases at all here",
+            "he said the quick brown fox jumps right past us",  # shares 5-gram
+            "quick brown fox jumps over",                       # exact 5-gram
+            "the quick brown fox",                              # only 4 words
+        ]),
+    }))
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, evald, n=5).take_all())
+    assert kept == [1, 4]
+    grams = set(eval_ngram_set(evald, n=5).to_pylist())
+    assert "the quick brown fox jumps" in grams and len(grams) == 5
