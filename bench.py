@@ -105,6 +105,10 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("range_join", Q.q_range_join, sf_dir)
     timed("topk_tools", Q.q_topk_tools, sf_dir)
     timed("ivf_cosine", Q.q_ivf_cosine, sf_dir)
+    # round-3 corpus ops: sequence packing (two-pass prefix sum) and
+    # benchmark decontamination (broadcast n-gram containment)
+    timed("pack_sequences", Q.q_pack_sequences, sf_dir)
+    timed("decontaminate", Q.q_decontaminate, sf_dir)
 
     out["queries"] = timings
     return out
