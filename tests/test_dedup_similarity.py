@@ -396,3 +396,26 @@ def test_cosine_dedup_exact_and_lsh_agree(ray_session):
                  .select_columns(["vec_id"]).take_all())
     # LSH recall may miss pairs → keeps a superset of the exact survivors
     assert set(exact) <= set(lsh)
+
+
+def test_minhash_stage_fuzz_vs_reference():
+    """Property test: batched kernel ≡ per-doc signature() on arbitrary
+    unicode docs (both reduceat strategies)."""
+    from hypothesis import given, settings, strategies as st
+    from rsyslog_ray.stages.dedup import MinHashStage
+
+    stage = MinHashStage(num_perm=16, shingle_k=5)
+    forced = MinHashStage(num_perm=16, shingle_k=5)
+    forced._FLAT_MAX, forced._CHUNK_W = 0, 3
+    mh = stage.mh
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(max_size=30), min_size=1, max_size=6))
+    def check(texts):
+        tbl = pa.table({"text": pa.array(texts, pa.large_string())})
+        got = stage(tbl)["minhash"].to_pylist()
+        got2 = forced(tbl)["minhash"].to_pylist()
+        want = [list(mh.signature(_shingles(t, 5)).astype(np.int64))
+                for t in texts]
+        assert got == want and got2 == want
+    check()

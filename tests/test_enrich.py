@@ -235,3 +235,21 @@ def test_reloadable_lookup_hot_reload_and_stub(tmp_path):
     stubbed.table, stubbed._mtime = tbl.table, 0   # pretend old load
     stubbed.maybe_reload()
     assert stubbed.lookup_array(pa.array(["a"])).to_pylist() == ["STUB"]
+
+
+def test_mmutf8fix_fuzz_vs_sequential_oracle():
+    """Property test: on arbitrary byte strings the vectorized kernel must
+    (a) equal the sequential mmutf8fix.c port byte-for-byte and (b) emit
+    valid UTF-8 (the Arrow binary→string cast inside the stage enforces
+    this — it raises on invalid output)."""
+    from hypothesis import given, settings, strategies as st
+    from rsyslog_ray.stages.enrich import mmutf8fix_table
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.binary(max_size=40), min_size=1, max_size=8))
+    def check(rows):
+        tbl = pa.table({"raw": pa.array(rows, pa.large_binary())})
+        got = mmutf8fix_table(tbl, col="raw")["raw"].to_pylist()
+        for raw, out in zip(rows, got):
+            assert out == _utf8fix_oracle(raw).decode("utf-8"), raw
+    check()
