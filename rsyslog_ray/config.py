@@ -71,6 +71,9 @@ def _mmnormalize(batch, **kw):
 
 register_stage("mmnormalize", _mmnormalize)
 
+from .stages import parse as _parse_mod  # noqa: E402
+register_stage("pmciscoios", _parse_mod.parse_ciscoios_table)
+
 
 # ---------------------------------------------------------------------------
 # compile

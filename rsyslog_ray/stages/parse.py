@@ -246,3 +246,78 @@ def parse_dataset(ds, text_col: str = "text", ts_col: str = "ts",
         lambda t: parse_table(t, text_col, ts_col),
         batch_format="pyarrow", batch_size=batch_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# pmciscoios — CISCO IOS "syslog" format (plugins/pmciscoios/pmciscoios.c)
+# ---------------------------------------------------------------------------
+
+def _ciscoios_regex(present_origin: bool, present_xr: bool) -> str:
+    """Anchored RE mirroring pmciscoios.c:144-258 field by field:
+    [<PRI>] SEQNO ': ' [ORIGIN ': '] [XR ':'] ['*'|'.'] TIMESTAMP3164
+    [.frac] [' ' TZWORD] ': ' [XR-junk] '%'TAG(':'|' ')-terminated ': ' MSG.
+    SEQNO may be empty (the C digit loop admits zero digits); ORIGIN is
+    the shortest scan to the first ': ' (admits IPv6 like '::1'); TAG
+    stops at ':' or ' ' and must be followed by ': '."""
+    parts = [r"^(?:<(?P<pri>\d{1,3})>)?(?P<seq>\d*): "]
+    if present_origin:
+        parts.append(r"(?P<origin>.*?): ")
+    if present_xr:
+        parts.append(r"[^:]*:")
+    parts.append(r"[*.]?(?P<mon>[A-Z][a-z]{2}) +(?P<day>[0-3]?\d) "
+                 r"(?P<hms>\d{2}:\d{2}:\d{2})(?:\.(?P<frac>\d{1,6}))?"
+                 r"(?: (?P<tz>[A-Za-z]{1,5}))?: ")
+    if present_xr:
+        parts.append(r"[^%]*")
+    parts.append(r"(?P<tag>%[^: ]*):(?P<msg> .*)$")
+    return "".join(parts)
+
+
+def parse_ciscoios_table(batch: pa.Table, col: str = "text",
+                         present_origin: bool = False,
+                         present_xr: bool = False,
+                         year: int = 2024) -> pa.Table:
+    """Vendor parser branch (plugins/pmciscoios): one vectorized
+    extract_regex pass per batch. Faithful details: empty SEQNO → 0; the
+    TAG column keeps the leading '%' and gains a trailing ':'
+    (MsgSetTAG appends it, pmciscoios.c:255-257); MSG keeps the leading
+    space (the C code advances past ':' only). Deviations (documented):
+    no-PRI rows default pri=13 like the chain's ParsePRI fallback; a
+    trailing TZ word is accepted but treated as naive local time; the
+    missing RFC3164 year pins to the fixture year."""
+    from ..functions import parse_rfc3164_ts
+    src = batch[col]
+    src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) else src
+    s = pc.fill_null(pc.cast(src, pa.large_string()), "")
+    st = pc.extract_regex(pc.cast(s, pa.string()),
+                          pattern=_ciscoios_regex(present_origin,
+                                                  present_xr))
+    ok = pc.is_valid(st)
+    pri = pc.cast(pc.fill_null(
+        pc.if_else(pc.equal(_nz(_f(st, "pri")), ""), None, _f(st, "pri")),
+        "13"), pa.int64())
+    pri = pc.if_else(pc.greater(pri, 191), 13, pri)   # ParsePRI invalid→13
+    seq = pc.cast(pc.if_else(pc.equal(_nz(_f(st, "seq")), ""),
+                             pa.scalar("0"), _nz(_f(st, "seq"))), pa.int64())
+    ts = parse_rfc3164_ts(_f(st, "mon"), _f(st, "day"), _f(st, "hms"),
+                          year=year)
+    frac = pc.utf8_rpad(_nz(_f(st, "frac"), "0"), 6, "0")
+    ts = pc.cast(pc.add(pc.cast(ts, pa.int64()),
+                        pc.cast(frac, pa.int64())), pa.timestamp("us"))
+    out = {
+        "seqno": pc.if_else(ok, seq, pa.scalar(None, pa.int64())),
+        "pri": pc.if_else(ok, pri, pa.scalar(None, pa.int64())),
+        "ts_reported": pc.if_else(ok, ts, pa.scalar(None,
+                                                    pa.timestamp("us"))),
+        "syslogtag": pc.if_else(ok, pc.binary_join_element_wise(
+            _nz(_f(st, "tag")), pa.scalar(":"), ""),
+            pa.scalar(None, pa.string())),
+        "msg": _f(st, "msg"),
+        "parse_success": ok,
+    }
+    if present_origin:
+        out["origin"] = _f(st, "origin")
+    res = batch
+    for name, arr in out.items():
+        res = res.append_column(name, arr)
+    return res

@@ -105,3 +105,45 @@ def test_pmlastmsg_recognizer():
     out = detect_repeat_markers(t)
     assert out["is_repeat_marker"].to_pylist() == [True, True, False, False]
     assert out["repeat_count"].to_pylist() == [42, 7, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# pmciscoios (plugins/pmciscoios/pmciscoios.c:144-258)
+# ---------------------------------------------------------------------------
+
+def test_pmciscoios_default_and_goldens():
+    import pyarrow as pa
+    from rsyslog_ray.stages.parse import parse_ciscoios_table
+    rows = [
+        "123: *Mar  1 18:46:11: %SYS-5-CONFIG_I: Configured from console",
+        "<189>000456: .Mar 12 03:01:02.123: %LINK-3-UPDOWN: Interface "
+        "Gi0/1, changed state to up",
+        ": *Jan  5 00:00:01: %X-1-Y: empty seqno is legal",  # 0-digit seq
+        "9: Mar  1 18:46:11 UTC: %A-0-B: tz word accepted",
+        "no delimiter after seqno",
+        "55: *Mar  1 18:46:11: SYS-5-X: tag must start with %",
+    ]
+    out = parse_ciscoios_table(pa.table({"text": pa.array(rows)}))
+    assert out["parse_success"].to_pylist() == [True, True, True, True,
+                                                False, False]
+    assert out["seqno"].to_pylist()[:4] == [123, 456, 0, 9]
+    assert out["pri"].to_pylist()[:2] == [13, 189]   # no-PRI default 13
+    # TAG keeps '%' and gains trailing ':' (MsgSetTAG), MSG keeps the
+    # leading space (C advances past ':' only)
+    assert out["syslogtag"].to_pylist()[0] == "%SYS-5-CONFIG_I:"
+    assert out["msg"].to_pylist()[0] == " Configured from console"
+    ts = out["ts_reported"].to_pylist()
+    assert (ts[1].month, ts[1].day, ts[1].microsecond) == (3, 12, 123000)
+
+
+def test_pmciscoios_origin_and_registry():
+    import pyarrow as pa
+    from rsyslog_ray.config import STAGE_REGISTRY
+    out = STAGE_REGISTRY["pmciscoios"](
+        pa.table({"text": pa.array([
+            "77: ::1: *Mar  1 18:46:11: %T-2-U: ipv6 loopback origin",
+            "78: router-a.example: *Mar  1 18:46:12: %T-2-V: named origin",
+            "79: badorigin *Mar  1 18:46:13: %T-2-W: no ': ' after origin",
+        ])}), present_origin=True)
+    assert out["origin"].to_pylist()[:2] == ["::1", "router-a.example"]
+    assert out["parse_success"].to_pylist() == [True, True, False]
