@@ -165,8 +165,16 @@ def parse_table(batch: pa.Table, text_col: str = "text",
         pc.if_else(is3164, _nz(_f(m3, "msg3164")), rest))
 
     # --- reported timestamp ------------------------------------------------
-    ts_rcvd = batch[ts_col].combine_chunks() if isinstance(batch[ts_col], pa.ChunkedArray) else batch[ts_col]
-    ts_rcvd = pc.cast(ts_rcvd, pa.timestamp("us"))
+    # ts_col = timegenerated (ingestion time). Raw file sources
+    # (sources/files.read_syslog_text) carry no ingestion timestamp; the
+    # reference would stamp wall-clock `now` there, which a deterministic
+    # engine cannot — unparseable-timestamp rows then keep a null
+    # ts_reported instead (documented deviation).
+    if ts_col in batch.column_names:
+        ts_rcvd = batch[ts_col].combine_chunks() if isinstance(batch[ts_col], pa.ChunkedArray) else batch[ts_col]
+        ts_rcvd = pc.cast(ts_rcvd, pa.timestamp("us"))
+    else:
+        ts_rcvd = pa.nulls(batch.num_rows, pa.timestamp("us"))
     t5 = parse_rfc3339(pc.if_else(is5424, _nz(_f(m5, "t5424"), "-"), "-"))
     t3339 = parse_rfc3339(pc.if_else(has3339, _nz(_f(m3, "t3339")), ""))
     t3164 = parse_rfc3164_ts(_nz(_f(m3, "mon3164"), "Jan"),
@@ -266,9 +274,13 @@ def _ciscoios_regex(present_origin: bool, present_xr: bool) -> str:
         parts.append(r"[^:]*:")
     parts.append(r"[*.]?(?P<mon>[A-Z][a-z]{2}) +(?P<day>[0-3]?\d) "
                  r"(?P<hms>\d{2}:\d{2}:\d{2})(?:\.(?P<frac>\d{1,6}))?"
-                 r"(?: (?P<tz>[A-Za-z]{1,5}))?: ")
+                 r"(?: (?P<tz>[A-Za-z]{1,5}))?")
     if present_xr:
+        # XR: anything up to the '%' tag start (pmciscoios.c:223-234
+        # scans forward to '%'; the ': ' check is skipped in this mode)
         parts.append(r"[^%]*")
+    else:
+        parts.append(r": ")
     parts.append(r"(?P<tag>%[^: ]*):(?P<msg> .*)$")
     return "".join(parts)
 

@@ -147,3 +147,38 @@ def test_pmciscoios_origin_and_registry():
         ])}), present_origin=True)
     assert out["origin"].to_pylist()[:2] == ["::1", "router-a.example"]
     assert out["parse_success"].to_pylist() == [True, True, False]
+
+
+def test_pmciscoios_xr_mode():
+    import pyarrow as pa
+    from rsyslog_ray.stages.parse import parse_ciscoios_table
+    # XR RSP form: 'seq: RSP-node: ts : %TAG : msg' — an extra node field
+    # before the timestamp and junk before the '%' (pmciscoios.c:196-209,
+    # 223-234: scan to ':' pre-ts, scan to '%' post-ts)
+    out = parse_ciscoios_table(pa.table({"text": pa.array([
+        "33: RP/0/RSP0/CPU0:Mar  1 18:46:11.001 : "
+        "%ROUTING-BGP-5-ADJCHANGE: neighbor up",
+    ])}), present_xr=True)
+    assert out["parse_success"].to_pylist() == [True]
+    assert out["syslogtag"].to_pylist()[0] == "%ROUTING-BGP-5-ADJCHANGE:"
+
+
+def test_file_sources_text_and_jsonl(ray_session, tmp_path):
+    from rsyslog_ray.sources.files import read_jsonl, read_syslog_text
+    from rsyslog_ray.stages.parse import parse_dataset
+    log = tmp_path / "a.log"
+    log.write_text("<13>Jan  5 00:00:01 host tag1: hello\n"
+                   "<14>Jan  5 00:00:02 host tag2: world\n")
+    ds = read_syslog_text(str(log))
+    rows = ds.take_all()
+    assert [r["text"] for r in rows] == [
+        "<13>Jan  5 00:00:01 host tag1: hello",
+        "<14>Jan  5 00:00:02 host tag2: world"]
+    parsed = parse_dataset(ds).take_all()
+    assert [r["pri"] for r in parsed] == [13, 14]
+    withp = read_syslog_text(str(log), include_path=True).take_all()
+    assert all(r["path"].endswith("a.log") for r in withp)
+    jl = tmp_path / "b.jsonl"
+    jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    out = read_jsonl(str(jl)).take_all()
+    assert [r["a"] for r in out] == [1, 2]
