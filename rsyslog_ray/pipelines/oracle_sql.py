@@ -675,6 +675,21 @@ SELECT doc_id, "group", n_tokens,
     AS seq_idx
 FROM t"""
 
+    q["dedup_lines"] = """
+WITH l AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l
+),
+k AS (
+  SELECT doc_id, i, ls[i] AS line,
+         row_number() OVER (PARTITION BY doc_id, ls[i] ORDER BY i) AS rn
+  FROM e
+)
+SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
+FROM k WHERE rn = 1 GROUP BY doc_id"""
+
     q["decontaminate"] = r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents

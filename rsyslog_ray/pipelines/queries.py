@@ -787,6 +787,17 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return _to_table(clean.select_columns(["doc_id"]))
 
 
+def q_dedup_lines(sf_dir: str) -> pa.Table:
+    """Intra-doc repeated-line removal (C4-style cleaning). The fixture
+    corpus has no newlines, so the separator is ' ' here — the operator
+    semantics (first occurrence per doc, order preserved, re-joined) are
+    separator-independent."""
+    from ..stages.sampling import dedup_lines
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(dedup_lines(ds, sep=" "))
+
+
 def q_script_error(sf_dir: str) -> pa.Table:
     """script_error() end-to-end (grammar/rainerscript.c:2792): statement
     1's filter runs parse_json over a half-corrupted JSON column (even

@@ -170,6 +170,43 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text"):
     return ds.map_batches(keep_clean, batch_format="pyarrow")
 
 
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n"):
+    """Intra-document line deduplication (the C4-style "remove repeated
+    lines within a page" cleaning rule): keep each distinct line's FIRST
+    occurrence per document, preserve order, re-join with newlines.
+
+    Per-row only — embarrassingly parallel, no shuffle. Vectorized: one
+    split per batch, first-occurrence mask via a single pandas
+    duplicated() over (row, line) (hash-based, C speed), list rebuild
+    from offsets, one binary_join back to text. Empty lines dedup like
+    any other line (the SQL oracle agrees by construction)."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        lists = pc.split_pattern(txt, pattern=sep)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        flat = lists.flatten()
+        counts = offsets[1:] - offsets[:-1]
+        rowidx = np.repeat(np.arange(len(counts)), counts)
+        dup = pd.DataFrame({"r": rowidx,
+                            "l": flat.to_pandas()}).duplicated().to_numpy()
+        keep = ~dup
+        new_counts = np.bincount(rowidx[keep], minlength=len(counts))
+        new_offsets = np.concatenate(([0], np.cumsum(new_counts)))
+        kept = flat.filter(pa.array(keep))
+        relist = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), kept)
+        joined = pc.binary_join(pc.cast(relist, pa.list_(pa.string())),
+                                sep)
+        return pa.table({id_col: batch[id_col], text_col: joined})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(ds, max_tokens: int = 2048, group_col: str = "source",
                    id_col: str = "doc_id", text_col: str = "text",
                    chunk_span: int = 1 << 20):

@@ -92,3 +92,23 @@ def test_decontaminate_drops_ngram_overlap(ray_session):
     assert kept == [1, 4]
     grams = set(eval_ngram_set(evald, n=5).to_pylist())
     assert "the quick brown fox jumps" in grams and len(grams) == 5
+
+
+def test_dedup_lines_keeps_first_occurrence(ray_session):
+    from rsyslog_ray.stages.sampling import dedup_lines
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha\nbeta\nalpha\ngamma\nbeta",
+            "same\nsame\nsame",
+            "",                                   # empty doc unchanged
+        ]),
+    })
+    out = {r["doc_id"]: r["text"] for r in
+           dedup_lines(rd.from_arrow(tbl)).take_all()}
+    assert out == {0: "alpha\nbeta\ngamma", 1: "same", 2: ""}
+    # custom separator (fixture corpus has no newlines)
+    t2 = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["a b a c b"])})
+    got = dedup_lines(rd.from_arrow(t2), sep=" ").take_all()[0]["text"]
+    assert got == "a b c"
