@@ -109,6 +109,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     # benchmark decontamination (broadcast n-gram containment)
     timed("pack_sequences", Q.q_pack_sequences, sf_dir)
     timed("decontaminate", Q.q_decontaminate, sf_dir)
+    # the training-data flagship composite (quality→dedup→clean→split)
+    timed("curation", Q.q_curation, sf_dir)
 
     out["queries"] = timings
     return out

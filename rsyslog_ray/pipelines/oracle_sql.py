@@ -675,6 +675,30 @@ SELECT doc_id, "group", n_tokens,
     AS seq_idx
 FROM t"""
 
+    q["curation"] = r"""
+WITH q AS (
+  SELECT doc_id, text,
+    round(CAST(length(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+      w -> list_contains(
+        ['the','and','of','a','to','in','is','it','that','for','on','with',
+         'as','was','at','by','an','be'], w))) AS DOUBLE)
+      / greatest(length(regexp_extract_all(lower(text), '[a-z]+')), 1), 6)
+      AS stop_ratio
+  FROM documents
+),
+f AS (SELECT doc_id, text FROM q WHERE stop_ratio >= 0.05),
+d AS (SELECT min(doc_id) AS doc_id, text FROM f GROUP BY text),
+l AS (SELECT doc_id, string_split(text, ' ') AS ls FROM d),
+e AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l),
+k AS (SELECT doc_id, i, ls[i] AS line,
+             row_number() OVER (PARTITION BY doc_id, ls[i] ORDER BY i) AS rn
+      FROM e),
+c AS (SELECT doc_id, string_agg(line, ' ' ORDER BY i) AS text
+      FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT doc_id, {split} AS split,
+  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM c""".replace("{split}", split_cut_sql())
+
     q["dedup_lines"] = """
 WITH l AS (
   SELECT doc_id, string_split(text, ' ') AS ls FROM documents

@@ -787,6 +787,36 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return _to_table(clean.select_columns(["doc_id"]))
 
 
+def q_curation(sf_dir: str) -> pa.Table:
+    """The training-data FLAGSHIP composite: quality-filter (stopword
+    ratio ≥ 0.05) → exact dedup (min doc_id per text) → intra-doc line
+    dedup → deterministic train/val/test split → token count of the
+    cleaned text. Every stage streams; the only shuffle is exact_dedup's
+    keyed groupby. Oracle = the same four stages as nested CTEs."""
+    from ..stages.dedup import exact_dedup
+    from ..stages.sampling import dedup_lines, hash_split
+    from ..stages.textstats import TOKEN_RE, QualityScore
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    qs = QualityScore("text")
+
+    def qual_filter(b: pa.Table) -> pa.Table:
+        scored = qs(b)
+        keep = pc.greater_equal(scored["stop_ratio"], 0.05)
+        return scored.filter(keep).select(["doc_id", "text"])
+    ds = ds.map_batches(qual_filter, batch_format="pyarrow")
+    ds = exact_dedup(ds, text_col="text", id_col="doc_id")
+    ds = dedup_lines(ds, sep=" ")
+    ds = hash_split(ds)
+
+    def proj(b: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(pc.cast(b["text"], pa.string()),
+                                        pattern=TOKEN_RE)
+        return pa.table({"doc_id": b["doc_id"], "split": b["split"],
+                         "n_tokens": pc.cast(toks, pa.int64())})
+    return _to_table(ds.map_batches(proj, batch_format="pyarrow"))
+
+
 def q_dedup_lines(sf_dir: str) -> pa.Table:
     """Intra-doc repeated-line removal (C4-style cleaning). The fixture
     corpus has no newlines, so the separator is ' ' here — the operator

@@ -112,3 +112,35 @@ def test_dedup_lines_keeps_first_occurrence(ray_session):
                    "text": pa.array(["a b a c b"])})
     got = dedup_lines(rd.from_arrow(t2), sep=" ").take_all()[0]["text"]
     assert got == "a b c"
+
+
+def test_curation_composite_stages_compose(ray_session):
+    """The curation flagship chains quality→exact-dedup→line-dedup→split:
+    check the composition drops a low-quality doc, collapses exact dups,
+    and dedups lines in the survivor."""
+    from rsyslog_ray.pipelines.queries import q_curation  # noqa: F401
+    from rsyslog_ray.stages.dedup import exact_dedup
+    from rsyslog_ray.stages.sampling import dedup_lines, hash_split
+    from rsyslog_ray.stages.textstats import QualityScore
+    import pyarrow.compute as pc
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the cat and the dog in the house",   # stopword-rich: kept
+            "zxqv wkjh qpzm vbnm",                # no stopwords: dropped
+            "the cat and the dog in the house",   # exact dup of 0: dropped
+            "the the bird bird is is here here",  # line-dedups to 4 words
+        ]),
+    })
+    qs = QualityScore("text")
+
+    def qf(b):
+        s = qs(b)
+        return s.filter(pc.greater_equal(s["stop_ratio"], 0.05)) \
+                .select(["doc_id", "text"])
+    ds = rd.from_arrow(tbl).map_batches(qf, batch_format="pyarrow")
+    ds = exact_dedup(ds, text_col="text", id_col="doc_id")
+    ds = dedup_lines(ds, sep=" ")
+    out = {r["doc_id"]: r["text"] for r in hash_split(ds).take_all()}
+    assert set(out) == {0, 3}
+    assert out[3] == "the bird is here"
