@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_dedup_simhash,     # simhash
         "simhash_dedup": Q.q_simhash_dedup,     # Python-oracle pytest
         "multimodal": Q.q_multimodal,           # PNG decode, Python oracle
+        "multimodal_audio": Q.q_multimodal_audio,  # WAV decode, Python oracle
         "lsh_neardup": Q.q_lsh_neardup,         # approximate
         "lsh_cosine": Q.q_lsh_cosine,           # approximate
         "ivf_cosine": Q.q_ivf_cosine,           # approximate

@@ -317,3 +317,33 @@ def synth_png_for_id(doc_id: int) -> bytes:
     b = (x + y + doc_id // 3) % 256
     return make_png(np.stack([r, g, b], axis=-1).astype(np.uint8),
                     filter_type=doc_id % 5)
+
+
+def make_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """float array in [-1, 1) (frames × channels interleaved if stereo) →
+    RIFF/PCM16 WAV bytes — the inverse of stages/multimodal.decode_wav."""
+    import numpy as np
+    x = np.asarray(samples, dtype=np.float64).reshape(-1)
+    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    block = 2 * n_channels
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+           + sample_rate.to_bytes(4, "little")
+           + (sample_rate * block).to_bytes(4, "little")
+           + block.to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    dchunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + dchunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def synth_wav_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document WAV fixture: a sine tone whose
+    frequency, duration and amplitude derive from doc_id only."""
+    import numpy as np
+    rate = 8000
+    n = 400 + (doc_id * 37) % 800
+    freq = 100 + (doc_id * 13) % 900
+    amp = 0.2 + (doc_id % 7) / 10.0
+    t = np.arange(n) / rate
+    return make_wav(amp * np.sin(2 * np.pi * freq * t), sample_rate=rate)

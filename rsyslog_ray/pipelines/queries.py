@@ -734,6 +734,31 @@ def q_parse_json(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+def q_multimodal_audio(sf_dir: str) -> pa.Table:
+    """Audio pipeline over REAL WAV payloads: per-doc deterministic sine
+    fixtures (datagen.synth_wav_for_id) → actor-pool RIFF/PCM16 decode
+    (multimodal.decode_wav — real sample_rate / channels / duration /
+    rms). Rows-only (payload synthesis isn't SQL) + Python-oracle
+    pytest."""
+    from ..datagen import synth_wav_for_id
+    from ..stages.multimodal import AudioDecodeStub
+    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payload = pa.array([synth_wav_for_id(int(i)) for i in ids],
+                           pa.large_binary())
+        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = ds.map_batches(AudioDecodeStub, batch_format="pyarrow",
+                        batch_size=256, concurrency=2)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "sample_rate", "n_channels",
+                             "duration_s", "rms"])
+    return _to_table(ds.map_batches(proj, batch_format="pyarrow"))
+
+
 def q_hash_split(sf_dir: str) -> pa.Table:
     """Deterministic train/val/test assignment (training-data op):
     Fibonacci-hash the doc id against exact integer cut points — both

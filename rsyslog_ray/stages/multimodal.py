@@ -107,6 +107,75 @@ def decode_png(b: bytes) -> tuple[int, int, float]:
     return w, h, float(np.round(luma.mean(), 4))
 
 
+def decode_wav(b: bytes) -> tuple[int, int, float, float]:
+    """Pure-numpy WAV (RIFF/PCM) decode → (sample_rate, n_channels,
+    duration_s, rms). Real values, no audio libs: walks RIFF chunks for
+    fmt/data, supports PCM16 (format tag 1, bits 16) — exactly what the
+    datagen fixture encoder emits; raises ValueError outside the subset.
+    rms is computed over samples normalized to [-1, 1)."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = nch = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        ln = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)          # chunks are word-aligned
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={tag} bits={bits})")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)],
+                            dtype="<i2").astype(np.float64) / 32768.0
+    n_frames = len(samples) // nch if nch else 0
+    dur = n_frames / rate if rate else 0.0
+    rms = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
+    return rate, nch, round(dur, 6), round(rms, 6)
+
+
+class AudioDecodeStub:
+    """Actor stage: binary payload → (sample_rate, n_channels,
+    duration_s, rms). WAV payloads decode for REAL (decode_wav); other
+    formats would need an audio lib (absent in this container) and fall
+    back to a deterministic fake, or raise with strict=True."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def _decode(self, b: bytes) -> tuple[int, int, float, float]:
+        if b[:4] == b"RIFF":
+            return decode_wav(b)
+        if self.strict:
+            raise NotImplementedError(
+                "non-WAV decode requires an audio lib; container has none")
+        if not b:
+            return 0, 0, 0.0, 0.0
+        a = np.frombuffer(b, dtype=np.uint8)
+        return 8000 + int(a[:4].sum()) % 40000, 1 + int(a[0]) % 2, \
+            round(len(b) / 16000.0, 6), round(float(a.mean()) / 255.0, 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_bytes(batch, self.payload_col)
+        r, c, d, m = zip(*(self._decode(b) for b in payloads)) if payloads \
+            else ((), (), (), ())
+        return (batch
+                .append_column("sample_rate", pa.array(r, pa.int32()))
+                .append_column("n_channels", pa.array(c, pa.int32()))
+                .append_column("duration_s", pa.array(d, pa.float64()))
+                .append_column("rms", pa.array(m, pa.float64())))
+
+
 MEDIA_META_TYPE = pa.struct([
     ("media_type", pa.string()),     # image | audio | video
     ("format", pa.string()),         # png/jpeg/wav/mp4/... (claimed)
