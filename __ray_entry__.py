@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data extras: text analysis / dedup / similarity
         "quality": Q.q_quality,
         "langid": Q.q_langid,
+        "repetition": Q.q_repetition,
         "curation": Q.q_curation,
         "dedup_lines": Q.q_dedup_lines,
         "decontaminate": Q.q_decontaminate,

@@ -675,6 +675,25 @@ SELECT doc_id, "group", n_tokens,
     AS seq_idx
 FROM t"""
 
+    q["repetition"] = """
+WITH l AS (
+  SELECT doc_id, string_split(text, ' ') AS ls FROM documents
+),
+e AS (
+  SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l
+),
+k AS (
+  SELECT doc_id, i, ls[i] AS line,
+         row_number() OVER (PARTITION BY doc_id, ls[i] ORDER BY i) AS rn
+  FROM e
+)
+SELECT doc_id,
+  round(CAST(count(*) FILTER (rn > 1) AS DOUBLE)
+        / greatest(count(*), 1), 6) AS dup_line_frac,
+  round(CAST(coalesce(sum(length(line)) FILTER (rn > 1), 0) AS DOUBLE)
+        / greatest(sum(length(line)), 1), 6) AS dup_char_frac
+FROM k GROUP BY doc_id"""
+
     q["curation"] = r"""
 WITH q AS (
   SELECT doc_id, text,

@@ -812,6 +812,16 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return _to_table(clean.select_columns(["doc_id"]))
 
 
+def q_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style duplicate-line(/char) fraction quality signals
+    (separator ' ' on the newline-free fixture corpus)."""
+    from ..stages.textstats import repetition_table
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(ds.map_batches(
+        lambda b: repetition_table(b, sep=" "), batch_format="pyarrow"))
+
+
 def q_curation(sf_dir: str) -> pa.Table:
     """The training-data FLAGSHIP composite: quality-filter (stopword
     ratio ≥ 0.05) → exact dedup (min doc_id per text) → intra-doc line

@@ -217,3 +217,43 @@ def fingerprint_table(batch: pa.Table, text_col: str = "text",
          for t in texts), dtype=np.uint64, count=len(texts))
     return pa.table({id_col: batch[id_col],
                      "fingerprint": pa.array(out.view(np.int64))})
+
+
+def repetition_table(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id", sep: str = "\n") -> pa.Table:
+    """Gopher-style repetition quality signals per document:
+    dup_line_frac = fraction of lines that repeat an earlier identical
+    line; dup_char_frac = fraction of line characters inside those
+    repeats (the 'duplicate line (character) fraction' filters used to
+    gate LM training corpora). One split + one hash-based duplicated()
+    pass per batch; per-row folds are bincount/cumsum — no row loops."""
+    import pandas as pd
+    txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    lists = pc.split_pattern(txt, pattern=sep)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = lists.flatten()
+    counts = offsets[1:] - offsets[:-1]
+    rowidx = np.repeat(np.arange(len(counts)), counts)
+    dup = pd.DataFrame({"r": rowidx,
+                        "l": flat.to_pandas()}).duplicated().to_numpy()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    n = batch.num_rows
+    dup_cnt = np.bincount(rowidx[dup], minlength=n)
+    dup_chars = np.bincount(rowidx[dup], weights=lens[dup], minlength=n)
+    tot_chars = np.bincount(rowidx, weights=lens, minlength=n)
+
+    def round_away(x):
+        # DuckDB round() is half-AWAY-FROM-ZERO; np.round is half-to-even
+        # and these int/int ratios (dyadic denominators) hit exact .5e-6
+        # ties — 0.2578125 must become 0.257813, not 0.257812
+        return np.floor(x * 1e6 + 0.5) / 1e6
+    return pa.table({
+        id_col: batch[id_col],
+        "dup_line_frac": pa.array(
+            round_away(dup_cnt / np.maximum(counts, 1))),
+        "dup_char_frac": pa.array(
+            round_away(dup_chars / np.maximum(tot_chars, 1))),
+    })

@@ -77,7 +77,7 @@ for name, fn in qs.items():
                     else:
                         neq = gv.fillna(-1) != ev.fillna(-1)
                     if neq.any():
-                        i = int(np.flatnonzero(neq.to_numpy())[0])
+                        i = int(np.flatnonzero(np.asarray(neq))[0])
                         status.append(
                             f"VALUE {c}[{i}]: {gv.iloc[i]!r} vs {ev.iloc[i]!r}")
         if status:

@@ -178,3 +178,16 @@ def test_wav_roundtrip_real_decode():
             "payload": pa.array([b"mp3junk"], pa.large_binary())}))
     with pytest.raises(ValueError):
         decode_wav(b"RIFF....WAVEjunkdata")
+
+
+def test_repetition_table_gopher_fractions():
+    from rsyslog_ray.stages.textstats import repetition_table
+    t = repetition_table(_docs(["aa\nbb\naa\ncc\nbb",   # 2 dups of 5
+                                "x\nx\nx",              # 2 dups of 3
+                                "unique\nlines",
+                                ""]),
+                         sep="\n")
+    assert t["dup_line_frac"].to_pylist() == [
+        round(2 / 5, 6), round(2 / 3, 6), 0.0, 0.0]
+    # doc0 chars: aa,bb,aa,cc,bb = 10; dups aa+bb = 4
+    assert t["dup_char_frac"].to_pylist()[0] == round(4 / 10, 6)
