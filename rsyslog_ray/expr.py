@@ -96,6 +96,20 @@ class PropertyRegistry:
         return pa.array(self.script_errno)
 
     def get(self, name: str) -> pa.Array | pa.ChunkedArray:
+        stripped = name.lstrip("$")
+        if stripped.startswith("!"):
+            # JSON-tree access `$!a!b` (runtime/msg.c msgGetJSONPropJSON):
+            # the engine's parsed tree is a normalized JSON string column
+            # (mmjsonparse/parse_json output — cee_json by convention).
+            # Path keys keep their original case (JSON is case-sensitive).
+            from .functions import json_get
+            for c in ("cee_json", "json_tree"):
+                if c in self.table.column_names:
+                    return json_get(pc.cast(self._col(c), pa.string()),
+                                    stripped[1:])
+            raise KeyError(
+                f"property {name!r} needs a parsed JSON tree column "
+                f"(cee_json) — run mmjsonparse/parse_json first")
         name_l = name.lower().lstrip("$")
         if name_l in self._COMPUTED:
             return self._COMPUTED[name_l](self)

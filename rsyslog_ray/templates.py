@@ -111,7 +111,10 @@ def parse_template(tpl: str) -> list[TplEntry]:
         body = m.group(1)
         parts = body.split(":")
         name = parts[0]
-        e = TplEntry("prop", prop=name.lower())
+        # rsyslog property names are case-insensitive (template.c uses
+        # strcasecmp), but `$!` JSON-tree paths are case-SENSITIVE keys
+        e = TplEntry("prop", prop=(name if name.lstrip("$").startswith("!")
+                                   else name.lower()))
         if len(parts) > 1 and parts[1]:
             if parts[1].startswith("R"):
                 _parse_regex_spec(e, body.partition(":")[2])

@@ -118,3 +118,27 @@ def test_salted_group_apply_equals_direct(ray_session):
     exp = {r["k"]: (r["v_sum"], r["v_max"])
            for _, r in combiner(df).iterrows()}
     assert got == exp
+
+
+def test_json_tree_property_access():
+    """`$!a!b` JSON-tree properties (runtime/msg.c msgGetJSONPropJSON)
+    work in filters AND templates via the shared PropertyRegistry; keys
+    stay case-sensitive; rows without a tree yield null."""
+    import pyarrow as pa
+    from rsyslog_ray.expr import PropertyRegistry, eval_mask
+    from rsyslog_ray.templates import Template
+    batch = pa.table({
+        "msg": pa.array(["a", "b", "c"]),
+        "cee_json": pa.array(['{"Event":"login","n":5,"u":{"id":9}}',
+                              '{"Event":"logout","n":2}', None]),
+    })
+    p = PropertyRegistry(batch)
+    assert p.get("$!Event").to_pylist() == ["login", "logout", None]
+    assert p.get("$!u!id").to_pylist() == ["9", None, None]
+    assert eval_mask(("==", ("prop", "$!Event"), "login"),
+                     batch).to_pylist() == [True, False, False]
+    assert Template("ev=%$!Event% n=%$!n%").render(batch).to_pylist() == \
+        ["ev=login n=5", "ev=logout n=2", "ev= n="]
+    import pytest as _pytest
+    with _pytest.raises(KeyError, match="cee_json"):
+        PropertyRegistry(pa.table({"msg": pa.array(["x"])})).get("$!a")
