@@ -540,6 +540,92 @@ def json_get(arr, path: str) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
+def json_exists(arr, path: str) -> pa.Array:
+    """exists($!a!b) (grammar/rainerscript.c doFunct_Exists): TRUE iff the
+    key is PRESENT in the tree — a present null value still exists, which
+    json_get cannot distinguish. Per-row parse (orjson path), bounded to
+    the JSON-bearing subset like every tree op."""
+    keys = path.split("!")
+    out = []
+    for v in _pylist(arr):
+        ok = False
+        if v is not None:
+            try:
+                cur = loads_fast(v)
+                ok = True
+                for k in keys:
+                    if isinstance(cur, dict) and k in cur:
+                        cur = cur[k]
+                    else:
+                        ok = False
+                        break
+            except (ValueError, TypeError):
+                ok = False
+        out.append(ok)
+    return pa.array(out, pa.bool_())
+
+
+def _edit_tree(v, keys: list[str], value, delete: bool):
+    obj = loads_fast(v)
+    if not isinstance(obj, dict):
+        obj = {}
+    cur = obj
+    for k in keys[:-1]:
+        nxt = cur.get(k)
+        if not isinstance(nxt, dict):
+            if delete:
+                return obj          # path absent: unset is a no-op
+            nxt = {}
+            cur[k] = nxt
+        cur = nxt
+    if delete:
+        cur.pop(keys[-1], None)
+    else:
+        cur[keys[-1]] = value
+    return obj
+
+
+def json_set(arr, path: str, values) -> pa.Array:
+    """set $!a!b = value (v6 grammar `set` statement writing into the
+    message JSON tree, grammar/rainerscript.c cnfstmtNewSet): returns the
+    tree column with the path set per row. `values` may be a scalar or a
+    column; intermediate non-dict nodes are replaced (msgAddJSON
+    overwrite semantics). Null/absent trees start from {}. Output is the
+    engine's normalized (sorted-key, compact) JSON string."""
+    vals = values if isinstance(values, list) else None
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        vals = _pylist(values)
+    keys = path.split("!")
+    out = []
+    for i, v in enumerate(_pylist(arr)):
+        val = vals[i] if vals is not None else values
+        try:
+            obj = _edit_tree(v if v is not None else "{}", keys, val, False)
+        except (ValueError, TypeError):
+            obj = _edit_tree("{}", keys, val, False)
+        out.append(json.dumps(obj, separators=(",", ":"), sort_keys=True))
+    return pa.array(out, pa.string())
+
+
+def json_unset(arr, path: str) -> pa.Array:
+    """unset $!a!b (cnfstmtNewUnset): removes the path per row; absent
+    paths and unparseable trees pass through unchanged (null stays
+    null)."""
+    keys = path.split("!")
+    out = []
+    for v in _pylist(arr):
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            obj = _edit_tree(v, keys, None, True)
+            out.append(json.dumps(obj, separators=(",", ":"),
+                                  sort_keys=True))
+        except (ValueError, TypeError):
+            out.append(v)
+    return pa.array(out, pa.string())
+
+
 def unflatten(arr, sep: str = ".") -> pa.Array:
     """contrib/fmunflatten — dotted-key JSON object → nested JSON string."""
     vals = _pylist(arr)
@@ -594,6 +680,8 @@ REGISTRY = {
     "format_time": format_time, "parse_time": parse_rfc3339,
     "is_time": is_time, "prifilt": prifilt, "json_get": json_get,
     "unflatten": unflatten, "parse_json": parse_json,
+    "json_exists": json_exists, "json_set": json_set,
+    "json_unset": json_unset,
 }
 
 #: functions that set the per-row script errno (wtiSetScriptErrno callers,

@@ -145,3 +145,28 @@ def test_script_error_visible_to_later_ruleset_statements():
     routed = route_table(batch, rs)
     assert routed["parsed"]["conv_id"].to_pylist() == ["c1", "c3"]
     assert routed["errs"]["conv_id"].to_pylist() == ["c2"]
+
+
+def test_json_tree_set_unset_exists():
+    """set/unset into the $! tree + exists() (cnfstmtNewSet/Unset,
+    doFunct_Exists): exists distinguishes present-null from absent;
+    set creates intermediate objects; unset on absent paths no-ops."""
+    import pyarrow as pa
+    trees = pa.array(['{"a":{"b":1},"z":null}', "{}", None, "notjson"])
+    assert L(F.json_exists(trees, "a!b")) == [True, False, False, False]
+    assert L(F.json_exists(trees, "z")) == [True, False, False, False]
+    assert L(F.json_exists(trees, "q")) == [False, False, False, False]
+    got = L(F.json_set(trees, "a!c", 7))
+    assert got[0] == '{"a":{"b":1,"c":7},"z":null}'
+    assert got[1] == '{"a":{"c":7}}'
+    assert got[2] == '{"a":{"c":7}}'      # null tree starts from {}
+    assert got[3] == '{"a":{"c":7}}'      # unparseable tree replaced
+    # per-row values column
+    got2 = L(F.json_set(pa.array(["{}", "{}"]), "v",
+                        pa.array(["x", "y"])))
+    assert got2 == ['{"v":"x"}', '{"v":"y"}']
+    un = L(F.json_unset(trees, "a!b"))
+    assert un[0] == '{"a":{},"z":null}'
+    assert un[1] == "{}" and un[2] is None and un[3] == "notjson"
+    assert L(F.json_unset(trees, "missing!deep"))[0] == \
+        '{"a":{"b":1},"z":null}'
