@@ -123,11 +123,33 @@ def re_extract(arr, pattern: str, match_n: int = 0, submatch_n: int = 0,
     return pa.array(vals, type=pa.string())
 
 
+def re_match_i(arr, pattern: str):
+    """re_match_i (grammar/rainerscript.c:3745) — case-insensitive ERE."""
+    return pc.match_substring_regex(arr, pattern=pattern, ignore_case=True)
+
+
+def re_extract_i(arr, pattern: str, match_n: int = 0, submatch_n: int = 0,
+                 nomatch: str = ""):
+    """re_extract_i — case-insensitive re_extract (RE2 inline flag)."""
+    return re_extract(arr, f"(?i:{pattern})" if match_n == 0
+                      else f"(?i){pattern}", match_n, submatch_n, nomatch)
+
+
+def get_property(arr, name: str) -> pa.Array:
+    """get_property(var, name) (grammar/rainerscript.c doFunct_GetProperty)
+    — dynamic key access on a JSON variable; key resolved at eval time
+    (vs the static `$!name` syntax). Same path rules as json_get."""
+    return json_get(arr, name)
+
+
 def _wrap_group(pattern: str, submatch_n: int) -> str:
-    """Name the submatch we want 'g' so pc.extract_regex can address it.
-    submatch 0 = whole match → wrap the whole pattern."""
+    """Name the submatch we want 'g' so pc.extract_regex can address it;
+    every OTHER unnamed group becomes non-capturing, since extract_regex
+    rejects unnamed groups (RE2 has no backrefs, so renumbering is safe).
+    submatch 0 = whole match → neutralize all groups, wrap the pattern.
+    (Pass submatch_n=-1 internally for neutralize-only.)"""
     if submatch_n == 0:
-        return f"(?P<g>{pattern})"
+        return f"(?P<g>{_wrap_group(pattern, -1)})"
     # rename the Nth capturing group; naive scan for unescaped '('
     count = 0
     out = []
@@ -140,10 +162,12 @@ def _wrap_group(pattern: str, submatch_n: int) -> str:
             continue
         if ch == "(" and not pattern.startswith("(?", i):
             count += 1
-            if count == submatch_n:
-                out.append("(?P<g>")
-                i += 1
-                continue
+            # pc.extract_regex rejects UNNAMED groups outright, so the
+            # non-target groups become non-capturing (RE2 has no
+            # backrefs, so renumbering is safe)
+            out.append("(?P<g>" if count == submatch_n else "(?:")
+            i += 1
+            continue
         out.append(ch)
         i += 1
     return "".join(out)
@@ -681,7 +705,9 @@ REGISTRY = {
     "is_time": is_time, "prifilt": prifilt, "json_get": json_get,
     "unflatten": unflatten, "parse_json": parse_json,
     "json_exists": json_exists, "json_set": json_set,
-    "json_unset": json_unset,
+    "json_unset": json_unset, "re_match_i": re_match_i,
+    "re_extract_i": re_extract_i, "get_property": get_property,
+    "ip42num": ipv42num,       # the reference registers both spellings
 }
 
 #: functions that set the per-row script errno (wtiSetScriptErrno callers,

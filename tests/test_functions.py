@@ -170,3 +170,17 @@ def test_json_tree_set_unset_exists():
     assert un[1] == "{}" and un[2] is None and un[3] == "notjson"
     assert L(F.json_unset(trees, "missing!deep"))[0] == \
         '{"a":{"b":1},"z":null}'
+
+
+def test_case_insensitive_regex_and_get_property():
+    import pyarrow as pa
+    a = pa.array(["Hello World", "goodbye", None])
+    assert L(F.re_match_i(a, "hello")) == [True, False, None]
+    assert L(F.re_match(a, "hello")) == [False, False, None]
+    assert L(F.re_extract_i(a, "(HELLO) (\\w+)", 0, 2)) == \
+        ["World", "", ""]
+    assert L(F.re_extract_i(a, "o", 1, 0)) == ["o", "o", ""]  # 2nd match
+    j = pa.array(['{"k":"v","n":{"x":1}}'])
+    assert L(F.get_property(j, "k")) == ["v"]
+    assert L(F.get_property(j, "n!x")) == ["1"]
+    assert F.REGISTRY["ip42num"] is F.ipv42num
