@@ -437,6 +437,19 @@ def compile_expr(expr, props: PropertyRegistry):
                   else pc.is_valid(res))
             props.set_errno(ok)
         return res
+    if op == "exists":
+        # exists($!a!b) (grammar/rainerscript.c doFunct_Exists): key
+        # presence in the JSON tree — distinguishes present-null from
+        # absent. No tree column → nothing exists.
+        from .functions import json_exists
+        path = expr[1].lstrip("$")
+        path = path[1:] if path.startswith("!") else path
+        for c in ("cee_json", "json_tree"):
+            if c in props.table.column_names:
+                return json_exists(
+                    pc.cast(props._col(c), pa.string()), path)
+        import numpy as np
+        return pa.array(np.zeros(props.table.num_rows, dtype=bool))
     if op == "script_error":
         # script_error() (grammar/rainerscript.c:2792 doFunct_ScriptError):
         # per-row errno of the most recent errno-setting function call

@@ -184,3 +184,17 @@ def test_case_insensitive_regex_and_get_property():
     assert L(F.get_property(j, "k")) == ["v"]
     assert L(F.get_property(j, "n!x")) == ["1"]
     assert F.REGISTRY["ip42num"] is F.ipv42num
+
+
+def test_exists_expr_op():
+    import pyarrow as pa
+    from rsyslog_ray.expr import eval_mask
+    batch = pa.table({
+        "msg": pa.array(["a", "b"]),
+        "cee_json": pa.array(['{"k":null}', '{"x":1}']),
+    })
+    assert eval_mask(("exists", "$!k"), batch).to_pylist() == [True, False]
+    assert eval_mask(("not", ("exists", "$!k")), batch).to_pylist() == \
+        [False, True]
+    no_tree = pa.table({"msg": pa.array(["a"])})
+    assert eval_mask(("exists", "$!k"), no_tree).to_pylist() == [False]
