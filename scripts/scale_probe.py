@@ -1,0 +1,131 @@
+"""Scale probe: run the corpus/dedup operators on a synthetic corpus big
+enough to cross their driver-vs-distributed thresholds (the per-round
+testdata tops out at 5000 docs, which never exercises the scale paths
+with default settings).
+
+    python scripts/scale_probe.py [n_docs] [--ops op1,op2]
+
+Synthesizes n_docs (default 100k) deterministic documents (~500 B each,
+10% exact dups, 5% near-dups) under /tmp, then times each op with
+DEFAULT thresholds and prints one JSON line. This is an engineering
+probe, not the driver bench — results land in BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+_rng = np.random.default_rng(99)
+_letters = np.array(list("abcdefghijklmnopqrstuvwxyz"), dtype=object)
+WORDS = np.array(["".join(_rng.choice(_letters,
+                                      size=int(_rng.integers(4, 10))))
+                  for _ in range(20000)], dtype=object)
+
+
+def synth_docs(n: int, out: str, seed: int = 7) -> str:
+    path = os.path.join(out, f"docs_{n}.parquet")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    lens = rng.integers(40, 120, size=n)
+    texts = []
+    for i in range(n):
+        words = WORDS[rng.integers(0, len(WORDS), size=lens[i])]
+        texts.append(" ".join(words))
+    # 10% exact dups, 5% near-dups (one word changed)
+    for i in range(0, n, 10):
+        if i + 1 < n:
+            texts[i + 1] = texts[i]
+    for i in range(0, n, 20):
+        if i + 2 < n:
+            w = texts[i].split(" ")
+            w[len(w) // 2] = "CHANGED"
+            texts[i + 2] = " ".join(w)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.large_string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n)]),
+    })
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(tbl, path, row_group_size=16384)
+    return path
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
+        else 100_000
+    only = None
+    if "--ops" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--ops") + 1].split(","))
+    ray.init(address="local",
+             num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    path = synth_docs(n, "/tmp/rsyslog_ray_scale")
+    results: dict = {"n_docs": n}
+
+    def timed(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        try:
+            out = fn()
+            results[name] = {"sec": round(time.perf_counter() - t0, 2),
+                             "rows": out}
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+
+    def ds():
+        return rd.read_parquet(path)
+
+    from rsyslog_ray.stages.dedup import (exact_dedup, minhash_lsh_dedup,
+                                          ngram_jaccard_pairs,
+                                          simhash_dedup)
+    from rsyslog_ray.stages.sampling import (decontaminate, dedup_lines,
+                                             hash_split, pack_sequences)
+
+    timed("exact_dedup", lambda: exact_dedup(ds()).count())
+    timed("minhash_lsh_dedup", lambda: minhash_lsh_dedup(ds()).count())
+    # force the fully-distributed band path + connected components
+    timed("minhash_lsh_dedup_dist",
+          lambda: minhash_lsh_dedup(ds(), driver_threshold=0).count())
+    timed("simhash_dedup", lambda: simhash_dedup(ds()).count())
+    timed("jaccard_pairs",
+          lambda: ngram_jaccard_pairs(ds(), threshold=0.8).count())
+    timed("dedup_lines", lambda: dedup_lines(ds(), sep=" ").count())
+    timed("hash_split", lambda: hash_split(ds()).count())
+    timed("pack_sequences", lambda: pack_sequences(ds()).count())
+
+    import pyarrow.compute as pc
+
+    def _side(want_eval):
+        def fn(b):
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 1000), 1000))
+            m = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(m)
+        return fn
+
+    def _decon():
+        evald = ds().map_batches(_side(True), batch_format="pyarrow")
+        corpus = ds().map_batches(_side(False), batch_format="pyarrow")
+        return decontaminate(corpus, evald, n=5).count()
+    timed("decontaminate", _decon)
+
+    print(json.dumps(results))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
