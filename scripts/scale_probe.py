@@ -96,6 +96,9 @@ def main() -> None:
                                              hash_split, pack_sequences)
 
     timed("exact_dedup", lambda: exact_dedup(ds()).count())
+    # the 100 TB mode: shuffle a 64-bit text hash, not the text bytes
+    timed("exact_dedup_hash",
+          lambda: exact_dedup(ds(), by_hash=True).count())
     timed("minhash_lsh_dedup", lambda: minhash_lsh_dedup(ds()).count())
     # force the fully-distributed band path + connected components
     timed("minhash_lsh_dedup_dist",
