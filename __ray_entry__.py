@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": Q.q_quality,
         "langid": Q.q_langid,
         "repetition": Q.q_repetition,
+        "sample_n_per_source": Q.q_sample_n_per_source,
         "curation": Q.q_curation,
         "dedup_lines": Q.q_dedup_lines,
         "decontaminate": Q.q_decontaminate,

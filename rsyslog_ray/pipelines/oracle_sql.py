@@ -675,6 +675,16 @@ SELECT doc_id, "group", n_tokens,
     AS seq_idx
 FROM t"""
 
+    from ..stages.sampling import SAMPLE_N_PRIME  # noqa: PLC0415
+    q["sample_n_per_source"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           (CAST(doc_id AS HUGEINT) * {SAMPLE_N_PRIME}) %
+           {1 << 64}) AS rn
+  FROM documents)
+WHERE rn <= 5"""
+
     q["repetition"] = """
 WITH l AS (
   SELECT doc_id, string_split(text, ' ') AS ls FROM documents

@@ -812,6 +812,15 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return _to_table(clean.select_columns(["doc_id"]))
 
 
+def q_sample_n_per_source(sf_dir: str) -> pa.Table:
+    """Fixed-size per-key random sampling: 5 hash-ranked docs per source
+    (deterministic, batching-invariant)."""
+    from ..stages.sampling import sample_n_per_key
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source"])
+    return _to_table(sample_n_per_key(ds, key_col="source", n=5))
+
+
 def q_repetition(sf_dir: str) -> pa.Table:
     """Gopher-style duplicate-line(/char) fraction quality signals
     (separator ' ' on the newline-free fixture corpus)."""

@@ -170,6 +170,33 @@ def decontaminate(ds, eval_ds, n: int = 5, text_col: str = "text"):
     return ds.map_batches(keep_clean, batch_format="pyarrow")
 
 
+#: third independent odd multiplier (splitmix64's) — per-key N-sampling
+SAMPLE_N_PRIME = 0xD6E8FEB86659FD93
+
+
+def sample_n_per_key(ds, key_col: str = "source", id_col: str = "doc_id",
+                     n: int = 5):
+    """Deterministic per-key random N-sample: rank each key's rows by a
+    multiplicative hash of the id and keep the n smallest — the
+    fixed-size counterpart of sample_by_key's fractional mixing
+    ("5 random docs per domain"). Multiplication by an odd constant is a
+    BIJECTION mod 2^64, so ranks are tie-free and the result is
+    batching/partitioning-invariant; the shuffle is one keyed
+    co-location (head_per_key machinery, no global sort)."""
+    from .aggregate import head_per_key
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_hkey", pa.array(_u64(batch[id_col], SAMPLE_N_PRIME)))
+    picked = head_per_key(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        key=key_col, order_col="_hkey", n=n)
+
+    def drop_h(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_hkey"])
+    return picked.map_batches(drop_h, batch_format="pyarrow")
+
+
 def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
                 sep: str = "\n"):
     """Intra-document line deduplication (the C4-style "remove repeated

@@ -144,3 +144,26 @@ def test_curation_composite_stages_compose(ray_session):
     out = {r["doc_id"]: r["text"] for r in hash_split(ds).take_all()}
     assert set(out) == {0, 3}
     assert out[3] == "the bird is here"
+
+
+def test_sample_n_per_key_deterministic(ray_session):
+    from rsyslog_ray.stages.sampling import sample_n_per_key
+    tbl = _docs(400)
+    a = sorted((r["source"], r["doc_id"]) for r in
+               sample_n_per_key(rd.from_arrow(tbl), key_col="source",
+                                n=3).take_all())
+    b = sorted((r["source"], r["doc_id"]) for r in
+               sample_n_per_key(rd.from_arrow(tbl).repartition(7),
+                                key_col="source", n=3).take_all())
+    assert a == b and len(a) == 4 * 3
+    # python oracle: 3 smallest (id * PRIME) mod 2^64 per source
+    import numpy as np
+    from rsyslog_ray.stages.sampling import SAMPLE_N_PRIME
+    ids = np.arange(400, dtype=np.uint64)
+    h = ids * np.uint64(SAMPLE_N_PRIME)
+    want = []
+    for s in range(4):
+        mine = np.arange(s, 400, 4)
+        want += [(f"s{s}", int(i)) for i in
+                 mine[np.argsort(h[mine], kind="stable")][:3]]
+    assert a == sorted(want)
