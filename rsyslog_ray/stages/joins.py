@@ -91,7 +91,9 @@ def _cobucket(left, right, key: str, rsuffix: str,
                     e = pc.cast(pc.cast(cols[end_col], pa.timestamp("us")),
                                 pa.int64()).to_numpy(zero_copy_only=False)
                     tb0, tb1 = s // tb_us, e // tb_us
-                    counts = (tb1 - tb0 + 1).astype(np.int64)
+                    # inverted intervals (end < start — dirty data) match
+                    # nothing; clip so np.repeat doesn't raise on them
+                    counts = np.maximum(tb1 - tb0 + 1, 0).astype(np.int64)
                     idx = np.repeat(np.arange(n), counts)
                     # offset within each interval's bucket run
                     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))

@@ -396,3 +396,22 @@ def test_asof_join_no_materialize_right(ray_session):
         return sorted((r["event_id"], str(r["ts_r"])) for r in out)
 
     assert run(True) == run(False)
+
+
+def test_range_join_tolerates_inverted_intervals(ray_session):
+    """Dirty data: an interval with end < start matches nothing and must
+    not crash the (key, time-bucket) explode."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import range_join
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1000000, 5000000], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "start_ts": pa.array([0, 9000000], pa.timestamp("us")),
+        "end_ts": pa.array([2000000, 4000000], pa.timestamp("us")),  # 2nd inverted
+    }))
+    out = range_join(left, right, time_bucket_s=1.0).take_all()
+    assert [(r["ts"].timestamp()) for r in out] == [1.0]
