@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": Q.q_langid,
         "repetition": Q.q_repetition,
         "sample_n_per_source": Q.q_sample_n_per_source,
+        "top_ngrams": Q.q_top_ngrams,
         "curation": Q.q_curation,
         "dedup_lines": Q.q_dedup_lines,
         "decontaminate": Q.q_decontaminate,

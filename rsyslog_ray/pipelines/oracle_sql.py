@@ -685,6 +685,21 @@ SELECT doc_id, source FROM (
   FROM documents)
 WHERE rn <= 5"""
 
+    q["top_ngrams"] = r"""
+WITH w AS (
+  SELECT regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+starts AS (
+  SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM w WHERE len(ws) >= 2
+),
+c AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS gram, count(*) AS cnt
+  FROM starts GROUP BY 1
+)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt FROM c
+ORDER BY cnt DESC, gram LIMIT 50"""
+
     q["repetition"] = """
 WITH l AS (
   SELECT doc_id, string_split(text, ' ') AS ls FROM documents

@@ -812,6 +812,16 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return _to_table(clean.select_columns(["doc_id"]))
 
 
+def q_top_ngrams(sf_dir: str) -> pa.Table:
+    """Corpus-wide top-50 word bigrams (vocabulary statistics): partial
+    counts → hash-bucket merge → per-block top-k → driver merge (exact;
+    ties count-desc, gram-asc on both sides)."""
+    from ..stages.textstats import top_ngrams
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return top_ngrams(ds, n=2, k=50)
+
+
 def q_sample_n_per_source(sf_dir: str) -> pa.Table:
     """Fixed-size per-key random sampling: 5 hash-ranked docs per source
     (deterministic, batching-invariant)."""

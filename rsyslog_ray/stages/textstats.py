@@ -257,3 +257,41 @@ def repetition_table(batch: pa.Table, text_col: str = "text",
         "dup_char_frac": pa.array(
             round_away(dup_chars / np.maximum(tot_chars, 1))),
     })
+
+
+def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 50):
+    """Corpus-wide top-k word n-grams (vocabulary statistics): per-batch
+    partial counts (one split + np.unique per batch) → hash-bucketed
+    merge (no string sort-shuffle; a gram's total lands in exactly one
+    bucket) → per-block top-k → tiny driver merge. EXACT: after the
+    merge each gram has its global count in one block, so the union of
+    per-block top-k's contains the global top-k. Ties break (count desc,
+    gram asc) on both sides. Returns a pa.Table (gram, cnt)."""
+    import pandas as pd
+
+    from .sampling import _word_ngrams
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        if not len(g):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        u, c = np.unique(g.astype("U"), return_counts=True)
+        return pa.table({"gram": pa.array(u.astype(object), pa.string()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    from .aggregate import bucket_merge
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = bucket_merge(partials, ["gram"], {"cnt": ("cnt", "sum")})
+
+    def block_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["cnt", "gram"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+    tops = merged.map_batches(block_top, batch_format="pyarrow").take_all()
+    df = pd.DataFrame(tops).sort_values(["cnt", "gram"],
+                                        ascending=[False, True],
+                                        kind="mergesort").head(k)
+    return pa.table({"gram": pa.array(df["gram"].to_numpy(), pa.string()),
+                     "cnt": pa.array(df["cnt"].to_numpy(), pa.int64())})

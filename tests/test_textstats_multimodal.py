@@ -191,3 +191,13 @@ def test_repetition_table_gopher_fractions():
         round(2 / 5, 6), round(2 / 3, 6), 0.0, 0.0]
     # doc0 chars: aa,bb,aa,cc,bb = 10; dups aa+bb = 4
     assert t["dup_char_frac"].to_pylist()[0] == round(4 / 10, 6)
+
+
+def test_top_ngrams_exact_with_ties(ray_session):
+    from rsyslog_ray.stages.textstats import top_ngrams
+    docs = _docs(["a b a b c", "a b x y", "c d c d"])
+    out = top_ngrams(rd.from_arrow(docs), n=2, k=3)
+    got = list(zip(out["gram"].to_pylist(), out["cnt"].to_pylist()))
+    # bigrams: 'a b'×3, 'c d'×2, then ties at 1 break lexicographically
+    assert got[0] == ("a b", 3) and got[1] == ("c d", 2)
+    assert got[2] == ("b a", 1)          # smallest gram among count-1 ties
