@@ -18,6 +18,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ray.data.aggregate import Min
 
@@ -434,12 +435,20 @@ def connected_components(pairs, num_partitions: int | None = None,
 
 
 def drop_pair_partners(ds, pairs, id_col: str,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       broadcast_threshold: int = 5_000_000):
     """Drop every row that appears as the LARGER id of any near-dup pair
     (b of an (a, b) pair with a < b) — the SQL-expressible dedup rule
     (`NOT EXISTS a smaller near-dup partner`), vs drop_by_components'
     keep-one-per-cluster rule. Distinct-b partial per batch → small
-    groupby → hash-partitioned LEFT ANTI join; no driver drop-set."""
+    groupby → tiny drop-id set.
+
+    Dual drop path: a drop set ≤ `broadcast_threshold` ids (8 B each →
+    ≤40 MB) is broadcast once (ray.put) and anti-filtered inside
+    map_batches — zero shuffle of the corpus, the common 100 TB shape
+    (near-dup drop rates are a few % of docs). Larger drop sets fall back
+    to a hash-partitioned LEFT ANTI join; either way no driver drop-set
+    bigger than the declared broadcast bound."""
     from ..cluster import cluster_buckets
     if num_partitions is None:
         num_partitions = max(8, cluster_buckets() // 8)
@@ -461,6 +470,16 @@ def drop_pair_partners(ds, pairs, id_col: str,
     casted = ds.map_batches(cast_id, batch_format="pyarrow")
     if n_drop == 0:
         return casted
+    if n_drop <= broadcast_threshold:
+        drop_ids = pa.concat_tables(
+            ray.get(drops.to_arrow_refs()))["node"].combine_chunks()
+        ref = ray.put(drop_ids)
+
+        def anti(t: pa.Table) -> pa.Table:
+            ids = ray.get(ref)
+            return t.filter(pc.invert(pc.is_in(
+                pc.cast(t[id_col], i64), value_set=ids)))
+        return casted.map_batches(anti, batch_format="pyarrow")
     return casted.join(drops, "left_anti", num_partitions,
                        on=(id_col,), right_on=("node",))
 

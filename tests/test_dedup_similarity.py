@@ -419,3 +419,23 @@ def test_minhash_stage_fuzz_vs_reference():
                 for t in texts]
         assert got == want and got2 == want
     check()
+
+
+def test_drop_pair_partners_broadcast_and_join_paths_agree(ray_session):
+    """The broadcast anti-filter (small drop set) and the hash-partitioned
+    left-anti join (broadcast_threshold=0 forces it) must keep the same
+    rows."""
+    from rsyslog_ray.stages.dedup import drop_pair_partners
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([0, 1, 2], pa.int64()),
+        "b": pa.array([5, 7, 5], pa.int64()),
+    }))
+    bcast = sorted(r["doc_id"] for r in
+                   drop_pair_partners(ds, pairs, "doc_id").take_all())
+    joined = sorted(r["doc_id"] for r in
+                    drop_pair_partners(ds, pairs, "doc_id",
+                                       broadcast_threshold=0).take_all())
+    want = [i for i in range(20) if i not in (5, 7)]
+    assert bcast == want and joined == want
