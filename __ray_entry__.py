@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": Q.q_sample_by_source,
         "hash_split": Q.q_hash_split,
         "top_ngrams": Q.q_top_ngrams,
+        "shuffle_shards": Q.q_shuffle_shards,
         "events_props": Q.q_events_props,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
@@ -81,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prifilt": Q.q_prifilt,
         "rate_window": Q.q_rate_window,
         "sessionize": Q.q_sessionize,
+        "redact": Q.q_redact,
+        "dedup_lines_global": Q.q_dedup_lines_global,
         "grok_parse": Q.q_grok_parse,
         "properties": Q.q_properties,
         "events_window": Q.q_events_window,

@@ -872,4 +872,19 @@ SELECT vec_id, round(score, 6) AS score FROM (
   FROM embeddings e, qv
 ) ORDER BY score DESC, vec_id LIMIT 20"""
 
+    from ..stages.enrich import redact_sql  # noqa: PLC0415
+    q["redact"] = f"""
+SELECT conv_id, turn_idx, {redact_sql('text')} AS text
+FROM read_parquet('{src}')"""
+
+    q["dedup_lines_global"] = f"""
+SELECT conv_id, turn_idx FROM (
+  SELECT conv_id, turn_idx,
+    row_number() OVER (PARTITION BY text ORDER BY conv_id, turn_idx) AS rn
+  FROM read_parquet('{src}')
+) WHERE rn = 1"""
+
+    from ..stages.sampling import shuffle_sql  # noqa: PLC0415
+    q["shuffle_shards"] = shuffle_sql(8, 42) + " FROM documents"
+
     return q

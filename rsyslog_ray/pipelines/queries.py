@@ -973,3 +973,38 @@ def q_multimodal(sf_dir: str) -> pa.Table:
             "mean_luma": batch["mean_luma"],
         })
     return _to_table(out.map_batches(project, batch_format="pyarrow"))
+
+
+def q_redact(sf_dir: str) -> pa.Table:
+    """PII / identifier redaction (training-data cleaning op): ordered
+    email / phone / long-digit-run regex→placeholder rules, one vectorized
+    RE2 replace per rule, no shuffle (mmanon generalized to arbitrary
+    patterns; plugins/mmanon/mmanon.c regex mode analogue)."""
+    from ..stages.enrich import redact_table
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    return _to_table(ds.map_batches(redact_table, batch_format="pyarrow"))
+
+
+def q_dedup_lines_global(sf_dir: str) -> pa.Table:
+    """Corpus-level exact line dedup (MassiveText "remove lines duplicated
+    across documents"): each transcript turn is a line; keep only the
+    globally FIRST (conv_id, turn_idx) occurrence of each distinct text.
+    Partial per-batch first-pick → text-hash-bucket co-location → one
+    vectorized pandas pass per bounded bucket."""
+    from ..stages.dedup import first_occurrence
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    out = first_occurrence(ds, order_cols=["conv_id", "turn_idx"])
+    return _to_table(out.select_columns(["conv_id", "turn_idx"]))
+
+
+def q_shuffle_shards(sf_dir: str) -> pa.Table:
+    """Deterministic seeded global shuffle into training shards:
+    (doc_id, shard, pos) where pos ranks a bijective hash of the id within
+    its shard — a reproducible random permutation cut into ordered
+    shards, ranked without any global sort (per-(shard, u-range) counts →
+    driver prefix fold → bounded local sorts)."""
+    from ..stages.sampling import shuffle_shards
+    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return _to_table(shuffle_shards(ds, n_shards=8, seed=42))

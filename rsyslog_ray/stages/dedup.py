@@ -885,3 +885,56 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                           {"c": ("c", "sum")}, n_buckets=nb)
     return merged.map_batches(lambda t: _jaccard_score(t, threshold),
                               batch_format="pyarrow")
+
+
+def first_occurrence(ds, text_col: str = "text",
+                     order_cols: list[str] | None = None,
+                     n_buckets: int | None = None,
+                     by_hash: bool = False):
+    """Corpus-level exact line dedup (the MassiveText/C4 "remove lines
+    duplicated across documents" rule): keep, for every distinct value of
+    `text_col`, ONLY the row that comes first in `order_cols` order.
+
+    Shape: (1) a per-batch partial pass keeps one candidate per distinct
+    text per batch (pandas sort + drop_duplicates — hash-based, C speed),
+    so the shuffle carries at most one row per (batch, distinct text);
+    (2) candidates co-locate by a hash BUCKET of the text (bounded group
+    count — never one group per distinct text), and one vectorized pandas
+    pass per bucket picks the global first. by_hash=True shuffles a
+    64-bit text hash instead of the text bytes (16 B vs payload — the
+    100 TB path, same collision tradeoff as exact_dedup)."""
+    from ..cluster import cluster_buckets
+    from ..functions import hash64
+    if order_cols is None:
+        order_cols = ["conv_id", "turn_idx"]
+    if n_buckets is None:
+        n_buckets = cluster_buckets()
+    keep_cols = [text_col] + order_cols
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keep_cols)
+        key = hash64(pc.cast(t[text_col], pa.string()))
+        if by_hash:
+            t = t.drop_columns([text_col]).append_column("_k", key)
+        else:
+            t = t.append_column(
+                "_k", pc.cast(key, pa.uint64()))  # bucket key only
+        df = t.to_pandas()
+        df = (df.sort_values(order_cols, kind="mergesort")
+                .drop_duplicates("_k" if by_hash else text_col))
+        df["_bucket"] = (df["_k"].to_numpy().astype(np.uint64)
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return pa.Table.from_pandas(
+            df.drop(columns=[] if by_hash else ["_k"]),
+            preserve_index=False)
+
+    dkey = "_k" if by_hash else text_col
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(order_cols, kind="mergesort")
+              .drop_duplicates(dkey)
+              .drop(columns=["_bucket"] + (["_k"] if by_hash else [])))
+        return g
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas"))

@@ -388,3 +388,46 @@ def mmrm1stspace_table(batch: pa.Table, col: str = "msg") -> pa.Table:
                        pc.utf8_slice_codeunits(msg, 1, 2**30), msg)
     return batch.set_column(batch.schema.get_field_index(col), col,
                             pc.cast(fixed, batch[col].type))
+
+
+#: (pattern, replacement) rules applied IN ORDER by redact_table and by the
+#: matching DuckDB oracle (nested regexp_replace(..., 'g')). Both engines
+#: are RE2, so the pattern subset used here (character classes, bounded
+#: repetition — no backrefs/lookaround) behaves identically.
+REDACT_RULES: list[tuple[str, str]] = [
+    # emails first (their local part may contain digits)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # international phone-ish: +country then 7-14 digits/separators
+    (r"\+[0-9][0-9 ()-]{6,13}[0-9]", "<PHONE>"),
+    # long digit runs (ids, ticket numbers, msgnums) — 6+ digits
+    (r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def redact_table(batch: pa.Table, col: str = "text",
+                 rules: list[tuple[str, str]] | None = None) -> pa.Table:
+    """PII / identifier redaction (training-data cleaning op): apply the
+    ordered regex→placeholder rules to one string column. Fully
+    vectorized (one pc.replace_substring_regex pass per rule), stateless,
+    no shuffle — the mmanon family generalized to arbitrary patterns
+    (reference analogue: mmanon's regex mode, plugins/mmanon/mmanon.c).
+    """
+    rules = REDACT_RULES if rules is None else rules
+    out = pc.cast(batch[col], pa.string())
+    for pat, repl in rules:
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+    if col in batch.column_names:
+        return batch.set_column(batch.schema.get_field_index(col), col, out)
+    return batch.append_column(col, out)
+
+
+def redact_sql(col: str = "text",
+               rules: list[tuple[str, str]] | None = None) -> str:
+    """The matching DuckDB expression: nested global regexp_replace in the
+    same rule order."""
+    rules = REDACT_RULES if rules is None else rules
+    expr = col
+    for pat, repl in rules:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr

@@ -439,3 +439,23 @@ def test_drop_pair_partners_broadcast_and_join_paths_agree(ray_session):
                                        broadcast_threshold=0).take_all())
     want = [i for i in range(20) if i not in (5, 7)]
     assert bcast == want and joined == want
+
+
+def test_first_occurrence_global_line_dedup(ray_session):
+    from rsyslog_ray.stages.dedup import first_occurrence
+    t = pa.table({
+        "conv_id": ["c2", "c1", "c1", "c2", "c3", "c1"],
+        "turn_idx": [0, 0, 1, 1, 0, 2],
+        "text": ["dup", "dup", "uniq", "uniq", "dup", "other"],
+    })
+    want = [("c1", 0), ("c1", 1), ("c1", 2)]
+    for bh in (False, True):
+        got = sorted((r["conv_id"], r["turn_idx"]) for r in
+                     first_occurrence(rd.from_arrow(t),
+                                      by_hash=bh).take_all())
+        assert got == want, bh
+    # partitioning-invariant
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in
+                 first_occurrence(rd.from_arrow(t).repartition(4))
+                 .take_all())
+    assert got == want

@@ -253,3 +253,21 @@ def test_mmutf8fix_fuzz_vs_sequential_oracle():
         for raw, out in zip(rows, got):
             assert out == _utf8fix_oracle(raw).decode("utf-8"), raw
     check()
+
+
+def test_redact_table_matches_duckdb():
+    import duckdb
+    from rsyslog_ray.stages.enrich import redact_table, redact_sql
+    t = pa.table({"text": pa.array([
+        "mail a.b+c@ex-ample.co.uk or JOE@X.IO now",
+        "call +44 20 7946 0958 or +1-415-555-0199",
+        "ids 123456 and 99999 and 1234567890123",
+        "no pii here", "", None,
+        "edge@case.c x@y.zz 12345",   # 1-char TLD not an email; 5 digits stay
+    ])})
+    got = redact_table(t)["text"].to_pylist()
+    want = [r[0] for r in duckdb.sql(
+        "SELECT " + redact_sql() + " FROM t").fetchall()]
+    assert got == want
+    assert got[0] == "mail <EMAIL> or <EMAIL> now"
+    assert "<NUM>" in got[2] and "99999" in got[2]

@@ -167,3 +167,35 @@ def test_sample_n_per_key_deterministic(ray_session):
         want += [(f"s{s}", int(i)) for i in
                  mine[np.argsort(h[mine], kind="stable")][:3]]
     assert a == sorted(want)
+
+
+def test_shuffle_shards_matches_sql_and_is_partition_invariant(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.sampling import shuffle_shards, shuffle_sql
+    t = pa.table({"doc_id": pa.array(range(777), pa.int64())})
+    got = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+                 shuffle_shards(rd.from_arrow(t), n_shards=5,
+                                seed=3).take_all())
+    want = sorted(tuple(r) for r in
+                  duckdb.sql(shuffle_sql(5, 3) + " FROM t").fetchall())
+    assert got == want
+    # partitioning-invariant and positions contiguous 0..n-1 per shard
+    again = sorted((r["doc_id"], r["shard"], r["pos"]) for r in
+                   shuffle_shards(rd.from_arrow(t).repartition(9), n_shards=5,
+                                  seed=3, ubucket_bits=2).take_all())
+    assert again == got
+    by_shard = {}
+    for _, s, p in got:
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+
+def test_shuffle_shards_seed_changes_permutation(ray_session):
+    from rsyslog_ray.stages.sampling import shuffle_shards
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    a = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(rd.from_arrow(t), n_shards=4, seed=1).take_all()}
+    b = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+         shuffle_shards(rd.from_arrow(t), n_shards=4, seed=2).take_all()}
+    assert a != b and set(a) == set(b)
