@@ -68,10 +68,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": Q.q_sample_by_source,
         "hash_split": Q.q_hash_split,
         "top_ngrams": Q.q_top_ngrams,
+        "global_topn": Q.q_global_topn,
+        "nfc_normalize": Q.q_nfc_normalize,
         "shuffle_shards": Q.q_shuffle_shards,
         "events_props": Q.q_events_props,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
+        "equi_join": Q.q_equi_join,
+        "conv_docs": Q.q_conv_docs,
         "range_join": Q.q_range_join,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "asof_join": Q.q_asof_join,
@@ -110,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver's per-round budget runs out mid-list, it costs a weaker
         # rows-only signal instead of a full rows+schema+hash row.
         "distinct_users_hll": Q.q_distinct_users_hll,  # sketch
+        "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash
         "fingerprint": Q.q_fingerprint,         # rolling hash
         "ivf_cosine": Q.q_ivf_cosine,           # approximate

@@ -887,4 +887,28 @@ SELECT conv_id, turn_idx FROM (
     from ..stages.sampling import shuffle_sql  # noqa: PLC0415
     q["shuffle_shards"] = shuffle_sql(8, 42) + " FROM documents"
 
+    q["equi_join"] = f"""
+SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx, t.role,
+       u.n_turns
+FROM read_parquet('{src}') t
+JOIN (SELECT conv_id, count(*) AS n_turns FROM read_parquet('{src}')
+      GROUP BY conv_id) u USING (conv_id)"""
+
+    q["conv_docs"] = f"""
+SELECT conv_id,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS doc,
+       count(*) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+         AS n_chars
+FROM read_parquet('{src}') GROUP BY conv_id"""
+
+    q["global_topn"] = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 100"""
+
+    q["nfc_normalize"] = """
+SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769)))
+         AS text_nfc
+FROM documents"""
+
     return q

@@ -1008,3 +1008,71 @@ def q_shuffle_shards(sf_dir: str) -> pa.Table:
     from ..stages.sampling import shuffle_shards
     ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return _to_table(shuffle_shards(ds, n_shards=8, seed=42))
+
+
+def q_equi_join(sf_dir: str) -> pa.Table:
+    """General distributed hash equi-join (string key): every turn joined
+    to its conversation's turn count — the keyed-shuffle join for
+    fact-to-fact sizes where a broadcast lookup no longer fits."""
+    from ..stages.joins import equi_join
+    tdir = ensure_transcripts(sf_dir)
+    left = read_transcripts(tdir, columns=["conv_id", "turn_idx", "role"])
+    right = (count_by(read_transcripts(tdir, columns=["conv_id"]),
+                      ["conv_id"])
+             .map_batches(lambda t: t.rename_columns(["conv_id", "n_turns"]),
+                          batch_format="pyarrow"))
+    return _to_table(equi_join(left, right, key="conv_id",
+                               materialize_right=False))
+
+
+def q_conv_docs(sf_dir: str) -> pa.Table:
+    """Conversation-document reconstruction: per-conv ordered text concat
+    (string_agg ORDER BY turn_idx) — the 'turns → training document'
+    operator; hash-bucketed, one vectorized Arrow binary_join per
+    bucket."""
+    from ..stages.aggregate import concat_group_text
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    return _to_table(concat_group_text(ds, key="conv_id",
+                                       order_col="turn_idx"))
+
+
+def q_global_topn(sf_dir: str) -> pa.Table:
+    """Exact global top-100 events by value (tie event_id) — per-block
+    partial top-n → bounded driver merge; no all-to-all Sort."""
+    from ..stages.aggregate import global_topn
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "event_type",
+                              "value"])
+    return _finalize(global_topn(ds, sort_col="value", n=100,
+                                 tie_cols=("event_id",), descending=True))
+
+
+def q_nfc_normalize(sf_dir: str) -> pa.Table:
+    """Unicode NFC normalization (text-cleaning before dedup): inject a
+    decomposed 'a'+combining-acute into every document (the testdata is
+    pure ASCII), then compose back with Arrow's vectorized
+    utf8_normalize — DuckDB nfc_normalize twin."""
+    from ..stages.textstats import normalize_text_table
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        decomposed = pc.replace_substring(
+            pc.cast(t["text"], pa.string()), pattern="a",
+            replacement="a\u0301")  # a + COMBINING ACUTE (decomposed NFD)
+        t = pa.table({"doc_id": t["doc_id"], "text": decomposed})
+        out = normalize_text_table(t, form="NFC")
+        return out.select(["doc_id", "text_nfc"])
+
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
+def q_countmin_topk(sf_dir: str) -> pa.Table:
+    """Count-Min-sketch heavy hitters over user_id (rows-only by design —
+    a sketch; pytest proves the ≥-exact bound and exact-topk agreement
+    at this scale). Sketch memory O(d·w), independent of key
+    cardinality."""
+    from ..stages.aggregate import countmin_topk
+    ds = read_scaled(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return countmin_topk(ds, col="user_id", k=20)

@@ -461,3 +461,158 @@ def head_per_key(ds, key: str = "conv_id", order_col: str = "turn_idx",
         return g.groupby(key, sort=False).head(n)
 
     return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+
+
+def concat_group_text(ds, key: str = "conv_id", order_col: str = "turn_idx",
+                      text_col: str = "text", sep: str = "\n",
+                      n_buckets: int | None = None):
+    """Ordered per-key text concatenation — the "turns → training
+    document" reconstruction every conversational-data pipeline needs
+    (string_agg(text, sep ORDER BY order_col) GROUP BY key). Hash-bucketed
+    like head_per_key: a key's rows co-locate once, then ONE vectorized
+    pass per bucket (sort → run-detect offsets → Arrow binary_join);
+    no Python loop per group. Output: key, doc, n_turns, n_chars.
+
+    Scale note: a group's whole text lands in one worker (inherent to
+    the operator — the output row IS the group); per-key size is bounded
+    by conversation length, not corpus size."""
+    import pandas as pd
+    from .ratelimit import _per_bucket
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "doc": pd.Series([], dtype=object),
+                                 "n_turns": pd.Series([], dtype="int64"),
+                                 "n_chars": pd.Series([], dtype="int64")})
+        g = g.sort_values([key, order_col], kind="mergesort")
+        keys = g[key].to_numpy()
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        offsets = np.r_[starts, n].astype(np.int64)
+        texts = pa.array(g[text_col].fillna("").astype(str).to_numpy(),
+                         pa.large_string())
+        lst = pa.LargeListArray.from_arrays(offsets, texts)
+        docs = pc.binary_join(lst, pa.scalar(sep, pa.large_string()))
+        return pd.DataFrame({
+            key: keys[starts],
+            "doc": docs.to_pandas().astype(str),
+            "n_turns": np.diff(offsets),
+            "n_chars": pc.utf8_length(docs).to_numpy(zero_copy_only=False)
+                         .astype(np.int64),
+        })
+
+    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+
+
+def global_topn(ds, sort_col: str = "value", n: int = 100,
+                tie_cols: tuple = ("event_id",),
+                descending: bool = True) -> pa.Table:
+    """Exact global top-n rows under a total order (sort_col, then
+    tie_cols ascending) WITHOUT a global sort shuffle: each block
+    contributes its local top-n (a per-batch vectorized partial), the
+    driver merges ≤ n×blocks candidate rows and takes the final head.
+    Driver memory is O(n · #blocks) — the bounded-fold pattern, same as
+    topk_by_key — vs a full all-to-all Sort for ds.sort().limit(n)."""
+    order = "descending" if descending else "ascending"
+    keys = [(sort_col, order)] + [(c, "ascending") for c in tie_cols]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows > n:
+            t = t.take(pc.sort_indices(t, sort_keys=keys)[:n])
+        return t
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    cands = [b for b in parts.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+             if b.num_rows]
+    if not cands:
+        s = parts.schema()
+        return pa.schema(list(zip(s.names, s.types))).empty_table()
+    merged = pa.concat_tables(cands, promote_options="default")
+    return merged.take(pc.sort_indices(merged, sort_keys=keys)[:n])
+
+
+# Count-Min sketch constants: d pairwise-independent-ish rows via fixed
+# odd multipliers (same affine-mod-2^64 family as the MinHash perms).
+_CM_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                    dtype=np.uint64)
+_CM_ADD = np.array([0x85EBCA6B, 0xCC9E2D51, 0x1B873593, 0xE6546B64],
+                   dtype=np.uint64)
+
+
+def _cm_slots(h64: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, len(h64)) slot indices from a base uint64 key hash."""
+    h = h64[None, :] * _CM_MULT[:depth, None] + _CM_ADD[:depth, None]
+    # top bits have the best mixing under the affine map
+    return (h >> np.uint64(64 - 30)).astype(np.int64) % width
+
+
+def countmin_topk(ds, col: str = "user_id", k: int = 20,
+                  width: int = 16384, depth: int = 4,
+                  cand_per_block: int = 256) -> pa.Table:
+    """Approximate heavy hitters via a Count-Min sketch (Cormode &
+    Muthukrishnan 2005): estimate(x) = min_r sketch[r][h_r(x)], an
+    OVER-estimate within εN (ε = e/width) with prob 1-δ (δ = e^-depth).
+
+    One pass, shuffle-free: each batch groups locally, scatters its
+    (key, partial-count) pairs into sketch cells and emits (a) ≤ d ×
+    distinct nonzero sketch-cell increments and (b) its local top
+    `cand_per_block` candidate keys. The driver folds cells into the
+    d×w array (O(d·w) memory, independent of cardinality) and scores
+    only candidate keys — any true global top-k key is necessarily a
+    local top candidate in at least one block. Use when exact
+    topk_by_key's count_by state (O(distinct keys)) no longer fits."""
+    from ..functions import hash64
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by([col]).aggregate([([], "count_all")])
+        cnts = g["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kstr = pc.cast(g[col], pa.string())
+        if isinstance(kstr, pa.ChunkedArray):
+            kstr = kstr.combine_chunks()
+        # hash the STRING form — the estimate step below re-hashes
+        # candidates from their string form, so both must agree
+        h64 = hash64(kstr).to_numpy(zero_copy_only=False)
+        slots = _cm_slots(h64, depth, width)              # (d, m)
+        m = len(cnts)
+        rows = np.repeat(np.arange(depth, dtype=np.int64), m)
+        cells = pa.table({
+            "kind": pa.array(np.zeros(depth * m, dtype=np.int8)),
+            "row": pa.array(rows),
+            "slot": pa.array(slots.ravel()),
+            "weight": pa.array(np.tile(cnts, depth)),
+            "key": pa.nulls(depth * m, pa.string()),
+        })
+        top = np.argsort(-cnts, kind="stable")[:cand_per_block]
+        cand = pa.table({
+            "kind": pa.array(np.ones(len(top), dtype=np.int8)),
+            "row": pa.array(np.zeros(len(top), dtype=np.int64)),
+            "slot": pa.array(np.zeros(len(top), dtype=np.int64)),
+            "weight": pa.array(cnts[top]),
+            "key": kstr.take(pa.array(top, pa.int64())),
+        })
+        return pa.concat_tables([cells, cand])
+
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    cand_keys: set = set()
+    for b in (ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_size=None, batch_format="pyarrow")):
+        kind = b["kind"].to_numpy(zero_copy_only=False)
+        cells = kind == 0
+        np.add.at(sketch,
+                  (b["row"].to_numpy(zero_copy_only=False)[cells],
+                   b["slot"].to_numpy(zero_copy_only=False)[cells]),
+                  b["weight"].to_numpy(zero_copy_only=False)[cells])
+        cand_keys.update(b.filter(pa.array(~cells))["key"].to_pylist())
+    cand = sorted(x for x in cand_keys if x is not None)
+    if not cand:
+        return pa.table({col: pa.array([], pa.string()),
+                         "est_rows": pa.array([], pa.int64())})
+    h64 = hash64(pa.array(cand, pa.string())).to_numpy(zero_copy_only=False)
+    slots = _cm_slots(h64, depth, width)
+    est = sketch[np.arange(depth)[:, None], slots].min(axis=0)
+    top = sorted(range(len(cand)), key=lambda i: (-est[i], cand[i]))[:k]
+    return pa.table({col: pa.array([cand[i] for i in top], pa.string()),
+                     "est_rows": pa.array(est[top], pa.int64())})

@@ -40,6 +40,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _key_hash(col) -> np.ndarray:
+    """uint64 hash of a join-key column, identical on both sides of the
+    union regardless of chunking: integers hash as their value, strings
+    via pandas' vectorized SipHash-1-3 (fixed default key — deterministic
+    across processes, same primitive functions.hash64 uses)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return (pc.cast(col, pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.uint64))
+    vals = np.asarray(col.to_pylist(), dtype=object)
+    return pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+
+
 def _cobucket(left, right, key: str, rsuffix: str,
               n_buckets: int | None, materialize_right: bool = True,
               tb_spec: tuple | None = None):
@@ -60,6 +74,12 @@ def _cobucket(left, right, key: str, rsuffix: str,
     the cost of duplicating interval rows span/tb_us times."""
     from ..cluster import cluster_buckets
     nb = n_buckets or cluster_buckets()
+    # Coerce both sides to Arrow blocks: a pandas-block Dataset
+    # (rd.from_pandas) reports numpy/Python classes from .schema(), which
+    # would poison the declared Arrow output schema below. The identity
+    # map fuses with the widen stage — no extra pass.
+    left = left.map_batches(lambda t: t, batch_format="pyarrow")
+    right = right.map_batches(lambda t: t, batch_format="pyarrow")
     if materialize_right:
         right = right.materialize()
     lsch, rsch = left.schema(), right.schema()
@@ -107,8 +127,7 @@ def _cobucket(left, right, key: str, rsuffix: str,
             for c in allcols:
                 if c not in cols:
                     cols[c] = pa.nulls(n, type=types[c])
-            kh = (pc.cast(cols[key], pa.int64())
-                  .to_numpy(zero_copy_only=False).astype(np.uint64))
+            kh = _key_hash(cols[key])
             if tb_spec is not None:
                 kh = kh * np.uint64(0x9E3779B97F4A7C15) + tb.astype(np.uint64)
                 cols["_tb"] = pa.array(tb.astype(np.int64))
@@ -228,5 +247,36 @@ def range_join(left, right, key: str = "user_id", ts_col: str = "ts",
         m = ldf.merge(rdf, on=merge_keys)
         m = m[(m[ts_col] >= m[s2]) & (m[ts_col] <= m[e2])]
         return _from_pandas(m, schema)
+
+    return _dual_path(both, per_group, schema, driver_threshold)
+
+
+def equi_join(left, right, key: str = "user_id", rsuffix: str = "_r",
+              how: str = "inner", n_buckets: int | None = None,
+              driver_threshold: int = 2_000_000,
+              materialize_right: bool = True):
+    """General distributed hash equi-join of two Datasets on `key`
+    (`how` = 'inner' or 'left') — the keyed-shuffle join for
+    fact-to-fact sizes where a broadcast (lookup.LookupTable /
+    LookupEnrich) no longer fits in a worker heap.
+
+    Same shape as asof_join/range_join: both sides hash-co-bucket by
+    `key` (string or integer — see _key_hash) via one union, then ONE
+    vectorized pandas merge per bucket. Shuffle volume = both inputs
+    once; per-key output multiplicity |L_key|×|R_key| is the join's own
+    output bound. Output columns keep the inputs' exact Arrow types on
+    every path (left-join null fills stay typed, no float64 upcast)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    both, lcols, rcols, ren, allcols, types = _cobucket(
+        left, right, key, rsuffix, n_buckets,
+        materialize_right=materialize_right)
+    schema = _out_schema(types, allcols)
+
+    def per_group(df: pd.DataFrame) -> pa.Table:
+        ldf = df[df["_side"] == 0][lcols]
+        rdf = df[df["_side"] == 1][[key] + [c for c in rcols if c != key]]
+        out = ldf.merge(rdf, on=key, how=how)
+        return _from_pandas(out, schema)
 
     return _dual_path(both, per_group, schema, driver_threshold)

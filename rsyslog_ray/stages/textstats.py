@@ -295,3 +295,35 @@ def top_ngrams(ds, text_col: str = "text", n: int = 2, k: int = 50):
                                         kind="mergesort").head(k)
     return pa.table({"gram": pa.array(df["gram"].to_numpy(), pa.string()),
                      "cnt": pa.array(df["cnt"].to_numpy(), pa.int64())})
+
+
+def normalize_text_table(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "text_nfc",
+                         form: str = "NFC") -> pa.Table:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the canonical text-
+    cleaning step before hashing/dedup (decomposed 'e'+U+0301 and
+    composed U+00E9 must dedup together). DuckDB nfc_normalize() is the
+    oracle twin for form='NFC'.
+
+    pyarrow's utf8_normalize kernel decomposes but does NOT recompose
+    (verified on 16.1: NFC('a'+U+0301) stays decomposed), so it can't
+    implement NFC/NFKC. Instead: a vectorized string_is_ascii mask
+    (ASCII is normalization-invariant in every form) short-circuits the
+    overwhelmingly-ASCII web corpus, and only the non-ASCII residual
+    rows go through CPython's C-level unicodedata.normalize one string
+    at a time — the per-row cost is paid exactly where the work is."""
+    import unicodedata
+
+    s = pc.cast(batch[text_col], pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    ascii_mask = pc.fill_null(pc.string_is_ascii(s), True)
+    if pc.all(ascii_mask).as_py():
+        return batch.append_column(out_col, s)
+    idx = np.flatnonzero(~ascii_mask.to_numpy(zero_copy_only=False))
+    taken = s.take(pa.array(idx, pa.int64())).to_pylist()
+    fixed = pa.array([unicodedata.normalize(form, x) if x is not None
+                      else None for x in taken], pa.string())
+    out = np.asarray(s.to_pylist(), dtype=object)
+    out[idx] = np.asarray(fixed.to_pylist(), dtype=object)
+    return batch.append_column(out_col, pa.array(out, pa.string()))

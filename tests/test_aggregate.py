@@ -415,3 +415,117 @@ def test_range_join_tolerates_inverted_intervals(ray_session):
     }))
     out = range_join(left, right, time_bucket_s=1.0).take_all()
     assert [(r["ts"].timestamp()) for r in out] == [1.0]
+
+
+def test_concat_group_text_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import concat_group_text
+    rng = np.random.RandomState(11)
+    n = 400
+    df = pd.DataFrame({
+        "conv_id": [f"c{int(i):03d}" for i in rng.randint(0, 37, n)],
+        "turn_idx": np.zeros(n, dtype=np.int64),
+        "text": [f"t{i}" for i in range(n)],
+    })
+    df["turn_idx"] = df.groupby("conv_id").cumcount().astype(np.int64)
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)  # scramble
+    got = (concat_group_text(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    want = (df.sort_values(["conv_id", "turn_idx"])
+            .groupby("conv_id")
+            .agg(doc=("text", "\n".join), n_turns=("text", "size"))
+            .reset_index())
+    want["n_chars"] = want["doc"].str.len().astype(np.int64)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["doc"].tolist() == want["doc"].tolist()
+    assert got["n_turns"].tolist() == want["n_turns"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+
+
+def test_global_topn_exact_with_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import global_topn
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "event_id": np.arange(500, dtype=np.int64),
+        "value": rng.randint(0, 40, 500).astype(np.int64),  # heavy ties
+    })
+    out = global_topn(rd.from_pandas(df).repartition(7),
+                      sort_col="value", n=25, tie_cols=("event_id",))
+    want = df.sort_values(["value", "event_id"],
+                          ascending=[False, True]).head(25)
+    assert out["event_id"].to_pylist() == want["event_id"].tolist()
+    assert out["value"].to_pylist() == want["value"].tolist()
+    assert out["event_id"].type == pa.int64()
+
+
+def test_countmin_topk_overestimates_and_finds_heavies(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import countmin_topk
+    rng = np.random.RandomState(9)
+    # zipf-ish: few heavy keys, long tail
+    keys = np.r_[np.repeat([f"hot{i}" for i in range(5)],
+                           [900, 700, 500, 300, 200]),
+                 [f"cold{i}" for i in rng.randint(0, 400, 600)]]
+    rng.shuffle(keys)
+    df = pd.DataFrame({"user_id": keys})
+    out = countmin_topk(rd.from_pandas(df).repartition(6),
+                        col="user_id", k=5)
+    exact = df["user_id"].value_counts()
+    got = dict(zip(out["user_id"].to_pylist(), out["est_rows"].to_pylist()))
+    # CM estimates never under-count
+    for k, est in got.items():
+        assert est >= exact[k], (k, est, exact[k])
+    # at this width the 5 heavies are found exactly, in order
+    assert out["user_id"].to_pylist() == [f"hot{i}" for i in range(5)]
+    assert out["est_rows"].to_pylist() == [900, 700, 500, 300, 200]
+
+
+def test_equi_join_inner_left_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import equi_join
+    rng = np.random.RandomState(13)
+    left = pd.DataFrame({
+        "conv_id": [f"k{int(i)}" for i in rng.randint(0, 30, 250)],
+        "event_id": np.arange(250, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "conv_id": [f"k{i}" for i in range(0, 40, 2)],  # half the keys
+        "score": np.arange(20, dtype=np.int64) * 10,
+    })
+    for how in ("inner", "left"):
+        got = (equi_join(rd.from_pandas(left).repartition(4),
+                         rd.from_pandas(right), key="conv_id", how=how)
+               .to_pandas().sort_values(["event_id", "score"])
+               .reset_index(drop=True))
+        want = (left.merge(right, on="conv_id", how=how)
+                .sort_values(["event_id", "score"]).reset_index(drop=True))
+        assert len(got) == len(want)
+        assert got["event_id"].tolist() == want["event_id"].tolist()
+        # int64 preserved even with nulls on the left path
+        assert got["event_id"].dtype == np.int64
+        if how == "left":
+            assert got["score"].isna().sum() == want["score"].isna().sum()
+        else:
+            assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_equi_join_integer_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import equi_join
+    left = pd.DataFrame({"uid": [1, 2, 3, 2], "x": [10, 20, 30, 40]})
+    right = pd.DataFrame({"uid": [2, 3], "y": ["b", "c"]})
+    got = (equi_join(rd.from_pandas(left), rd.from_pandas(right), key="uid")
+           .to_pandas().sort_values(["x"]).reset_index(drop=True))
+    assert got["uid"].tolist() == [2, 3, 2]
+    assert got["y"].tolist() == ["b", "c", "b"]

@@ -201,3 +201,22 @@ def test_top_ngrams_exact_with_ties(ray_session):
     # bigrams: 'a b'×3, 'c d'×2, then ties at 1 break lexicographically
     assert got[0] == ("a b", 3) and got[1] == ("c d", 2)
     assert got[2] == ("b a", 1)          # smallest gram among count-1 ties
+
+
+def test_normalize_text_table_nfc_nfd():
+    import unicodedata
+    from rsyslog_ray.stages.textstats import normalize_text_table
+    decomp = "café naÏve"            # NFD-ish input
+    comp = unicodedata.normalize("NFC", decomp)  # café naÏve composed
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(["plain ascii", decomp, comp, None])})
+    out = normalize_text_table(t, form="NFC")
+    assert out["text_nfc"].to_pylist() == ["plain ascii", comp, comp, None]
+    # all-ASCII batch takes the zero-copy fast path and is unchanged
+    t2 = pa.table({"text": pa.array(["abc", "def"])})
+    assert (normalize_text_table(t2)["text_nfc"].to_pylist()
+            == ["abc", "def"])
+    # NFD round-trips the composed form back to decomposed
+    out_d = normalize_text_table(t, form="NFD")
+    assert out_d["text_nfc"].to_pylist()[2] == unicodedata.normalize(
+        "NFD", comp)
