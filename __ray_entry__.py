@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": Q.q_events_props,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
+        "event_gaps": Q.q_event_gaps,
+        "running_total": Q.q_running_total,
+        "anti_join": Q.q_anti_join,
+        "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,
         "conv_docs": Q.q_conv_docs,
         "range_join": Q.q_range_join,

@@ -911,4 +911,41 @@ SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769)))
          AS text_nfc
 FROM documents"""
 
+    q["event_gaps"] = """
+SELECT event_id, user_id, ts,
+       LAG(ts) OVER w AS prev_ts,
+       date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+    q["running_total"] = """
+SELECT event_id, user_id, ts, value,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6)
+         AS running_total
+FROM events"""
+
+    q["anti_join"] = """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id NOT IN
+      (SELECT event_id FROM events
+       ORDER BY value DESC, event_id LIMIT 100)"""
+
+    q["tfidf"] = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6)
+                      DESC, tf.term) AS rn
+  FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn <= 5"""
+
     return q

@@ -1076,3 +1076,74 @@ def q_countmin_topk(sf_dir: str) -> pa.Table:
     from ..stages.aggregate import countmin_topk
     ds = read_scaled(f"{sf_dir}/events.parquet", columns=["user_id"])
     return countmin_topk(ds, col="user_id", k=20)
+
+
+def q_event_gaps(sf_dir: str) -> pa.Table:
+    """Per-user inter-event time: LAG(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) + microsecond delta — the sessionization /
+    inter-arrival primitive as a standalone window operator."""
+    from ..stages.aggregate import lag_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id"])
+    out = lag_by_key(ds, key="user_id", order_cols=("ts", "event_id"),
+                     value_col="ts", out_col="prev_ts")
+
+    def gap(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.timestamp("us"))
+        prev = pc.cast(t["prev_ts"], pa.timestamp("us"))
+        gap_us = pc.cast(pc.subtract(ts, prev), pa.int64())
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "ts": ts, "prev_ts": prev, "gap_us": gap_us})
+
+    return _to_table(out.map_batches(gap, batch_format="pyarrow"))
+
+
+def q_running_total(sf_dir: str) -> pa.Table:
+    """Per-user running sum of event value — SUM(value) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING); accumulation order pinned so doubles match the SQL
+    window bit-for-bit (rounded half-away to 6 dp both sides)."""
+    from ..stages.aggregate import cumsum_by_key
+    from ..stages.textstats import _round_away6
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+    out = cumsum_by_key(ds, key="user_id", order_cols=("ts", "event_id"),
+                        value_col="value", out_col="running_total")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        rt = _round_away6(
+            t["running_total"].to_numpy(zero_copy_only=False))
+        return pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                         "user_id": pc.cast(t["user_id"], pa.int64()),
+                         "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                         "value": pc.cast(t["value"], pa.float64()),
+                         "running_total": pa.array(rt, pa.float64())})
+
+    return _to_table(out.map_batches(rnd, batch_format="pyarrow"))
+
+
+def q_anti_join(sf_dir: str) -> pa.Table:
+    """Distributed anti-join (NOT IN blocklist): drop the top-100
+    events by value (outlier removal) — the decontamination shape on a
+    keyed shuffle instead of a broadcast bloom filter, integer key."""
+    from ..stages.aggregate import global_topn
+    from ..stages.joins import equi_join
+    left = read_scaled(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "event_type"])
+    top = global_topn(
+        read_scaled(f"{sf_dir}/events.parquet",
+                    columns=["event_id", "value"]),
+        sort_col="value", n=100, tie_cols=("event_id",))
+    block = rd.from_arrow(top.select(["event_id"]))
+    return _to_table(equi_join(left, block, key="event_id", how="anti"))
+
+
+def q_tfidf(sf_dir: str) -> pa.Table:
+    """Per-document top-5 TF-IDF terms (tf · ln(N/df), whitespace
+    tokens) — fully distributed: local tf partials, term-bucketed df
+    merge, tf⋈df equi-join, per-doc top-k head."""
+    from ..stages.textstats import tfidf_top_terms
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(tfidf_top_terms(ds, k=5))

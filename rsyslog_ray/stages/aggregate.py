@@ -616,3 +616,41 @@ def countmin_topk(ds, col: str = "user_id", k: int = 20,
     top = sorted(range(len(cand)), key=lambda i: (-est[i], cand[i]))[:k]
     return pa.table({col: pa.array([cand[i] for i in top], pa.string()),
                      "est_rows": pa.array(est[top], pa.int64())})
+
+
+def lag_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
+               value_col: str = "ts", periods: int = 1,
+               out_col: str | None = None, n_buckets: int | None = None):
+    """Per-key LAG(value_col, periods) under (key, *order_cols) order —
+    the SQL window function (LAG ... OVER (PARTITION BY key ORDER BY
+    order_cols)). Hash-bucketed like head_per_key: each key's rows
+    co-locate once, then ONE vectorized pandas groupby-shift per bucket.
+    Emits every input column plus `out_col` (null for the first
+    `periods` rows of each key)."""
+    from .ratelimit import _per_bucket
+    out_col = out_col or f"prev_{value_col}"
+
+    def fn(g):
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        g[out_col] = g.groupby(key, sort=False)[value_col].shift(periods)
+        return g
+
+    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+
+
+def cumsum_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
+                  value_col: str = "value", out_col: str = "running_total",
+                  n_buckets: int | None = None):
+    """Per-key running total — SUM(value) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING). Same bucketed shape as
+    lag_by_key; the accumulation order inside a key is the declared sort
+    order, so float totals are reproducible and match a SQL window
+    oracle bit-for-bit."""
+    from .ratelimit import _per_bucket
+
+    def fn(g):
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        g[out_col] = g.groupby(key, sort=False)[value_col].cumsum()
+        return g
+
+    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)

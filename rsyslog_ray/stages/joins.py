@@ -256,27 +256,42 @@ def equi_join(left, right, key: str = "user_id", rsuffix: str = "_r",
               driver_threshold: int = 2_000_000,
               materialize_right: bool = True):
     """General distributed hash equi-join of two Datasets on `key`
-    (`how` = 'inner' or 'left') — the keyed-shuffle join for
-    fact-to-fact sizes where a broadcast (lookup.LookupTable /
-    LookupEnrich) no longer fits in a worker heap.
+    (`how` = 'inner', 'left', 'semi' or 'anti') — the keyed-shuffle join
+    for fact-to-fact sizes where a broadcast (lookup.LookupTable /
+    LookupEnrich) no longer fits in a worker heap. 'semi' keeps left
+    rows whose key exists on the right (no right columns, no
+    multiplicity), 'anti' keeps the complement — the decontamination /
+    blocklist shape.
 
     Same shape as asof_join/range_join: both sides hash-co-bucket by
     `key` (string or integer — see _key_hash) via one union, then ONE
-    vectorized pandas merge per bucket. Shuffle volume = both inputs
-    once; per-key output multiplicity |L_key|×|R_key| is the join's own
-    output bound. Output columns keep the inputs' exact Arrow types on
-    every path (left-join null fills stay typed, no float64 upcast)."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    vectorized pandas merge (or isin mask) per bucket. Shuffle volume =
+    both inputs once; per-key output multiplicity |L_key|×|R_key| is the
+    join's own output bound (1 for semi/anti). Output columns keep the
+    inputs' exact Arrow types on every path (left-join null fills stay
+    typed, no float64 upcast)."""
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(
+            f"how must be inner/left/semi/anti, got {how!r}")
     both, lcols, rcols, ren, allcols, types = _cobucket(
         left, right, key, rsuffix, n_buckets,
         materialize_right=materialize_right)
-    schema = _out_schema(types, allcols)
+    if how in ("semi", "anti"):
+        schema = _out_schema(types, lcols)
 
-    def per_group(df: pd.DataFrame) -> pa.Table:
-        ldf = df[df["_side"] == 0][lcols]
-        rdf = df[df["_side"] == 1][[key] + [c for c in rcols if c != key]]
-        out = ldf.merge(rdf, on=key, how=how)
-        return _from_pandas(out, schema)
+        def per_group(df: pd.DataFrame) -> pa.Table:
+            ldf = df[df["_side"] == 0][lcols]
+            mask = ldf[key].isin(df.loc[df["_side"] == 1, key].unique())
+            return _from_pandas(ldf[mask if how == "semi" else ~mask],
+                                schema)
+    else:
+        schema = _out_schema(types, allcols)
+
+        def per_group(df: pd.DataFrame) -> pa.Table:
+            ldf = df[df["_side"] == 0][lcols]
+            rdf = df[df["_side"] == 1][[key]
+                                       + [c for c in rcols if c != key]]
+            out = ldf.merge(rdf, on=key, how=how)
+            return _from_pandas(out, schema)
 
     return _dual_path(both, per_group, schema, driver_threshold)

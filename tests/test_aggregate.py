@@ -529,3 +529,52 @@ def test_equi_join_integer_key(ray_session):
            .to_pandas().sort_values(["x"]).reset_index(drop=True))
     assert got["uid"].tolist() == [2, 3, 2]
     assert got["y"].tolist() == ["b", "c", "b"]
+
+
+def test_equi_join_semi_anti(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.joins import equi_join
+    left = pd.DataFrame({"k": ["a", "b", "c", "a"],
+                         "v": [1, 2, 3, 4]})
+    right = pd.DataFrame({"k": ["a", "x"], "w": [9, 9]})
+    semi = (equi_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="k", how="semi").to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    anti = (equi_join(rd.from_pandas(left), rd.from_pandas(right),
+                      key="k", how="anti").to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    # semi: left rows with a right match, once each, left columns only
+    assert semi["v"].tolist() == [1, 4] and list(semi.columns) == ["k", "v"]
+    assert anti["v"].tolist() == [2, 3]
+
+
+def test_lag_and_cumsum_by_key_match_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import cumsum_by_key, lag_by_key
+    rng = np.random.RandomState(21)
+    n = 300
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": rng.randint(0, 10**6, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": rng.rand(n),
+    })
+    order = ["user_id", "ts", "event_id"]
+    want = df.sort_values(order, kind="mergesort").copy()
+    want["prev_ts"] = want.groupby("user_id")["ts"].shift(1)
+    want["running_total"] = want.groupby("user_id")["value"].cumsum()
+
+    lagged = (lag_by_key(rd.from_pandas(df).repartition(5), key="user_id",
+                         order_cols=("ts", "event_id"), value_col="ts")
+              .to_pandas().sort_values(order).reset_index(drop=True))
+    assert lagged["prev_ts"].equals(
+        want["prev_ts"].reset_index(drop=True))
+
+    summed = (cumsum_by_key(rd.from_pandas(df).repartition(5),
+                            key="user_id", order_cols=("ts", "event_id"))
+              .to_pandas().sort_values(order).reset_index(drop=True))
+    assert np.allclose(summed["running_total"].to_numpy(),
+                       want["running_total"].to_numpy(), atol=0, rtol=0)

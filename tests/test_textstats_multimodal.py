@@ -220,3 +220,34 @@ def test_normalize_text_table_nfc_nfd():
     out_d = normalize_text_table(t, form="NFD")
     assert out_d["text_nfc"].to_pylist()[2] == unicodedata.normalize(
         "NFD", comp)
+
+
+def test_tfidf_top_terms_matches_python_oracle(ray_session):
+    import math
+    from collections import Counter
+    from rsyslog_ray.stages.textstats import tfidf_top_terms
+    docs = ["apple banana apple", "banana cherry", "apple cherry date",
+            "date date date banana"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    out = (tfidf_top_terms(rd.from_arrow(t).repartition(2), k=2)
+           .to_pandas().sort_values(["doc_id", "score", "term"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    n = len(docs)
+    df_counts = Counter(w for d in docs for w in set(d.split()))
+    want = []
+    for i, d in enumerate(docs):
+        tf = Counter(d.split())
+        scored = sorted(
+            ((round6(c * math.log(n / df_counts[w])), w, c)
+             for w, c in tf.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        want += [(i, w, c, s) for s, w, c in scored]
+    got = list(zip(out["doc_id"], out["term"], out["tf"], out["score"]))
+    assert got == want
+
+
+def round6(x: float) -> float:
+    import math
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
