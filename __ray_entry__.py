@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
+        "user_ntile": Q.q_user_ntile,
+        "type_rank": Q.q_type_rank,
+        "centroids": Q.q_centroids,
         "anti_join": Q.q_anti_join,
         "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,

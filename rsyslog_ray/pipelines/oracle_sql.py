@@ -930,6 +930,28 @@ WHERE event_id NOT IN
       (SELECT event_id FROM events
        ORDER BY value DESC, event_id LIMIT 100)"""
 
+    q["user_ntile"] = """
+SELECT event_id, user_id, value,
+       CAST(NTILE(4) OVER (PARTITION BY user_id
+                           ORDER BY value, event_id) AS BIGINT)
+         AS quartile
+FROM events"""
+
+    q["type_rank"] = """
+SELECT event_id, user_id, event_type,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY event_type)
+            AS BIGINT) AS rnk
+FROM events"""
+
+    q["centroids"] = """
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       round(avg(v), 6) AS centroid
+FROM (SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY 1, 2"""
+
     q["tfidf"] = r"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

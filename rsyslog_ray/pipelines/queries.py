@@ -1147,3 +1147,48 @@ def q_tfidf(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
     return _to_table(tfidf_top_terms(ds, k=5))
+
+
+def q_user_ntile(sf_dir: str) -> pa.Table:
+    """Per-user value quartiles — NTILE(4) OVER (PARTITION BY user_id
+    ORDER BY value, event_id), SQL tile-size semantics (larger tiles
+    first)."""
+    from ..stages.aggregate import rank_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "user_id", "value"])
+    out = rank_by_key(ds, key="user_id", order_cols=("value", "event_id"),
+                      method="ntile", n_tiles=4, out_col="quartile")
+    return _to_table(out.map_batches(
+        lambda t: pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                            "user_id": pc.cast(t["user_id"], pa.int64()),
+                            "value": pc.cast(t["value"], pa.float64()),
+                            "quartile": pc.cast(t["quartile"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
+def q_type_rank(sf_dir: str) -> pa.Table:
+    """Per-user RANK() with real tie groups (event_type has 5 values):
+    ties share the min rank, the next rank skips — no tie-break column
+    needed because equal keys rank equal on both sides."""
+    from ..stages.aggregate import rank_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "user_id", "event_type"])
+    out = rank_by_key(ds, key="user_id", order_cols=("event_type",),
+                      method="rank", out_col="rnk")
+    return _to_table(out.map_batches(
+        lambda t: pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                            "user_id": pc.cast(t["user_id"], pa.int64()),
+                            "event_type": pc.cast(t["event_type"],
+                                                  pa.string()),
+                            "rnk": pc.cast(t["rnk"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
+def q_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids in long (label, dim, centroid)
+    form — the k-means/IVF building block as a standalone distributed
+    aggregate (partial sums per batch, O(labels × dims) shuffle)."""
+    from ..stages.aggregate import centroid_by_label
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["label", "embedding"])
+    return _to_table(centroid_by_label(ds))

@@ -654,3 +654,97 @@ def cumsum_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
         return g
 
     return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+
+
+def rank_by_key(ds, key: str = "user_id", order_cols: tuple = ("value",),
+                method: str = "rank", descending: bool = False,
+                n_tiles: int = 4, out_col: str = "rnk",
+                n_buckets: int | None = None):
+    """Per-key ranking window functions — RANK / ROW_NUMBER / NTILE(n)
+    OVER (PARTITION BY key ORDER BY order_cols). Same bucketed shape as
+    lag_by_key; one vectorized pandas pass per bucket.
+
+    method='rank': SQL RANK() (ties share the min rank, next rank skips)
+    over order_cols[0] only — tie groups need no tie-break because equal
+    keys get equal ranks. method='row_number' / 'ntile': total order
+    over all order_cols (caller must make it deterministic); NTILE
+    splits each key's rows into n_tiles groups whose sizes differ by at
+    most one, larger tiles first (SQL semantics)."""
+    if method not in ("rank", "row_number", "ntile"):
+        raise ValueError(f"unknown method {method!r}")
+    from .ratelimit import _per_bucket
+
+    def fn(g):
+        if method == "rank":
+            g[out_col] = (g.groupby(key, sort=False)[order_cols[0]]
+                          .rank(method="min", ascending=not descending)
+                          .astype("int64"))
+            return g
+        g = g.sort_values([key, *order_cols], kind="mergesort",
+                          ascending=[True] + [not descending]
+                          * len(order_cols))
+        idx = g.groupby(key, sort=False).cumcount().to_numpy()
+        if method == "row_number":
+            g[out_col] = idx + 1
+            return g
+        cnt = (g.groupby(key, sort=False)[order_cols[0]]
+               .transform("size").to_numpy())
+        base, rem = cnt // n_tiles, cnt % n_tiles
+        big = rem * (base + 1)               # rows covered by +1-size tiles
+        in_big = idx < big
+        tile = np.where(
+            in_big,
+            idx // np.maximum(base + 1, 1),
+            rem + (idx - big) // np.maximum(base, 1))
+        # fewer rows than tiles: every row its own tile (base=0 branch)
+        g[out_col] = (tile + 1).astype("int64")
+        return g
+
+    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+
+
+def centroid_by_label(ds, label_col: str = "label",
+                      vec_col: str = "embedding", ndp: int = 6):
+    """Per-label embedding centroid (the k-means / IVF building block) in
+    long form (label, dim, centroid): per-batch partial (sum, count) per
+    (label, dim) — one reshape + np.add.at per batch, no Python loop —
+    then a hash-bucketed merge and one divide. Shuffle volume is
+    O(labels × dims) per batch, independent of row count. Rounded
+    half-away to `ndp` dp to match a SQL avg() oracle."""
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t[vec_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        dims = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        mat = flat.reshape(-1, dims).astype(np.float64)
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), dims))
+        np.add.at(sums, inv, mat)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k = len(uniq)
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, dims).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(1, dims + 1), k)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnts, dims)),
+        })
+
+    merged = bucket_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [label_col, "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    scale = 10.0 ** ndp
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        c = s / n
+        c = np.copysign(np.floor(np.abs(c) * scale + 0.5) / scale, c)
+        return pa.table({label_col: pc.cast(t[label_col], pa.int64()),
+                         "dim": pc.cast(t["dim"], pa.int64()),
+                         "centroid": pa.array(c, pa.float64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -578,3 +578,52 @@ def test_lag_and_cumsum_by_key_match_pandas(ray_session):
               .to_pandas().sort_values(order).reset_index(drop=True))
     assert np.allclose(summed["running_total"].to_numpy(),
                        want["running_total"].to_numpy(), atol=0, rtol=0)
+
+
+def test_rank_by_key_rank_rownumber_ntile(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import rank_by_key
+    # key a: 7 rows with tie groups; key b: 2 rows (fewer than tiles)
+    df = pd.DataFrame({
+        "k": ["a"] * 7 + ["b"] * 2,
+        "v": [10, 10, 20, 20, 20, 30, 40, 5, 5],
+        "i": np.arange(9, dtype=np.int64),
+    })
+    rnk = (rank_by_key(rd.from_pandas(df).repartition(3), key="k",
+                       order_cols=("v",), method="rank")
+           .to_pandas().sort_values("i"))
+    assert rnk["rnk"].tolist() == [1, 1, 3, 3, 3, 6, 7, 1, 1]
+    rn = (rank_by_key(rd.from_pandas(df), key="k",
+                      order_cols=("v", "i"), method="row_number")
+          .to_pandas().sort_values("i"))
+    assert rn["rnk"].tolist() == [1, 2, 3, 4, 5, 6, 7, 1, 2]
+    nt = (rank_by_key(rd.from_pandas(df), key="k",
+                      order_cols=("v", "i"), method="ntile", n_tiles=4,
+                      out_col="tile").to_pandas().sort_values("i"))
+    # 7 rows over 4 tiles -> sizes 2,2,2,1 (larger first); 2 rows -> 1,1
+    assert nt["tile"].tolist() == [1, 1, 2, 2, 3, 3, 4, 1, 2]
+
+
+def test_centroid_by_label_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import centroid_by_label
+    rng = np.random.RandomState(3)
+    n, d = 120, 8
+    labels = rng.randint(0, 4, n)
+    vecs = rng.randn(n, d).astype(np.float32)
+    t = pa.table({"label": pa.array(labels, pa.int32()),
+                  "embedding": pa.array(list(vecs),
+                                        pa.list_(pa.float32()))})
+    got = (centroid_by_label(rd.from_arrow(t).repartition(5))
+           .to_pandas().sort_values(["label", "dim"])
+           .reset_index(drop=True))
+    assert len(got) == 4 * d
+    for lab in range(4):
+        want = vecs[labels == lab].astype(np.float64).mean(axis=0)
+        want = np.copysign(np.floor(np.abs(want) * 1e6 + 0.5) / 1e6, want)
+        np.testing.assert_array_equal(
+            got[got["label"] == lab]["centroid"].to_numpy(), want)
