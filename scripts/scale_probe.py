@@ -126,6 +126,57 @@ def main() -> None:
         return decontaminate(corpus, evald, n=5).count()
     timed("decontaminate", _decon)
 
+    from rsyslog_ray.stages.aggregate import (concat_group_text,
+                                              cumsum_by_key, lag_by_key,
+                                              rank_by_key)
+    from rsyslog_ray.stages.joins import equi_join
+    from rsyslog_ray.stages.textstats import tfidf_top_terms
+
+    timed("tfidf", lambda: tfidf_top_terms(ds(), k=5).count())
+
+    def _equi():
+        # fact-to-fact 1:1 self-join on doc_id (100k x 100k keys),
+        # forced past the driver threshold
+        left = ds().map_batches(
+            lambda b: b.select(["doc_id", "source"]),
+            batch_format="pyarrow")
+        right = ds().map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "n_chars": pc.utf8_length(
+                    pc.cast(b["text"], pa.string()))}),
+            batch_format="pyarrow")
+        return equi_join(left, right, key="doc_id",
+                         materialize_right=False,
+                         driver_threshold=0).count()
+    timed("equi_join", _equi)
+
+    def _conv():
+        withkey = ds().map_batches(
+            lambda b: pa.table({
+                "conv": pc.cast(
+                    pc.divide(pc.cast(b["doc_id"], pa.int64()), 8),
+                    pa.int64()),
+                "doc_id": b["doc_id"], "text": b["text"]}),
+            batch_format="pyarrow")
+        return concat_group_text(withkey, key="conv",
+                                 order_col="doc_id").count()
+    timed("conv_docs", _conv)
+
+    def _src_key():
+        return ds().map_batches(
+            lambda b: b.select(["doc_id", "source"]),
+            batch_format="pyarrow")
+    timed("lag_by_key", lambda: lag_by_key(
+        _src_key(), key="source", order_cols=("doc_id",),
+        value_col="doc_id").count())
+    timed("cumsum_by_key", lambda: cumsum_by_key(
+        _src_key(), key="source", order_cols=("doc_id",),
+        value_col="doc_id").count())
+    timed("ntile", lambda: rank_by_key(
+        _src_key(), key="source", order_cols=("doc_id",),
+        method="ntile").count())
+
     print(json.dumps(results))
     ray.shutdown()
 

@@ -251,3 +251,18 @@ def test_tfidf_top_terms_matches_python_oracle(ray_session):
 def round6(x: float) -> float:
     import math
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
+def test_tfidf_join_path_agrees_with_broadcast(ray_session):
+    from rsyslog_ray.stages.textstats import tfidf_top_terms
+    docs = [f"w{i % 7} w{(i * 3) % 11} common tail{i % 4}" for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    def run(thr):
+        return (tfidf_top_terms(rd.from_arrow(t).repartition(3), k=3,
+                                vocab_threshold=thr)
+                .to_pandas().sort_values(["doc_id", "score", "term"],
+                                         ascending=[True, False, True])
+                .reset_index(drop=True))
+    b, j = run(10**6), run(0)   # broadcast path vs forced join path
+    assert b.equals(j)
