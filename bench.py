@@ -111,6 +111,12 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("decontaminate", Q.q_decontaminate, sf_dir)
     # the training-data flagship composite (quality→dedup→clean→split)
     timed("curation", Q.q_curation, sf_dir)
+    # round-3 additions: keyed-shuffle equi-join, turns→document concat,
+    # distributed TF-IDF, per-key window functions
+    timed("equi_join", Q.q_equi_join, sf_dir)
+    timed("conv_docs", Q.q_conv_docs, sf_dir)
+    timed("tfidf", Q.q_tfidf, sf_dir)
+    timed("event_gaps", Q.q_event_gaps, sf_dir)
 
     out["queries"] = timings
     return out
