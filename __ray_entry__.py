@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ntile": Q.q_user_ntile,
         "type_rank": Q.q_type_rank,
         "centroids": Q.q_centroids,
+        "dow_pivot": Q.q_dow_pivot,
+        "median_filter": Q.q_median_filter,
+        "lm_score": Q.q_lm_score,
         "anti_join": Q.q_anti_join,
         "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,

@@ -930,6 +930,41 @@ WHERE event_id NOT IN
       (SELECT event_id FROM events
        ORDER BY value DESC, event_id LIMIT 100)"""
 
+    q["dow_pivot"] = """
+SELECT event_type,
+       """ + ",\n       ".join(
+        f"count(*) FILTER (WHERE isodow(ts) = {d}) AS d{d}"
+        for d in range(1, 8)) + """
+FROM events GROUP BY event_type"""
+
+    q["median_filter"] = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         quantile_disc(n_chars, 0.5) OVER (PARTITION BY source) AS med
+  FROM documents) WHERE n_chars > med"""
+
+    q["lm_score"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+uni AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM w WHERE len(ws) >= 2
+),
+big AS (SELECT doc_id, ws[i] AS prev,
+               array_to_string(ws[i:i+1], ' ') AS gram FROM starts),
+bc AS (SELECT gram, count(*) AS c FROM big GROUP BY 1),
+scored AS (
+  SELECT big.doc_id, ln((bc.c + 1.0) / (uni.c + v.v)) AS lp
+  FROM big JOIN bc USING (gram)
+           JOIN uni ON big.prev = uni.word CROSS JOIN v)
+SELECT doc_id, round(avg(lp), 6) AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM scored GROUP BY doc_id"""
+
     q["user_ntile"] = """
 SELECT event_id, user_id, value,
        CAST(NTILE(4) OVER (PARTITION BY user_id

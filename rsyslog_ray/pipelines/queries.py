@@ -1192,3 +1192,57 @@ def q_centroids(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/embeddings.parquet",
                      columns=["label", "embedding"])
     return _to_table(centroid_by_label(ds))
+
+
+def q_dow_pivot(sf_dir: str) -> pa.Table:
+    """Wide pivot: events per (event_type × ISO day-of-week) — long
+    count_by fold reshaped to one int64 column per weekday (bounded
+    5×7 cell domain)."""
+    from ..stages.aggregate import pivot_counts
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "ts"])
+
+    def add_dow(t: pa.Table) -> pa.Table:
+        # Arrow day_of_week: Mon=0 → ISO Mon=1..Sun=7 (DuckDB isodow)
+        dow = pc.add(pc.day_of_week(pc.cast(t["ts"], pa.timestamp("us"))),
+                     1)
+        return pa.table({"event_type": t["event_type"],
+                         "dow": pc.cast(dow, pa.int64())})
+
+    return _finalize(pivot_counts(
+        ds.map_batches(add_dow, batch_format="pyarrow"),
+        row_key="event_type", col_key="dow",
+        col_values=tuple(range(1, 8)), prefix="d"))
+
+
+def q_median_filter(sf_dir: str) -> pa.Table:
+    """Quantile-threshold filter: keep documents strictly longer than
+    their source's median n_chars — percentiles_by_key (bounded
+    histogram fold, quantile_disc ranks) broadcast back into a
+    vectorized filter pass."""
+    from ..stages.aggregate import percentiles_by_key
+    meds = percentiles_by_key(
+        read_scaled(f"{sf_dir}/documents.parquet",
+                    columns=["source", "n_chars"]),
+        key="source", value_col="n_chars", qs=(0.5,), names=("p50",))
+    med_map = dict(zip(meds["source"].to_pylist(),
+                       meds["p50"].to_pylist()))
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        src = t["source"].to_pylist()
+        thr = np.array([med_map[s] for s in src])
+        n = t["n_chars"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(n > thr))
+
+    return _to_table(ds.map_batches(keep, batch_format="pyarrow"))
+
+
+def q_lm_score(sf_dir: str) -> pa.Table:
+    """Corpus-trained bigram LM quality scoring (CCNet-style): per-doc
+    mean add-one-smoothed ln P(w|prev) over whitespace bigrams."""
+    from ..stages.textstats import bigram_lm_score
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(bigram_lm_score(ds))

@@ -748,3 +748,28 @@ def centroid_by_label(ds, label_col: str = "label",
                          "centroid": pa.array(c, pa.float64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_key: str = "facility", col_key: str = "severity",
+                 col_values: tuple | None = None,
+                 prefix: str = "s") -> pa.Table:
+    """Wide pivot of grouped counts — one output row per row_key, one
+    int64 column per col_key value (zero-filled). Built on count_by's
+    partial-count fold, so the driver holds O(|rows| × |cols|) cells —
+    use ONLY for bounded domains (facility × severity = 192); unbounded
+    pivots belong in long form. col_values pins the column set (and
+    order) when a value may be absent from the data."""
+    long = count_by(ds, [row_key, col_key], fold_driver=True)
+    import pandas as pd
+    df = long.to_pandas()
+    if col_values is None:
+        col_values = tuple(sorted(df[col_key].unique()))
+    wide = (df.pivot_table(index=row_key, columns=col_key, values="rows",
+                           aggfunc="sum", fill_value=0)
+            .reindex(columns=list(col_values), fill_value=0)
+            .sort_index())
+    out = {row_key: pa.array(wide.index.to_numpy())}
+    for c in col_values:
+        out[f"{prefix}{c}"] = pa.array(
+            wide[c].to_numpy().astype(np.int64), pa.int64())
+    return pa.table(out)

@@ -432,3 +432,135 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
     scored = joined.map_batches(score, batch_format="pyarrow")
     return _per_bucket(scored, topk_frame, key=id_col)
+
+
+def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
+                    vocab_threshold: int = 5_000_000):
+    """Corpus-trained bigram language-model scoring (the CCNet-style
+    quality filter): per-doc mean add-one-smoothed log-probability
+    lm_score = avg over bigrams of ln((c(prev,cur)+1) / (c(prev)+V)),
+    V = corpus vocabulary size. Docs with <2 tokens emit no row.
+
+    Two corpus passes, both shuffle-light:
+      1. unigram + bigram corpus counts — per-batch np.unique partials →
+         hash-bucketed merge (a gram's total lands in one bucket);
+      2. scoring — below vocab_threshold both count tables broadcast
+         once via ray.put and every doc scores batch-locally (one
+         tokenize pass, two C-speed dict maps, one segmented bincount
+         sum); above it, the doc bigrams explode to rows and flow
+         through two term-keyed equi_joins + a doc-bucketed merge —
+         nothing corpus-sized on the driver.
+    Output (doc_id, lm_score rounded half-away 6 dp, n_bigrams)."""
+    import pandas as pd
+    import ray as _ray
+
+    from .aggregate import bucket_merge
+    from .sampling import _word_ngrams
+
+    def _counts(n: int, name: str):
+        def partial(t: pa.Table) -> pa.Table:
+            g, _ = _word_ngrams(pc.cast(t[text_col], pa.string()), n)
+            if not len(g):
+                return pa.table({"gram": pa.array([], pa.string()),
+                                 name: pa.array([], pa.int64())})
+            u, c = np.unique(g.astype("U"), return_counts=True)
+            return pa.table({"gram": pa.array(u.astype(object), pa.string()),
+                             name: pa.array(c.astype(np.int64))})
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        return bucket_merge(parts, ["gram"],
+                            {name: (name, "sum")}).materialize()
+
+    uni = _counts(1, "c")
+    big = _counts(2, "c")
+    vocab = uni.count()
+
+    def _doc_bigrams(t: pa.Table):
+        """(row_idx, prev_word, bigram) arrays for one batch."""
+        words, rows = _word_ngrams(pc.cast(t[text_col], pa.string()), 1)
+        m = len(words)
+        if m < 2:
+            return (np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, object))
+        ws = words.astype("U")
+        grams = np.char.add(np.char.add(ws[:-1], " "), ws[1:])
+        valid = rows[:-1] == rows[1:]
+        return (rows[:-1][valid], words[:-1][valid],
+                grams[valid].astype(object))
+
+    if vocab + big.count() <= vocab_threshold:
+        def fold(t):
+            d = {}
+            for b in t.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"):
+                d.update(zip(b["gram"].to_pylist(),
+                             b["c"].to_numpy(zero_copy_only=False)))
+            return d
+        uni_ref, big_ref = _ray.put(fold(uni)), _ray.put(fold(big))
+
+        def score(t: pa.Table) -> pa.Table:
+            uc, bc = _ray.get(uni_ref), _ray.get(big_ref)
+            ridx, prevs, grams = _doc_bigrams(t)
+            if not len(ridx):
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "lm_score": pa.array([], pa.float64()),
+                                 "n_bigrams": pa.array([], pa.int64())})
+            cb = pd.Series(grams).map(bc).to_numpy(np.float64)
+            cu = pd.Series(prevs).map(uc).to_numpy(np.float64)
+            lp = np.log((cb + 1.0) / (cu + float(vocab)))
+            nrow = t.num_rows
+            sums = np.bincount(ridx, weights=lp, minlength=nrow)
+            cnts = np.bincount(ridx, minlength=nrow)
+            keep = cnts > 0
+            ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
+            sc = _round_away6(sums[keep] / cnts[keep])
+            return pa.table({id_col: pa.array(ids, pa.int64()),
+                             "lm_score": pa.array(sc, pa.float64()),
+                             "n_bigrams": pa.array(
+                                 cnts[keep].astype(np.int64))})
+
+        return ds.map_batches(score, batch_format="pyarrow",
+                              batch_size=None)
+
+    # join path: explode doc bigrams to rows, join counts by key
+    from .joins import equi_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ridx, prevs, grams = _doc_bigrams(t)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(ids[ridx] if len(ridx)
+                                          else np.empty(0, np.int64),
+                                          pa.int64()),
+                         "prev": pa.array(prevs, pa.string()),
+                         "gram": pa.array(grams, pa.string())})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    j1 = equi_join(rows, big, key="gram", materialize_right=False)
+    j1 = j1.map_batches(
+        lambda t: t.rename_columns(
+            [("cb" if c == "c" else c) for c in t.schema.names]),
+        batch_format="pyarrow")
+    uni_prev = uni.map_batches(
+        lambda t: t.rename_columns(["prev", "cu"]), batch_format="pyarrow")
+    j2 = equi_join(j1, uni_prev, key="prev", materialize_right=False)
+
+    def lp_partial(t: pa.Table) -> pa.Table:
+        cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cu = t["cu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((cb + 1.0) / (cu + float(vocab)))
+        g = (pd.DataFrame({id_col: t[id_col].to_numpy(zero_copy_only=False),
+                           "lp": lp, "n": np.ones(len(lp), np.int64)})
+             .groupby(id_col, as_index=False).sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = bucket_merge(j2.map_batches(lp_partial, batch_format="pyarrow"),
+                          [id_col], {"lp": ("lp", "sum"), "n": ("n", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        lp = t["lp"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "lm_score": pa.array(_round_away6(lp / n),
+                                              pa.float64()),
+                         "n_bigrams": pa.array(n.astype(np.int64))})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -627,3 +627,17 @@ def test_centroid_by_label_matches_numpy(ray_session):
         want = np.copysign(np.floor(np.abs(want) * 1e6 + 0.5) / 1e6, want)
         np.testing.assert_array_equal(
             got[got["label"] == lab]["centroid"].to_numpy(), want)
+
+
+def test_pivot_counts_pins_missing_columns(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import pivot_counts
+    t = pa.table({"fac": pa.array(["a", "a", "b"]),
+                  "sev": pa.array([1, 3, 1], pa.int64())})
+    out = pivot_counts(rd.from_arrow(t), row_key="fac", col_key="sev",
+                       col_values=(1, 2, 3))
+    assert out.column_names == ["fac", "s1", "s2", "s3"]
+    assert out["s1"].to_pylist() == [1, 1]
+    assert out["s2"].to_pylist() == [0, 0]   # absent value stays, zeroed
+    assert out["s3"].to_pylist() == [1, 0]

@@ -266,3 +266,20 @@ def test_tfidf_join_path_agrees_with_broadcast(ray_session):
                 .reset_index(drop=True))
     b, j = run(10**6), run(0)   # broadcast path vs forced join path
     assert b.equals(j)
+
+
+def test_bigram_lm_join_path_agrees_with_broadcast(ray_session):
+    from rsyslog_ray.stages.textstats import bigram_lm_score
+    docs = ["the cat sat", "the cat ran", "a dog sat", "one",
+            "the cat sat on the mat"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    def run(thr):
+        return (bigram_lm_score(rd.from_arrow(t).repartition(2),
+                                vocab_threshold=thr)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b, j = run(10**6), run(0)
+    assert b.equals(j)
+    # 'one' has a single token -> no row; common bigrams score higher
+    assert b["doc_id"].tolist() == [0, 1, 2, 4]
+    assert b.loc[0, "lm_score"] > b.loc[2, "lm_score"]
