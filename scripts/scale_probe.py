@@ -134,6 +134,9 @@ def main() -> None:
 
     timed("tfidf", lambda: tfidf_top_terms(ds(), k=5).count())
 
+    from rsyslog_ray.stages.textstats import bigram_lm_score
+    timed("lm_score", lambda: bigram_lm_score(ds()).count())
+
     def _equi():
         # fact-to-fact 1:1 self-join on doc_id (100k x 100k keys),
         # forced past the driver threshold
