@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash
         "fingerprint": Q.q_fingerprint,         # rolling hash
+        "kmeans": Q.q_kmeans,                   # seeded iterative clustering
+        "semdedup": Q.q_semdedup,               # k-means + ε-ball drop
         "ivf_cosine": Q.q_ivf_cosine,           # approximate
         "dedup_minhash": Q.q_dedup_minhash,     # minhash
         "multimodal_audio": Q.q_multimodal_audio,  # WAV decode, Python oracle

@@ -1246,3 +1246,28 @@ def q_lm_score(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
     return _to_table(bigram_lm_score(ds))
+
+
+def q_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed spherical k-means over the embeddings table: per-round
+    partial (cluster, dim) sums inside map_batches → bucket_merge →
+    O(k × dim) driver fold; final per-cluster (size, mean cosine to own
+    centroid). Deterministic (seeded init, fixed rounds, per-round
+    rounding); rows-only + numpy-oracle pytest (test_clustering.py)."""
+    from ..stages.clustering import kmeans_cluster_stats
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    return _to_table(kmeans_cluster_stats(ds, k=8, iters=4))
+
+
+def q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, drop
+    every vector with a smaller-id ε-near partner (cosine ≥ 1-eps) in its
+    cluster — within-cluster pairwise only, so the pair space is
+    O(n × cluster_size) not O(n²). eps matches the cosine_dedup τ=0.4
+    fixture geometry so the drop set is non-trivial on random vectors.
+    Rows-only + numpy-oracle pytest (test_clustering.py)."""
+    from ..stages.clustering import semdedup
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    return _to_table(semdedup(ds, k=8, eps=0.6, iters=4))

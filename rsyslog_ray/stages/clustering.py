@@ -1,0 +1,188 @@
+"""Distributed k-means over an embedding column + SemDeDup semantic dedup.
+
+- kmeans_fit: Lloyd iterations where each round is ONE map_batches pass
+  emitting per-batch partial (cluster, dim) sums/counts, merged by the
+  same hash-bucketed combiner the other aggregates use (bucket_merge).
+  Only O(k × dim) floats ever reach the driver per round — never the
+  corpus. Unit-sphere (spherical) k-means: cosine assignment, centroids
+  re-normalized each round, matching the similarity stack's metric.
+- assign_clusters: one map_batches pass adding a `cluster` column
+  (nearest-centroid by cosine; same kernel as similarity.IvfAssignStage).
+- semdedup: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster the
+  embeddings, then inside each cluster drop every vector that has a
+  near-identical partner (cosine ≥ 1 - eps). Deviation from the paper's
+  keep-farthest-from-centroid tiebreak: we keep the SMALLEST id of each
+  ε-ball (the same deterministic, anti-join-friendly rule cosine_dedup
+  uses), which keeps the drop SQL-expressible and batch-order-stable.
+
+100 TB shape: k should grow with the corpus (the paper uses clusters of
+~10k docs) so the within-cluster pairwise stays bounded at
+O(n × cluster_size); assignment and drop are single passes, pair
+generation is a groupby(cluster) shuffle of ids+vectors once, and the
+drop set travels via the dedup.drop_pair_partners dual path (broadcast
+below 5M ids, hash anti-join above).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from .similarity import _batch_matrix, _score_bucket
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
+               seed: int = 37, init_sample: int = 4096,
+               ndp: int = 7) -> np.ndarray:
+    """Spherical k-means. Init = seeded choice from a bounded sample
+    (≤ init_sample rows reach the driver — same bound as IVF training);
+    every Lloyd round is a full distributed pass: per-batch partial
+    sums per (cluster, dim) → bucket_merge → k×dim driver fold.
+    Centroids are rounded to `ndp` dp each round so the result is
+    bit-stable under any batch split / merge order (float addition is
+    order-sensitive; an ulp of jitter must not flip an assignment).
+    Returns (k, dim) unit-norm float64."""
+    from .aggregate import bucket_merge
+
+    sample = ds.limit(init_sample).take_all()
+    sm = _unit_rows(np.asarray([r[col] for r in sample], dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cents = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)]
+    cents = np.round(cents, ndp)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _batch_matrix(t, col)
+            mu = _unit_rows(m)
+            assign = np.argmax(mu @ c.T, axis=1)
+            kk, dims = c.shape
+            sums = np.zeros((kk, dims))
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(kk), dims)),
+                "dim": pa.array(np.tile(np.arange(dims), kk)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, dims)),
+            })
+
+        merged = bucket_merge(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+        tbl = pa.concat_tables(
+            [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows],
+            promote_options="default")
+        cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+        dm = tbl["dim"].to_numpy(zero_copy_only=False)
+        s = tbl["s"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        new = cents.copy()
+        sums = np.zeros_like(cents)
+        cnts = np.zeros(len(cents), dtype=np.int64)
+        sums[cl, dm] = s
+        cnts[cl[dm == 0]] = n[dm == 0]
+        nz = cnts > 0
+        new[nz] = _unit_rows(sums[nz] / cnts[nz, None])
+        cents = np.round(new, ndp)
+    return cents
+
+
+class ClusterAssignStage:
+    """map_batches stage: nearest-centroid cluster id per vector (cosine).
+    Centroids ship once in the serialized instance / via ray.put."""
+
+    def __init__(self, cents_ref, col: str, out_col: str = "cluster"):
+        c = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) \
+            else cents_ref
+        self.cents = np.asarray(c, dtype=np.float64)
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mu = _unit_rows(_batch_matrix(batch, self.col))
+        a = np.argmax(mu @ self.cents.T, axis=1)
+        return batch.append_column(self.out_col,
+                                   pa.array(a.astype(np.int64)))
+
+
+def assign_clusters(ds, centroids: np.ndarray, col: str = "embedding",
+                    out_col: str = "cluster"):
+    return ds.map_batches(ClusterAssignStage(centroids, col, out_col),
+                          batch_format="pyarrow")
+
+
+def kmeans_cluster_stats(ds, k: int = 8, col: str = "embedding",
+                         iters: int = 5, seed: int = 37, ndp: int = 7):
+    """Fit + one assign pass + per-cluster (size, mean cosine to own
+    centroid) — the quality readout. Partial (count, sum-cos) per batch
+    → bucket_merge; O(k) rows to the driver."""
+    from .aggregate import bucket_merge
+
+    cents = kmeans_fit(ds, k=k, col=col, iters=iters, seed=seed)
+    ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mu = _unit_rows(_batch_matrix(t, col))
+        sims = mu @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(assign)), assign]
+        kk = len(c)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "n": pa.array(np.bincount(assign, minlength=kk).astype(np.int64)),
+            "s": pa.array(np.bincount(assign, weights=best, minlength=kk)),
+        })
+
+    merged = bucket_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["cluster"], {"n": ("n", "sum"), "s": ("s", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        mean = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pa.table({
+            "cluster": pc.cast(t["cluster"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "mean_cos": pa.array(np.round(mean, ndp), pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def semdedup_pairs(ds, k: int = 8, eps: float = 0.05,
+                   id_col: str = "vec_id", col: str = "embedding",
+                   iters: int = 5, seed: int = 37,
+                   centroids: np.ndarray | None = None):
+    """(a, b) pairs with cosine ≥ 1-eps INSIDE a shared k-means cluster,
+    a < b. groupby(cluster) moves each vector once; within-cluster
+    scoring reuses the blockwise LSH-bucket kernel (memory-bounded)."""
+    if centroids is None:
+        centroids = kmeans_fit(ds, k=k, col=col, iters=iters, seed=seed)
+    assigned = assign_clusters(ds, centroids, col=col)
+    thr = 1.0 - eps
+    return assigned.groupby("cluster").map_groups(
+        lambda g: _score_bucket(g, thr, id_col, col),
+        batch_format="pyarrow")
+
+
+def semdedup(ds, k: int = 8, eps: float = 0.05, id_col: str = "vec_id",
+             col: str = "embedding", iters: int = 5, seed: int = 37):
+    """SemDeDup: drop every vector with a smaller-id ε-near partner in its
+    cluster. Returns the surviving id projection (embedding re-attaches
+    via an id-keyed join downstream when needed — Arrow's hash join
+    rejects list payload columns, same note as cosine_dedup)."""
+    from .dedup import drop_pair_partners
+    pairs = semdedup_pairs(ds, k=k, eps=eps, id_col=id_col, col=col,
+                           iters=iters, seed=seed)
+    return drop_pair_partners(ds.select_columns([id_col]), pairs, id_col)

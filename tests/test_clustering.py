@@ -1,0 +1,108 @@
+"""Distributed k-means + SemDeDup vs in-process numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from rsyslog_ray.stages.clustering import (assign_clusters, kmeans_fit,
+                                           kmeans_cluster_stats, semdedup,
+                                           semdedup_pairs)
+
+
+def _vecs(n=240, dim=12, seed=11, n_dups=6):
+    """Gaussian blobs around 4 anchors + planted near-identical pairs."""
+    rng = np.random.RandomState(seed)
+    anchors = rng.normal(size=(4, dim)) * 3.0
+    m = anchors[rng.randint(0, 4, size=n)] + rng.normal(size=(n, dim))
+    for i in range(n_dups):           # vec 2i+1 ≈ vec 2i (cosine ≈ 1)
+        m[2 * i + 1] = m[2 * i] + rng.normal(scale=1e-3, size=dim)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([r.astype(np.float32).tolist() for r in m],
+                              pa.list_(pa.float32())),
+    })
+    return tbl, m.astype(np.float32).astype(np.float64)
+
+
+def _py_kmeans(m, k, iters, seed, ndp=7):
+    """Oracle: same algorithm, single process (init from the first 4096
+    rows = whole fixture; full-data Lloyd; same per-round rounding)."""
+    mu = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = np.round(mu[rng.choice(len(mu), size=k, replace=False)], ndp)
+    for _ in range(iters):
+        assign = np.argmax(mu @ cents.T, axis=1)
+        new = cents.copy()
+        for j in range(k):
+            members = m[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                new[j] = c / max(np.linalg.norm(c), 1e-12)
+        cents = np.round(new, ndp)
+    return cents, np.argmax(mu @ cents.T, axis=1)
+
+
+def test_kmeans_fit_matches_numpy_oracle(ray_session):
+    tbl, m = _vecs()
+    ds = rd.from_arrow(tbl).repartition(5)   # several batches → real fold
+    cents = kmeans_fit(ds, k=4, iters=4, seed=5)
+    ocents, oassign = _py_kmeans(m, 4, 4, 5)
+    assert cents.shape == ocents.shape
+    np.testing.assert_allclose(cents, ocents, atol=2e-7)
+    got = pa.concat_tables(
+        ray.get(assign_clusters(ds, cents).to_arrow_refs())
+    ).sort_by("vec_id")["cluster"].to_numpy(zero_copy_only=False)
+    assert (got == oassign).all()
+
+
+def test_kmeans_cluster_stats_sizes(ray_session):
+    tbl, m = _vecs()
+    ds = rd.from_arrow(tbl).repartition(4)
+    t = pa.concat_tables(
+        [x for x in ray.get(kmeans_cluster_stats(
+            ds, k=4, iters=4, seed=5).to_arrow_refs()) if x.num_rows],
+        promote_options="default").sort_by("cluster")
+    _, oassign = _py_kmeans(m, 4, 4, 5)
+    sizes = np.bincount(oassign, minlength=4)
+    assert t["n"].to_pylist() == sizes.tolist()
+    assert t.num_rows == 4
+    assert all(0.0 <= c <= 1.0 for c in t["mean_cos"].to_pylist())
+
+
+def test_semdedup_drops_planted_dups(ray_session):
+    tbl, m = _vecs()
+    ds = rd.from_arrow(tbl).repartition(5)
+    surv = pa.concat_tables(
+        [x for x in ray.get(semdedup(
+            ds, k=4, eps=0.01, iters=4, seed=5).to_arrow_refs())
+         if x.num_rows], promote_options="default")
+    ids = set(surv["vec_id"].to_pylist())
+    # oracle: same clusters, drop larger id of each within-cluster pair
+    cents, assign = _py_kmeans(m, 4, 4, 5)
+    mu = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    drop = set()
+    for c in range(4):
+        idx = np.nonzero(assign == c)[0]
+        s = mu[idx] @ mu[idx].T
+        ii, jj = np.nonzero(s >= 0.99)
+        for a, b in zip(idx[ii], idx[jj]):
+            if a < b:
+                drop.add(int(b))
+    assert ids == set(range(len(m))) - drop
+    # every planted even/odd twin pair lost exactly its odd member
+    for i in range(6):
+        assert 2 * i in ids and (2 * i + 1) not in ids
+
+
+def test_semdedup_pairs_symmetric_free_and_thresholded(ray_session):
+    tbl, m = _vecs()
+    ds = rd.from_arrow(tbl)
+    pairs = pa.concat_tables(
+        [x for x in ray.get(semdedup_pairs(
+            ds, k=4, eps=0.01, iters=4, seed=5).to_arrow_refs())
+         if x.num_rows], promote_options="default")
+    a = pairs["a"].to_numpy(zero_copy_only=False)
+    b = pairs["b"].to_numpy(zero_copy_only=False)
+    sc = pairs["score"].to_numpy(zero_copy_only=False)
+    assert (a < b).all() and (sc >= 0.99 - 1e-9).all()
