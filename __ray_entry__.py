@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": Q.q_events_props,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
+        "dup_ngrams": Q.q_dup_ngrams,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,

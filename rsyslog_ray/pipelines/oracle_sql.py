@@ -777,6 +777,29 @@ WHERE doc_id % 20 <> 0
   AND NOT EXISTS (SELECT 1 FROM grams t JOIN eval_g e ON t.g = e.g
                   WHERE t.doc_id = d.doc_id)"""
 
+    q["dup_ngrams"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM w WHERE len(ws) >= 5
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g FROM starts
+),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+),
+per AS (
+  SELECT grams.doc_id, COUNT(*) AS total,
+         SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS dup
+  FROM grams JOIN df USING (g) GROUP BY grams.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(round(CAST(per.dup AS DOUBLE) / per.total, 6), 0.0) AS dup_frac
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+
     q["foreach_list"] = """
 SELECT vec_id,
   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,

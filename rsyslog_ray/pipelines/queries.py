@@ -1271,3 +1271,14 @@ def q_semdedup(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/embeddings.parquet",
                      columns=["vec_id", "embedding"])
     return _to_table(semdedup(ds, k=8, eps=0.6, iters=4))
+
+
+def q_dup_ngrams(sf_dir: str) -> pa.Table:
+    """Per-document duplicated-span fraction (Lee et al. 2021 exact
+    substring dedup readout): share of each doc's word 5-gram occurrences
+    whose gram appears in ≥2 distinct documents. Distributed df fold +
+    broadcast dup-gram set (dual path above 5M grams)."""
+    from ..stages.sampling import dup_ngram_fraction
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(dup_ngram_fraction(ds, n=5))

@@ -419,3 +419,126 @@ def shuffle_sql(n_shards: int = 16, seed: int = 1,
     return (f"SELECT {id_col}, CAST({u} % {n_shards} AS BIGINT) AS shard, "
             f"ROW_NUMBER() OVER (PARTITION BY {u} % {n_shards} "
             f"ORDER BY {u}) - 1 AS pos")
+
+
+def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
+                       id_col: str = "doc_id", min_df: int = 2,
+                       ndp: int = 6, broadcast_threshold: int = 5_000_000):
+    """Per-document duplicated-span statistic (the readout behind exact
+    substring dedup, Lee et al. 2021 "Deduplicating Training Data Makes
+    Language Models Better"): the fraction of a document's word n-gram
+    occurrences whose gram appears in ≥ min_df distinct documents
+    corpus-wide. Docs with fewer than n words score 0.0.
+
+    Shape: pass 1 emits per-batch (gram, distinct-doc-count) partials —
+    exact because a document never spans batches — merged by hash-bucketed
+    groupby into global df, filtered to df ≥ min_df. The dup-gram set
+    then takes the dual path: ≤ broadcast_threshold grams → ray.put once,
+    pass 2 scores every doc with one vectorized is_in (zero corpus
+    shuffle — dup grams are a small corpus slice by Zipf); above it, the
+    per-doc-gram occurrence table hash-joins the dup grams on gram and a
+    groupby(doc) folds the counts. Exact string grams (no hashing), so
+    the DuckDB oracle matches bit-for-bit."""
+    import ray as _ray
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        if not len(g):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        import pandas as pd
+        dd = pd.DataFrame({"g": g, "r": rows}).drop_duplicates()
+        vc = dd.groupby("g", sort=False).size()
+        return pa.table({"g": pa.array(vc.index.to_numpy(object),
+                                       pa.string()),
+                         "df": pa.array(vc.to_numpy(np.int64))})
+
+    from .aggregate import bucket_merge
+    df_tbl = bucket_merge(ds.map_batches(df_partial, batch_format="pyarrow"),
+                          ["g"], {"df": ("df", "sum")})
+
+    def only_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], min_df)).select(["g"])
+    from .dedup import _materialize_nonempty
+    dups, n_dup = _materialize_nonempty(
+        df_tbl.map_batches(only_dup, batch_format="pyarrow"),
+        [("g", pa.string())])
+
+    scale = 10.0 ** ndp
+
+    if n_dup <= broadcast_threshold:
+        gset = pa.concat_tables(
+            _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
+        ref = _ray.put(gset)
+
+        def score(batch: pa.Table) -> pa.Table:
+            gs = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+            total = np.bincount(rows, minlength=batch.num_rows) \
+                if len(g) else np.zeros(batch.num_rows, np.int64)
+            dup = np.zeros(batch.num_rows, np.int64)
+            if len(g) and len(gs):
+                m = pc.is_in(pa.array(g, pa.string()), value_set=gs)
+                dup = np.bincount(rows[m.to_numpy(zero_copy_only=False)],
+                                  minlength=batch.num_rows)
+            frac = np.where(total > 0, dup / np.maximum(total, 1), 0.0)
+            frac = np.floor(frac * scale + 0.5) / scale
+            return pa.table({
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "dup_frac": pa.array(frac, pa.float64()),
+            })
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # scale fallback — nothing per-doc ever reaches the driver: occurrence
+    # table ⋈ dup grams on gram (hash-partitioned), per-doc dup counts and
+    # per-doc totals union into ONE bucket_merge keyed on doc id, then a
+    # vectorized divide. Gram-less docs ride the totals side with total=0.
+    def occ(batch: pa.Table) -> pa.Table:
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"g": pa.array(g, pa.string()),
+                         id_col: pa.array(ids[rows] if len(g) else
+                                          np.empty(0, np.int64))})
+
+    occs = ds.map_batches(occ, batch_format="pyarrow")
+    # join partition count scales with the cluster but stays ≤ CPUs so the
+    # JoinOperator's per-partition actors all schedule (oversubscribing a
+    # small cluster deadlocks the actor pool)
+    from ..cluster import cluster_buckets
+    joined = occs.join(dups, "inner", max(8, cluster_buckets() // 8),
+                       on=("g",))
+
+    def dup_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        vc = pc.value_counts(ids)
+        return pa.table({id_col: vc.field("values"),
+                         "dup": pc.cast(vc.field("counts"), pa.int64()),
+                         "total": pa.array(
+                             np.zeros(len(vc), np.int64))})
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        total = np.bincount(rows, minlength=batch.num_rows) \
+            if len(g) else np.zeros(batch.num_rows, np.int64)
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "dup": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "total": pa.array(total.astype(np.int64)),
+        })
+
+    parts = joined.map_batches(dup_partial, batch_format="pyarrow").union(
+        ds.map_batches(total_partial, batch_format="pyarrow"))
+    merged = bucket_merge(parts, [id_col],
+                          {"dup": ("dup", "sum"), "total": ("total", "sum")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        dup = t["dup"].to_numpy(zero_copy_only=False)
+        total = t["total"].to_numpy(zero_copy_only=False)
+        frac = np.where(total > 0, dup / np.maximum(total, 1), 0.0)
+        frac = np.floor(frac * scale + 0.5) / scale
+        return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
+                         "dup_frac": pa.array(frac, pa.float64())})
+    return merged.map_batches(finish, batch_format="pyarrow")

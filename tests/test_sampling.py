@@ -199,3 +199,40 @@ def test_shuffle_shards_seed_changes_permutation(ray_session):
     b = {r["doc_id"]: (r["shard"], r["pos"]) for r in
          shuffle_shards(rd.from_arrow(t), n_shards=4, seed=2).take_all()}
     assert a != b and set(a) == set(b)
+
+
+def test_dup_ngram_fraction_matches_python_oracle(ray_session):
+    from rsyslog_ray.stages.sampling import dup_ngram_fraction
+    texts = [
+        "a b c d e f g",          # shares 5-gram "a b c d e" with doc 1
+        "a b c d e x y",
+        "p q r s t u",            # unique
+        "short doc",              # < 5 words → 0.0
+        "p q r s t u",            # exact dup of doc 2
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+
+    def py_oracle():
+        grams, total = {}, {}
+        per_doc = []
+        for i, txt in enumerate(texts):
+            ws = txt.split()
+            gs = [" ".join(ws[j:j + 5]) for j in range(len(ws) - 4)]
+            per_doc.append(gs)
+            total[i] = len(gs)
+            for g in set(gs):
+                grams.setdefault(g, set()).add(i)
+        out = {}
+        for i, gs in enumerate(per_doc):
+            dup = sum(1 for g in gs if len(grams[g]) >= 2)
+            out[i] = round(dup / total[i], 6) if total[i] else 0.0
+        return out
+
+    want = py_oracle()
+    for thr in (5_000_000, 0):       # broadcast path, then join fallback
+        got = {r["doc_id"]: r["dup_frac"] for r in dup_ngram_fraction(
+            rd.from_arrow(t).repartition(3),
+            broadcast_threshold=thr).take_all()}
+        assert got == want, thr
+    assert want[3] == 0.0 and want[2] > 0 and want[4] == 1.0
