@@ -128,6 +128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash
         "fingerprint": Q.q_fingerprint,         # rolling hash
+        "bpe_vocab": Q.q_bpe_vocab,             # iterative merge loop
+        "bpe_tokens": Q.q_bpe_tokens,           # tokenize under bpe_vocab
         "kmeans": Q.q_kmeans,                   # seeded iterative clustering
         "semdedup": Q.q_semdedup,               # k-means + ε-ball drop
         "ivf_cosine": Q.q_ivf_cosine,           # approximate

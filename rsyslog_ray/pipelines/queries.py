@@ -1282,3 +1282,27 @@ def q_dup_ngrams(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
     return _to_table(dup_ngram_fraction(ds, n=5))
+
+
+def q_bpe_vocab(sf_dir: str) -> pa.Table:
+    """Distributed BPE tokenizer induction (Sennrich 2016): one corpus
+    pass builds the exact capped word histogram; the classic merge loop
+    runs on the driver over the histogram only (the standard shape —
+    tokenizer training never re-reads the corpus). Deterministic;
+    rows-only + naive-recount oracle pytest (test_bpe.py)."""
+    from ..stages.bpe import bpe_train
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _finalize(bpe_train(ds, n_merges=120))
+
+
+def q_bpe_tokens(sf_dir: str) -> pa.Table:
+    """Per-doc token counts under the corpus-trained BPE vocabulary:
+    merge table broadcast once; the actor-pool counter encodes each
+    batch's DISTINCT words (cached across batches) and scatters counts
+    to rows. Rows-only + driver-side encode oracle pytest."""
+    from ..stages.bpe import bpe_token_counts, bpe_train
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    merges = bpe_train(ds, n_merges=120)
+    return _to_table(bpe_token_counts(ds, merges))
