@@ -73,6 +73,9 @@ register_stage("mmnormalize", _mmnormalize)
 
 from .stages import parse as _parse_mod  # noqa: E402
 register_stage("pmciscoios", _parse_mod.parse_ciscoios_table)
+register_stage("pmaixforwardedfrom", _parse_mod.fix_aixforwardedfrom_table)
+register_stage("pmcisconames", _parse_mod.fix_cisconames_table)
+register_stage("pmsnare", _parse_mod.fix_snare_table)
 
 
 # ---------------------------------------------------------------------------

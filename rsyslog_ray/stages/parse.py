@@ -333,3 +333,116 @@ def parse_ciscoios_table(batch: pa.Table, col: str = "text",
     for name, arr in out.items():
         res = res.append_column(name, arr)
     return res
+
+
+# ---------------------------------------------------------------------------
+# contrib "message fixer" parsers — pmaixforwardedfrom / pmcisconames /
+# pmsnare. In the reference each rewrites pszRawMsg IN PLACE and then
+# returns RS_RET_COULD_NOT_PARSE so the chain continues with the repaired
+# text (contrib/*/..c). Here each is a vectorized text→text kernel meant
+# to run ahead of the RFC3164/5424 cascade; unmatched rows pass through
+# untouched, exactly like the C abort paths.
+# ---------------------------------------------------------------------------
+
+_PRI_RE = r"(?P<pri><\d{1,3}>)?"
+
+
+def _fix_apply(batch: pa.Table, col: str, new_text) -> pa.Table:
+    idx = batch.schema.get_field_index(col)
+    return batch.set_column(idx, col, pa.array(new_text, pa.string()))
+
+
+def fix_aixforwardedfrom_table(batch: pa.Table,
+                               col: str = "text") -> pa.Table:
+    """pmaixforwardedfrom (contrib/pmaixforwardedfrom/pmaixforwardedfrom.c
+    :69-146): after PRI and any leading spaces, a ≥24-char body whose
+    16-char timestamp is followed by 'Message forwarded from ' (23) or
+    'From ' (5, both case-insensitive) has that preamble spliced out;
+    then, faithful to the C order of operations, the trailing ':' after
+    the forwarded hostname is removed ONLY when the first delimiter hit
+    is ':' (a space first leaves the preamble-stripped text as is —
+    the C code mutates before the colon check and keeps the mutation on
+    abort, .c:134-137)."""
+    import pandas as pd
+    s = pd.Series(pc.fill_null(pc.cast(
+        batch[col], pa.string()), "").to_pandas())
+    m = s.str.extract(
+        r"(?s)^(?P<pri><\d{1,3}>)?(?P<sp> *)(?P<body>.*)$")
+    body = m["body"].fillna("")
+    pre = m["pri"].fillna("") + m["sp"].fillna("")
+    ts, rest = body.str.slice(0, 16), body.str.slice(16)
+    op = rest.str.extract(
+        r"(?s)^(?i:Message\ forwarded\ from\ )(?P<r23>.{2,})$")["r23"]
+    op5 = rest.str.extract(r"(?s)^(?i:From\ )(?P<r5>.{2,})$")["r5"]
+    # C checks OpeningText before OpeningText2; both matching is
+    # impossible ('Message…' ≠ 'From ') so precedence is moot
+    rem = op.where(op.notna(), op5)
+    eligible = (body.str.len() >= 24) & rem.notna()
+    rem = rem.fillna("")
+    # colon removal: first [ :] delimiter must be ':'
+    colon = rem.str.extract(r"(?s)^(?P<h>[^ :]*):(?P<t>.*)$")
+    fixed_rem = (colon["h"] + colon["t"]).where(colon["h"].notna(), rem)
+    out = (pre + ts + fixed_rem).where(eligible, s)
+    return _fix_apply(batch, col, out.to_numpy(object))
+
+
+_CISCONAMES_TS = (r"(?:.{3} .{2} .{2}:.{2}:.{2} |"
+                  r".{3} .{2} .{4} .{2}:.{2}:.{2} )")
+
+
+def fix_cisconames_table(batch: pa.Table, col: str = "text") -> pa.Table:
+    """pmcisconames (contrib/pmcisconames/pmcisconames.c:72-147): after
+    PRI + optional spaces, a ≥34-char body starting with the 16- or
+    21-char positional timestamp (spaces/colons checked at fixed
+    offsets only), then hostname up to a space, then ': %' — the ': '
+    is spliced out so 'host : %ASA…' becomes 'host %ASA…'."""
+    import pandas as pd
+    s = pd.Series(pc.fill_null(pc.cast(
+        batch[col], pa.string()), "").to_pandas())
+    m = s.str.extract(
+        r"(?s)^(?P<pri><\d{1,3}>)?(?P<sp> *)(?P<body>.*)$")
+    body = m["body"].fillna("")
+    pre = m["pri"].fillna("") + m["sp"].fillna("")
+    g = body.str.extract(
+        r"(?s)^(?P<ts>" + _CISCONAMES_TS + r")(?P<host>[^ ]*) : (?P<msg>%.*)$")
+    eligible = (body.str.len() >= 34) & g["ts"].notna()
+    out = (pre + g["ts"].fillna("") + g["host"].fillna("") + " "
+           + g["msg"].fillna("")).where(eligible, s)
+    return _fix_apply(batch, col, out.to_numpy(object))
+
+
+_SNARE_TAG = r"(?i:MSWinEventLog|LinuxKAudit)"
+
+
+def fix_snare_table(batch: pa.Table, col: str = "text") -> pa.Table:
+    """pmsnare (contrib/pmsnare/pmsnare.c:147-261, tabLength=1 literal
+    tab): two shapes, both ≥30 chars after PRI —
+    * non-syslog Snare 'host<TAB>MSWinEventLog<TAB>…': the tab before
+      AND the separator right after the tag become spaces;
+    * syslog Snare '16-char ts + hostname SP MSWinEventLog<TAB>…': only
+      the separator after the tag becomes a space.
+    A tab-first line whose tag is NOT a Snare tag aborts without trying
+    the syslog shape (.c:186), and the char after the tag is overwritten
+    with a space whatever it is (.c:242), both mirrored here."""
+    import pandas as pd
+    s = pd.Series(pc.fill_null(pc.cast(
+        batch[col], pa.string()), "").to_pandas())
+    m = s.str.extract(r"(?s)^(?P<pri><\d{1,3}>)?(?P<body>.*)$")
+    body = m["body"].fillna("")
+    pre = m["pri"].fillna("")
+    long_enough = body.str.len() >= 30
+    tab_first = body.str.match(r"[^ \t]*\t", na=False)
+    a = body.str.extract(
+        r"(?s)^(?P<h>[^ \t]*)\t(?P<tag>" + _SNARE_TAG
+        + r")(?P<sep>.)(?P<rest>.*)$")
+    a_ok = long_enough & tab_first & a["tag"].notna()
+    a_out = (pre + a["h"].fillna("") + " " + a["tag"].fillna("") + " "
+             + a["rest"].fillna(""))
+    b = body.str.extract(
+        r"(?s)^(?P<ts>.{16})(?P<h>[^ ]*) (?P<tag>" + _SNARE_TAG
+        + r")(?P<sep>.)(?P<rest>.*)$")
+    b_ok = long_enough & ~tab_first & b["tag"].notna()
+    b_out = (pre + b["ts"].fillna("") + b["h"].fillna("") + " "
+             + b["tag"].fillna("") + " " + b["rest"].fillna(""))
+    out = s.where(~a_ok, a_out).where(~b_ok, b_out)
+    return _fix_apply(batch, col, out.to_numpy(object))

@@ -182,3 +182,91 @@ def test_file_sources_text_and_jsonl(ray_session, tmp_path):
     jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     out = read_jsonl(str(jl)).take_all()
     assert [r["a"] for r in out] == [1, 2]
+
+
+def test_fix_aixforwardedfrom():
+    from rsyslog_ray.stages.parse import fix_aixforwardedfrom_table
+    ts = "Jun 11 11:11:11 "
+    cases = {
+        # full fix: preamble spliced, colon after hostname removed
+        f"<13>{ts}Message forwarded from foohost: msg body":
+            f"<13>{ts}foohost msg body",
+        f"{ts}From bar: hello": f"{ts}bar hello",
+        # case-insensitive openings (strncasecmp)
+        f"{ts}MESSAGE FORWARDED FROM h: x": f"{ts}h x",
+        # leading spaces permitted and preserved
+        f"<4>  {ts}From h: x": f"<4>  {ts}h x",
+        # space before colon → preamble already removed, colon kept
+        # (the C code mutates, then aborts: .c:134-137)
+        f"{ts}From host extra: y": f"{ts}host extra: y",
+        # no colon at all → preamble still removed
+        f"{ts}From hostonlyxx": f"{ts}hostonlyxx",
+        # wrong opening → untouched
+        f"{ts}Forwarded from h: x": f"{ts}Forwarded from h: x",
+        # too short (<24 after spaces) → untouched
+        "<13>short": "<13>short",
+        # <2 chars after opening → untouched
+        f"{ts}From x": f"{ts}From x",
+    }
+    t = pa.table({"text": pa.array(list(cases), pa.string())})
+    got = fix_aixforwardedfrom_table(t)["text"].to_pylist()
+    assert got == list(cases.values())
+
+
+def test_fix_cisconames():
+    from rsyslog_ray.stages.parse import fix_cisconames_table
+    short = "Jun 11 11:11:11 "
+    long = "Jun 11 2024 11:11:11 "
+    keep = "%ASA-1-000000: interface down and some padding"
+    cases = {
+        f"<190>{short}fw01 : {keep}": f"<190>{short}fw01 {keep}",
+        f"{long}fw02 : {keep}": f"{long}fw02 {keep}",
+        # positional checks only — letters elsewhere in ts are accepted
+        f"XXX 99 88:77:66 host : {keep}": f"XXX 99 88:77:66 host {keep}",
+        # no ': %' after hostname → untouched
+        f"{short}fw01 : notpercent and some more padding":
+            f"{short}fw01 : notpercent and some more padding",
+        # malformed timestamp → untouched
+        f"Jun 11 11.11.11 fw01 : {keep}": f"Jun 11 11.11.11 fw01 : {keep}",
+        # too short → untouched
+        "<1>Jun 11 11:11:11 a : %A": "<1>Jun 11 11:11:11 a : %A",
+    }
+    t = pa.table({"text": pa.array(list(cases), pa.string())})
+    got = fix_cisconames_table(t)["text"].to_pylist()
+    assert got == list(cases.values())
+
+
+def test_fix_snare():
+    from rsyslog_ray.stages.parse import fix_snare_table
+    ts = "May 17 02:25:10 "
+    rest = "1\tSecurity\t606129\tWed May 17 02:25:10 2017"
+    cases = {
+        # non-syslog Snare: tab before AND after tag become spaces
+        f"other.lab.home\tMSWinEventLog\t{rest}":
+            f"other.lab.home MSWinEventLog {rest}",
+        f"h.example\tLinuxKAudit\t{rest}": f"h.example LinuxKAudit {rest}",
+        # PRI preserved
+        f"<14>h\tMSWinEventLog\t{rest}x": f"<14>h MSWinEventLog {rest}x",
+        # syslog Snare: only the separator after the tag is replaced
+        f"<14>{ts}syslog.lab.home MSWinEventLog\t{rest}":
+            f"<14>{ts}syslog.lab.home MSWinEventLog {rest}",
+        # char after tag overwritten even when not a tab (.c:242)
+        f"{ts}host LinuxKAudit_{rest}": f"{ts}host LinuxKAudit {rest}",
+        # tab-first with wrong tag → abort, no syslog-shape retry
+        f"h\tNotSnare\t{ts}MSWinEventLog\t{rest}":
+            f"h\tNotSnare\t{ts}MSWinEventLog\t{rest}",
+        # no Snare tag anywhere → untouched
+        f"{ts}host prog[1]: normal syslog line":
+            f"{ts}host prog[1]: normal syslog line",
+        # too short → untouched
+        "h\tMSWinEventLog\tabc": "h\tMSWinEventLog\tabc",
+    }
+    t = pa.table({"text": pa.array(list(cases), pa.string())})
+    got = fix_snare_table(t)["text"].to_pylist()
+    assert got == list(cases.values())
+
+
+def test_fixers_registered_as_config_stages():
+    from rsyslog_ray.config import STAGE_REGISTRY
+    for name in ("pmaixforwardedfrom", "pmcisconames", "pmsnare"):
+        assert name in STAGE_REGISTRY
