@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
         "dup_ngrams": Q.q_dup_ngrams,
+        "token_budget": Q.q_token_budget,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,

@@ -777,6 +777,10 @@ WHERE doc_id % 20 <> 0
   AND NOT EXISTS (SELECT 1 FROM grams t JOIN eval_g e ON t.g = e.g
                   WHERE t.doc_id = d.doc_id)"""
 
+    from ..stages.sampling import token_budget_sql  # noqa: PLC0415
+    q["token_budget"] = token_budget_sql(
+        {"src0": 3000, "src1": 1500}, default_budget=800)
+
     q["dup_ngrams"] = r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents

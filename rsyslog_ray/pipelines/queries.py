@@ -1306,3 +1306,14 @@ def q_bpe_tokens(sf_dir: str) -> pa.Table:
                      columns=["doc_id", "text"])
     merges = bpe_train(ds, n_merges=120)
     return _to_table(bpe_token_counts(ds, merges))
+
+
+def q_token_budget(sf_dir: str) -> pa.Table:
+    """Token-budget mixture sampling: per source, keep docs in
+    deterministic hash order until the source's whitespace-token budget
+    fills (inclusive running-total rule). Exact DuckDB window oracle."""
+    from ..stages.sampling import token_budget_sample
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    return _to_table(token_budget_sample(
+        ds, budgets={"src0": 3000, "src1": 1500}, default_budget=800))

@@ -542,3 +542,83 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
         return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
                          "dup_frac": pa.array(frac, pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+#: fourth independent odd multiplier (murmur3 fmix64's) — token-budget order
+BUDGET_PRIME = 0xFF51AFD7ED558CCD
+
+
+def token_budget_sample(ds, budgets: dict[str, int],
+                        default_budget: int = 0,
+                        text_col: str = "text", key_col: str = "source",
+                        id_col: str = "doc_id"):
+    """Token-budget data mixing: per source, keep documents in a
+    deterministic pseudo-random order (Fibonacci-hash of the id — a
+    reproducible uniform shuffle) until the source's whitespace-token
+    budget fills; a doc is kept iff its INCLUSIVE running token total is
+    ≤ budget. This is the "sample each source down to N tokens" step of
+    mixture construction (cf. The Pile / DoReMi-style fixed mixtures),
+    expressed as SUM(tokens) OVER (PARTITION BY source ORDER BY hash, id)
+    ≤ budget — so it has an exact DuckDB window oracle.
+
+    Shape: one stateless pass computes (tokens, hash); the running sum is
+    the same hash-bucketed per-key pandas pass every window op here uses
+    (ratelimit._per_bucket) — shuffle volume is (id, key, 2×int64), never
+    the text."""
+    import pandas as pd
+
+    def prep(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.fill_null(pc.cast(batch[text_col], pa.string()), ""),
+            pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lists.flatten().to_numpy(zero_copy_only=False)
+        nonempty = (flat != "").astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(nonempty)])
+        ntok = csum[offs[1:]] - csum[offs[:-1]]
+        # exact u64 ordering survives Arrow/pandas as (hi, lo) halves
+        h = _u64(batch[id_col], BUDGET_PRIME)
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            key_col: pc.cast(batch[key_col], pa.string()),
+            "n_tokens": pa.array(ntok),
+            "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+            "h_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+        })
+
+    from .ratelimit import _per_bucket
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "h_hi", "h_lo", id_col],
+                          kind="mergesort")
+        g["cum_tokens"] = g.groupby(key_col, sort=False)["n_tokens"].cumsum()
+        bud = g[key_col].map(budgets).fillna(default_budget)
+        g = g[g["cum_tokens"] <= bud]
+        return g[[id_col, key_col, "n_tokens", "cum_tokens"]]
+
+    return _per_bucket(ds.map_batches(prep, batch_format="pyarrow"),
+                       fold, key=key_col)
+
+
+def token_budget_sql(budgets: dict[str, int], default_budget: int = 0,
+                     text_col: str = "text", key_col: str = "source",
+                     id_col: str = "doc_id", table: str = "documents") -> str:
+    """Matching DuckDB window oracle for token_budget_sample."""
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in budgets.items())
+    return rf"""
+WITH tb_base AS (
+  SELECT {id_col}, {key_col},
+    CAST(length(list_filter(regexp_extract_all({text_col}, '\S+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+    (CAST({id_col} AS HUGEINT) * {BUDGET_PRIME}) % {_TWO64} AS h
+  FROM {table}
+), tb_cum AS (
+  SELECT {id_col}, {key_col}, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY {key_col} ORDER BY h, {id_col}
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM tb_base
+)
+SELECT {id_col}, {key_col}, n_tokens, cum_tokens FROM tb_cum
+WHERE cum_tokens <= CASE {key_col} {whens} ELSE {default_budget} END"""

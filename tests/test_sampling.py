@@ -236,3 +236,32 @@ def test_dup_ngram_fraction_matches_python_oracle(ray_session):
             broadcast_threshold=thr).take_all()}
         assert got == want, thr
     assert want[3] == 0.0 and want[2] > 0 and want[4] == 1.0
+
+
+def test_token_budget_sample_properties(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.sampling import (token_budget_sample,
+                                             token_budget_sql)
+    rng = np.random.RandomState(5)
+    texts = [" ".join(f"w{rng.randint(100)}" for _ in range(rng.randint(1, 30)))
+             for _ in range(200)]
+    srcs = [f"s{rng.randint(3)}" for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "source": pa.array(srcs, pa.string()),
+                  "text": pa.array(texts, pa.string())})
+    budgets = {"s0": 300, "s1": 120}
+    want = sorted(duckdb.sql(
+        token_budget_sql(budgets, default_budget=60, table="t")
+    ).fetchall())
+    for parts in (1, 7):                      # partition-invariant
+        got = sorted((r["doc_id"], r["source"], r["n_tokens"],
+                      r["cum_tokens"]) for r in token_budget_sample(
+            rd.from_arrow(t).repartition(parts), budgets,
+            default_budget=60).take_all())
+        assert [tuple(r) for r in want] == got
+    # budget respected per source (inclusive rule)
+    per_src = {}
+    for _, s, n, cum in got:
+        per_src[s] = max(per_src.get(s, 0), cum)
+    for s, mx in per_src.items():
+        assert mx <= budgets.get(s, 60)
