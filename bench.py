@@ -117,6 +117,14 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("conv_docs", Q.q_conv_docs, sf_dir)
     timed("tfidf", Q.q_tfidf, sf_dir)
     timed("event_gaps", Q.q_event_gaps, sf_dir)
+    # round-3 continuation: iterative clustering / semantic dedup, BPE
+    # induction + tokenization, duplicated-span stats, token-budget mixing
+    timed("kmeans", Q.q_kmeans, sf_dir)
+    timed("semdedup", Q.q_semdedup, sf_dir)
+    timed("bpe_vocab", Q.q_bpe_vocab, sf_dir)
+    timed("bpe_tokens", Q.q_bpe_tokens, sf_dir)
+    timed("dup_ngrams", Q.q_dup_ngrams, sf_dir)
+    timed("token_budget", Q.q_token_budget, sf_dir)
 
     out["queries"] = timings
     return out

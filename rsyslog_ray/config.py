@@ -76,6 +76,7 @@ register_stage("pmciscoios", _parse_mod.parse_ciscoios_table)
 register_stage("pmaixforwardedfrom", _parse_mod.fix_aixforwardedfrom_table)
 register_stage("pmcisconames", _parse_mod.fix_cisconames_table)
 register_stage("pmsnare", _parse_mod.fix_snare_table)
+register_stage("pmpanngfw", _parse_mod.fix_panngfw_table)
 
 
 # ---------------------------------------------------------------------------

@@ -446,3 +446,65 @@ def fix_snare_table(batch: pa.Table, col: str = "text") -> pa.Table:
              + b["tag"].fillna("") + " " + b["rest"].fillna(""))
     out = s.where(~a_ok, a_out).where(~b_ok, b_out)
     return _fix_apply(batch, col, out.to_numpy(object))
+
+
+_PAN_HEAD_RE = re.compile(
+    r"^[^,]*,[^,]*,[^,]*,(?:TRAFFIC,|THREAT,|SYSTEM,|CONFIG,)")
+_PAN_QUOTED_RE = re.compile(r'"((?:[^"]|"")*)"')
+
+
+def fix_panngfw_table(batch: pa.Table, col: str = "text") -> pa.Table:
+    """pmpanngfw (contrib/pmpanngfw/pmpanngfw.c:101-259): Palo Alto NGFW
+    CSV → TAB repair. A row qualifies when, after the PRI, the 4th
+    comma-field starts with TRAFFIC, / THREAT, / SYSTEM, / CONFIG, (the
+    C code compares the 8 bytes after the 3rd comma against masked
+    little-endian constants, .c:62-66 — i.e. exactly these prefixes).
+    The first 3 commas become TABs and the remainder is re-tokenized as
+    RFC-4180 CSV: ',' separators → TAB, quotes stripped, '""' → '"'.
+
+    Deviations (documented): on a martian char after a closing quote the
+    C code aborts mid-rewrite and keeps the half-mangled buffer
+    (.c:235-238); here the row is left untouched instead, and an
+    unterminated quote (which the C loop silently accepts, writing the
+    partial field) also leaves the row untouched. The un-quoting
+    state machine is inherently sequential, so it runs per MATCHED row
+    only — the vectorized prefilter keeps non-PAN rows (the common case)
+    out of the Python loop."""
+    src = pc.fill_null(pc.cast(batch[col], pa.string()), "").to_pylist()
+    out = list(src)
+    for i, s in enumerate(src):
+        pri = re.match(r"^<\d{1,3}>", s)
+        off = pri.end() if pri else 0
+        body = s[off:]
+        if not _PAN_HEAD_RE.match(body):
+            continue
+        a = body.index(",")
+        b = body.index(",", a + 1)
+        c = body.index(",", b + 1)
+        head = body[:a] + "\t" + body[a + 1:b] + "\t" + body[b + 1:c] + "\t"
+        tail = body[c + 1:]
+        fields, pos, ok, ln = [], 0, True, len(tail)
+        while True:
+            if pos < ln and tail[pos] == '"':
+                m = _PAN_QUOTED_RE.match(tail, pos)
+                if m is None:           # unterminated quote
+                    ok = False
+                    break
+                fields.append(m.group(1).replace('""', '"'))
+                pos = m.end()
+                if pos == ln:
+                    break
+                if tail[pos] != ",":
+                    ok = False          # martian char → leave untouched
+                    break
+                pos += 1
+            else:
+                nxt = tail.find(",", pos)
+                if nxt == -1:
+                    fields.append(tail[pos:])
+                    break
+                fields.append(tail[pos:nxt])
+                pos = nxt + 1
+        if ok:
+            out[i] = s[:off] + head + "\t".join(fields)
+    return _fix_apply(batch, col, np.asarray(out, dtype=object))

@@ -180,6 +180,47 @@ def main() -> None:
         _src_key(), key="source", order_cols=("doc_id",),
         method="ntile").count())
 
+    # round-3 continuation ops
+    from rsyslog_ray.stages.bpe import bpe_token_counts, bpe_train
+    from rsyslog_ray.stages.sampling import (dup_ngram_fraction,
+                                             token_budget_sample)
+
+    timed("bpe_vocab", lambda: bpe_train(ds(), n_merges=200).num_rows)
+
+    def _bpe_tok():
+        merges = bpe_train(ds(), n_merges=200)
+        return bpe_token_counts(ds(), merges).count()
+    timed("bpe_tokens", _bpe_tok)
+    timed("dup_ngrams", lambda: dup_ngram_fraction(ds()).count())
+    timed("dup_ngrams_join",
+          lambda: dup_ngram_fraction(ds(),
+                                     broadcast_threshold=0).count())
+    timed("token_budget", lambda: token_budget_sample(
+        ds(), budgets={f"src{i}": 50_000 for i in range(10)},
+        default_budget=20_000).count())
+
+    # embeddings ops: synthetic (n, 64) float32 with planted near-dups
+    emb_path = os.path.join("/tmp/rsyslog_ray_scale", f"emb_{n}.parquet")
+    if not os.path.exists(emb_path):
+        rng = np.random.default_rng(31)
+        m = rng.standard_normal((n, 64)).astype(np.float32)
+        m[1::10] = m[0::10][:len(m[1::10])] + 1e-3  # ~10% near-dup twins
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m],
+                                  pa.list_(pa.float32())),
+        }), emb_path, row_group_size=16384)
+
+    def eds():
+        return rd.read_parquet(emb_path)
+
+    from rsyslog_ray.stages.clustering import (kmeans_cluster_stats,
+                                               semdedup)
+    timed("kmeans", lambda: kmeans_cluster_stats(
+        eds(), k=64, iters=3).count())
+    timed("semdedup", lambda: semdedup(eds(), k=64, eps=0.01,
+                                       iters=3).count())
+
     print(json.dumps(results))
     ray.shutdown()
 

@@ -270,3 +270,31 @@ def test_fixers_registered_as_config_stages():
     from rsyslog_ray.config import STAGE_REGISTRY
     for name in ("pmaixforwardedfrom", "pmcisconames", "pmsnare"):
         assert name in STAGE_REGISTRY
+
+
+def test_fix_panngfw():
+    from rsyslog_ray.stages.parse import fix_panngfw_table
+    cases = {
+        # plain CSV → TAB, all four log types
+        "1,2022/01/01 00:00:00,0001,TRAFFIC,end,1,f5,f6":
+            "1\t2022/01/01 00:00:00\t0001\tTRAFFIC\tend\t1\tf5\tf6",
+        "<14>a,b,c,THREAT,x,y": "<14>a\tb\tc\tTHREAT\tx\ty",
+        "a,b,c,SYSTEM,x": "a\tb\tc\tSYSTEM\tx",
+        "a,b,c,CONFIG,x": "a\tb\tc\tCONFIG\tx",
+        # quoted field unquoted, '""' → '"', commas inside quotes kept
+        'a,b,c,TRAFFIC,"f,ield","qu""ote",tail':
+            'a\tb\tc\tTRAFFIC\tf,ield\tqu"ote\ttail',
+        # empty fields preserved (incl. trailing)
+        "a,b,c,TRAFFIC,,x,": "a\tb\tc\tTRAFFIC\t\tx\t",
+        # wrong 4th field → untouched
+        "a,b,c,NOTPAN,x,y": "a,b,c,NOTPAN,x,y",
+        # fewer than 3 commas → untouched
+        "a,b TRAFFIC,rest": "a,b TRAFFIC,rest",
+        # martian char after closing quote → untouched (documented dev.)
+        'a,b,c,TRAFFIC,"q"x,y': 'a,b,c,TRAFFIC,"q"x,y',
+        # log type needs the comma after the keyword
+        "a,b,c,TRAFFICX,y": "a,b,c,TRAFFICX,y",
+    }
+    t = pa.table({"text": pa.array(list(cases), pa.string())})
+    got = fix_panngfw_table(t)["text"].to_pylist()
+    assert got == list(cases.values())
