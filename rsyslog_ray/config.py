@@ -77,6 +77,7 @@ register_stage("pmaixforwardedfrom", _parse_mod.fix_aixforwardedfrom_table)
 register_stage("pmcisconames", _parse_mod.fix_cisconames_table)
 register_stage("pmsnare", _parse_mod.fix_snare_table)
 register_stage("pmpanngfw", _parse_mod.fix_panngfw_table)
+register_stage("pmdb2diag", _parse_mod.parse_db2diag_table)
 
 
 # ---------------------------------------------------------------------------

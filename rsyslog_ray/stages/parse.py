@@ -508,3 +508,135 @@ def fix_panngfw_table(batch: pa.Table, col: str = "text") -> pa.Table:
         if ok:
             out[i] = s[:off] + head + "\t".join(fields)
     return _fix_apply(batch, col, np.asarray(out, dtype=object))
+
+
+def _strptime_to_regex(fmt: str) -> str:
+    """Translate the strptime subset pmdb2diag uses into a capturing
+    regex (groups y mo d h mi s)."""
+    mapping = {"%Y": r"(?P<y>\d{4})", "%m": r"(?P<mo>\d{2})",
+               "%d": r"(?P<d>\d{2})", "%H": r"(?P<h>\d{2})",
+               "%M": r"(?P<mi>\d{2})", "%S": r"(?P<s>\d{2})"}
+    out, i = [], 0
+    while i < len(fmt):
+        tok = fmt[i:i + 2]
+        if tok in mapping:
+            out.append(mapping[tok])
+            i += 2
+        else:
+            out.append(re.escape(fmt[i]))
+            i += 1
+    return "".join(out)
+
+
+#: level first-char → (severity, level word length) — pmdb2diag.c:103-134;
+#: 'E' resolves by 2nd char: 'r'→ERR(3) else NOTICE(5) (Error vs Event)
+_DB2_LEVELS = {"C": (0, 8), "A": (1, 5), "S": (2, 6), "W": (4, 7),
+               "I": (6, 4), "D": (7, 5)}
+
+
+def parse_db2diag_table(batch: pa.Table, col: str = "text",
+                        levelpos: int = 59, timepos: int = 0,
+                        timeformat: str = "%Y-%m-%d-%H.%M.%S.",
+                        pid_to_prog_shift: int = 49) -> pa.Table:
+    """pmdb2diag (contrib/pmdb2diag/pmdb2diag.c:84-211): positional DB2
+    diagnostic-log parser. Appends best-effort columns —
+      db2_severity   level word's FIRST char only (2nd for Error/Event),
+                     .c:103-134; null when the char is no known level
+      db2_ts         strptime(timeformat) at `timepos` + fraction digits
+                     + '[+-]MIN' minute offset, normalized to UTC
+                     microseconds; null when the format doesn't match
+                     (the C keeps the ingest time then)
+      db2_procid     text after the first ': ' following the level word
+                     up to the next space
+      db2_appname    text at pid_start + pid_to_prog_shift up to the
+                     first space or backslash
+      db2_success    message long enough for the level probe
+                     (.c:94 length gate; the C returns OK even when
+                     level/pid extraction bails — fields stay null)
+    Faithful quirk: the pid search starts at RAW offset levelpos+lvl_len
+    WITHOUT re-adding the PRI length (.c:177 uses pszRawMsg, not
+    pszRawMsg+offAfterPRI) — visible only on messages with a PRI."""
+    import pandas as pd
+    raw = pd.Series(pc.fill_null(pc.cast(
+        batch[col], pa.string()), "").to_pandas())
+    m = raw.str.extract(r"(?s)^(?P<pri><\d{1,3}>)?(?P<body>.*)$")
+    body = m["body"].fillna("")
+    ok_len = body.str.len() >= levelpos + 4
+
+    lvl1 = body.str.slice(levelpos, levelpos + 1)
+    lvl2 = body.str.slice(levelpos + 1, levelpos + 2)
+    sev = pd.Series(np.full(len(raw), np.nan))
+    lvl_len = pd.Series(np.zeros(len(raw), dtype=np.int64))
+    for ch, (s_, ln_) in _DB2_LEVELS.items():
+        hit = ok_len & (lvl1 == ch)
+        sev = sev.mask(hit, s_)
+        lvl_len = lvl_len.mask(hit, ln_)
+    e_err = ok_len & (lvl1 == "E") & (lvl2 == "r")
+    e_evt = ok_len & (lvl1 == "E") & (lvl2 != "r")
+    sev = sev.mask(e_err, 3).mask(e_evt, 5)
+    lvl_len = lvl_len.mask(e_err | e_evt, 5)
+    lvl_ok = ok_len & (body.str.len() >= levelpos + lvl_len) & sev.notna()
+
+    # timestamp at timepos
+    ts_re = ("(?s)^" + _strptime_to_regex(timeformat)
+             + r"(?P<frac>\d*)(?:(?P<sign>[+-])(?P<tz>\d+))?")
+    t = body.str.slice(timepos).str.extract(ts_re)
+    t_ok = t["y"].notna()
+    frac = t["frac"].fillna("").str.slice(0, 6)
+    frac_us = (frac + "000000").str.slice(0, 6)
+    frac_us = pd.to_numeric(frac_us.where(t_ok, "0"),
+                            errors="coerce").fillna(0)
+    base = pd.to_datetime(
+        t["y"] + "-" + t["mo"] + "-" + t["d"] + " " + t["h"] + ":"
+        + t["mi"] + ":" + t["s"], errors="coerce", format="%Y-%m-%d %H:%M:%S")
+    tz_min = pd.to_numeric(t["tz"], errors="coerce").fillna(0)
+    tz_sign = t["sign"].fillna("+").map({"+": 1, "-": -1})
+    # local = UTC + signed offset → UTC = local - signed offset
+    ts_vals = np.full(len(raw), np.datetime64("NaT", "us"))
+    okt = (t_ok & base.notna()).to_numpy()
+    if okt.any():
+        b_us = base[okt].astype("datetime64[us]").to_numpy()
+        off_us = (tz_sign[okt] * tz_min[okt] * 60_000_000).to_numpy(
+            np.int64)
+        f_us = frac_us[okt].to_numpy(np.int64)
+        # frac captured as left-padded µs digits already (rpad to 6)
+        ts_vals[okt] = b_us + f_us.astype("timedelta64[us]") \
+            - off_us.astype("timedelta64[us]")
+
+    # pid / prog — from RAW (C quirk), after level word
+    start = (levelpos + lvl_len).where(lvl_ok, 0)
+    colon = pd.Series([raw.iat[i].find(":", int(start.iat[i]))
+                       if lvl_ok.iat[i] else -1
+                       for i in range(len(raw))])
+    pid_start = colon + 2
+    sp = pd.Series([raw.iat[i].find(" ", int(pid_start.iat[i]))
+                    if lvl_ok.iat[i] and colon.iat[i] != -1 else -1
+                    for i in range(len(raw))])
+    pid_ok = lvl_ok & (colon != -1) & (sp != -1)
+    procid = pd.Series([
+        raw.iat[i][int(pid_start.iat[i]):int(sp.iat[i])]
+        if pid_ok.iat[i] else None for i in range(len(raw))])
+    prog_start = pid_start + pid_to_prog_shift
+    appname = []
+    for i in range(len(raw)):
+        if not pid_ok.iat[i] or int(prog_start.iat[i]) >= len(raw.iat[i]):
+            appname.append(None)
+            continue
+        seg = raw.iat[i][int(prog_start.iat[i]):]
+        esp = seg.find(" ")
+        ebs = seg.find("\\")
+        if ebs == -1:
+            ebs = len(seg)
+        end = esp if (esp != -1 and esp < ebs) else ebs
+        appname.append(seg[:end])
+
+    return (batch
+            .append_column("db2_severity", pa.array(
+                [None if np.isnan(v) else int(v) for v in sev],
+                pa.int64()))
+            .append_column("db2_ts", pa.array(ts_vals,
+                                              pa.timestamp("us")))
+            .append_column("db2_procid", pa.array(procid, pa.string()))
+            .append_column("db2_appname", pa.array(appname, pa.string()))
+            .append_column("db2_success", pa.array(
+                ok_len.to_numpy(bool))))

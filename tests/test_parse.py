@@ -298,3 +298,28 @@ def test_fix_panngfw():
     t = pa.table({"text": pa.array(list(cases), pa.string())})
     got = fix_panngfw_table(t)["text"].to_pylist()
     assert got == list(cases.values())
+
+
+def test_parse_db2diag():
+    from rsyslog_ray.stages.parse import parse_db2diag_table
+    # canonical db2diag FIRST line layout: level word at offset 59,
+    # pid after the ': ' that follows it, prog 49 chars past pid start
+    header = "2013-05-23-14.58.27.184000-240 I1744034E583"
+    line = (header.ljust(52) + "LEVEL: Error"
+            + " PID : 1020502 TID : 1").ljust(120) + "db2fmp (C) 0"
+    assert line[59:64] == "Error" and line[120:126] == "db2fmp"
+    short = "too short"
+    evt = line[:59] + "Event" + line[64:]
+    warn = line[:59] + "Warnin" + line[64:]   # 'W' char is what matters
+    t = pa.table({"text": pa.array([line, short, evt, warn], pa.string())})
+    out = parse_db2diag_table(t)
+    assert out["db2_success"].to_pylist() == [True, False, True, True]
+    assert out["db2_severity"].to_pylist() == [3, None, 5, 4]
+    # ts: 14:58:27.184 local at -240 min → UTC = local + 240 min
+    ts = out["db2_ts"].to_pylist()[0]
+    assert ts is not None and ts.strftime("%H:%M:%S") == "18:58:27" \
+        and ts.microsecond == 184000
+    pid = out["db2_procid"].to_pylist()[0]
+    assert pid == "1020502"
+    prog = out["db2_appname"].to_pylist()[0]
+    assert prog == "db2fmp"
