@@ -78,6 +78,7 @@ register_stage("pmcisconames", _parse_mod.fix_cisconames_table)
 register_stage("pmsnare", _parse_mod.fix_snare_table)
 register_stage("pmpanngfw", _parse_mod.fix_panngfw_table)
 register_stage("pmdb2diag", _parse_mod.parse_db2diag_table)
+register_stage("pmnull", _parse_mod.parse_null_table)
 
 
 # ---------------------------------------------------------------------------

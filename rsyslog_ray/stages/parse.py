@@ -640,3 +640,27 @@ def parse_db2diag_table(batch: pa.Table, col: str = "text",
             .append_column("db2_appname", pa.array(appname, pa.string()))
             .append_column("db2_success", pa.array(
                 ok_len.to_numpy(bool))))
+
+
+def parse_null_table(batch: pa.Table, col: str = "text",
+                     tag: str | None = None, syslogfacility: int = 1,
+                     syslogseverity: int = 5) -> pa.Table:
+    """pmnull (plugins/pmnull/pmnull.c:150-159): no parsing at all — MSG
+    is the whole raw message (offset 0, INCLUDING any PRI prefix, which
+    is how MsgSetMSGoffs(pMsg, 0) behaves), PRI forced to
+    facility*8+severity (defaults 1/5 → 13), TAG set only when
+    configured."""
+    s = pc.fill_null(pc.cast(batch[col], pa.string()), "")
+    pri = syslogfacility * 8 + syslogseverity
+    n = batch.num_rows
+    out = (batch
+           .append_column("pri", pa.array([pri] * n, pa.int64()))
+           .append_column("facility", pa.array([syslogfacility] * n,
+                                               pa.int64()))
+           .append_column("severity", pa.array([syslogseverity] * n,
+                                               pa.int64()))
+           .append_column("msg", s)
+           .append_column("parse_success", pa.array([True] * n)))
+    if tag is not None:
+        out = out.append_column("tag", pa.array([tag] * n, pa.string()))
+    return out

@@ -323,3 +323,15 @@ def test_parse_db2diag():
     assert pid == "1020502"
     prog = out["db2_appname"].to_pylist()[0]
     assert prog == "db2fmp"
+
+
+def test_parse_null():
+    from rsyslog_ray.stages.parse import parse_null_table
+    t = pa.table({"text": pa.array(["<99>raw line", "plain"], pa.string())})
+    out = parse_null_table(t, tag="mytag", syslogfacility=4,
+                           syslogseverity=2)
+    assert out["pri"].to_pylist() == [34, 34]
+    # MSG offset 0 keeps the PRI prefix in msg (MsgSetMSGoffs(pMsg, 0))
+    assert out["msg"].to_pylist() == ["<99>raw line", "plain"]
+    assert out["tag"].to_pylist() == ["mytag", "mytag"]
+    assert parse_null_table(t)["pri"].to_pylist() == [13, 13]
