@@ -40,17 +40,22 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
 
 def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
                seed: int = 37, init_sample: int = 4096,
-               ndp: int = 7) -> np.ndarray:
+               ndp: int = 7, fold: str = "driver") -> np.ndarray:
     """Spherical k-means. Init = seeded choice from a bounded sample
     (≤ init_sample rows reach the driver — same bound as IVF training);
-    every Lloyd round is a full distributed pass: per-batch partial
-    sums per (cluster, dim) → bucket_merge → k×dim driver fold.
+    every Lloyd round is a full distributed pass of per-batch partial
+    (cluster, dim) sums. The round fold is dual-path:
+      fold='driver' (default): stream the k×dim-per-block partials to
+        the driver and np.add.at-accumulate — no shuffle per round;
+        driver traffic is O(n_blocks × k × dim) doubles, fine up to
+        ~10M k·d·blocks (k=64, d=64 → 4096 doubles/block).
+      fold='bucket': hash-bucketed distributed merge (bucket_merge) —
+        only O(k × dim) reaches the driver; pick this when k×dim is
+        large or block counts reach 100 TB territory.
     Centroids are rounded to `ndp` dp each round so the result is
-    bit-stable under any batch split / merge order (float addition is
+    bit-stable under any batch split / fold order (float addition is
     order-sensitive; an ulp of jitter must not flip an assignment).
     Returns (k, dim) unit-norm float64."""
-    from .aggregate import bucket_merge
-
     sample = ds.limit(init_sample).take_all()
     sm = _unit_rows(np.asarray([r[col] for r in sample], dtype=np.float64))
     rng = np.random.RandomState(seed)
@@ -76,21 +81,33 @@ def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
                 "n": pa.array(np.repeat(cnt, dims)),
             })
 
-        merged = bucket_merge(
-            ds.map_batches(partial, batch_format="pyarrow"),
-            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
-        tbl = pa.concat_tables(
-            [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows],
-            promote_options="default")
-        cl = tbl["cluster"].to_numpy(zero_copy_only=False)
-        dm = tbl["dim"].to_numpy(zero_copy_only=False)
-        s = tbl["s"].to_numpy(zero_copy_only=False)
-        n = tbl["n"].to_numpy(zero_copy_only=False)
-        new = cents.copy()
+        partials = ds.map_batches(partial, batch_format="pyarrow")
         sums = np.zeros_like(cents)
         cnts = np.zeros(len(cents), dtype=np.int64)
-        sums[cl, dm] = s
-        cnts[cl[dm == 0]] = n[dm == 0]
+        if fold == "driver":
+            for tbl in partials.iter_batches(batch_format="pyarrow"):
+                if not tbl.num_rows:
+                    continue
+                cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+                dm = tbl["dim"].to_numpy(zero_copy_only=False)
+                np.add.at(sums, (cl, dm),
+                          tbl["s"].to_numpy(zero_copy_only=False))
+                d0 = dm == 0
+                np.add.at(cnts, cl[d0],
+                          tbl["n"].to_numpy(zero_copy_only=False)[d0])
+        else:
+            from .aggregate import bucket_merge
+            merged = bucket_merge(partials, ["cluster", "dim"],
+                                  {"s": ("s", "sum"), "n": ("n", "sum")})
+            tbl = pa.concat_tables(
+                [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows],
+                promote_options="default")
+            cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+            dm = tbl["dim"].to_numpy(zero_copy_only=False)
+            sums[cl, dm] = tbl["s"].to_numpy(zero_copy_only=False)
+            d0 = dm == 0
+            cnts[cl[d0]] = tbl["n"].to_numpy(zero_copy_only=False)[d0]
+        new = cents.copy()
         nz = cnts > 0
         new[nz] = _unit_rows(sums[nz] / cnts[nz, None])
         cents = np.round(new, ndp)
@@ -122,13 +139,14 @@ def assign_clusters(ds, centroids: np.ndarray, col: str = "embedding",
 
 
 def kmeans_cluster_stats(ds, k: int = 8, col: str = "embedding",
-                         iters: int = 5, seed: int = 37, ndp: int = 7):
+                         iters: int = 5, seed: int = 37, ndp: int = 7,
+                         fold: str = "driver"):
     """Fit + one assign pass + per-cluster (size, mean cosine to own
     centroid) — the quality readout. Partial (count, sum-cos) per batch
-    → bucket_merge; O(k) rows to the driver."""
-    from .aggregate import bucket_merge
-
-    cents = kmeans_fit(ds, k=k, col=col, iters=iters, seed=seed)
+    (k rows each), folded on the driver (streaming, O(k) memory; same
+    dual-path note as kmeans_fit — only k rows per block here, so the
+    driver fold holds to far larger block counts)."""
+    cents = kmeans_fit(ds, k=k, col=col, iters=iters, seed=seed, fold=fold)
     ref = ray.put(cents)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -144,20 +162,22 @@ def kmeans_cluster_stats(ds, k: int = 8, col: str = "embedding",
             "s": pa.array(np.bincount(assign, weights=best, minlength=kk)),
         })
 
-    merged = bucket_merge(ds.map_batches(partial, batch_format="pyarrow"),
-                          ["cluster"], {"n": ("n", "sum"), "s": ("s", "sum")})
-
-    def finish(t: pa.Table) -> pa.Table:
-        n = t["n"].to_numpy(zero_copy_only=False)
-        s = t["s"].to_numpy(zero_copy_only=False)
-        mean = np.where(n > 0, s / np.maximum(n, 1), 0.0)
-        return pa.table({
-            "cluster": pc.cast(t["cluster"], pa.int64()),
-            "n": pc.cast(t["n"], pa.int64()),
-            "mean_cos": pa.array(np.round(mean, ndp), pa.float64()),
-        })
-
-    return merged.map_batches(finish, batch_format="pyarrow")
+    n_tot = np.zeros(len(cents), np.int64)
+    s_tot = np.zeros(len(cents))
+    for tbl in ds.map_batches(partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        if not tbl.num_rows:
+            continue
+        cl = tbl["cluster"].to_numpy(zero_copy_only=False)
+        np.add.at(n_tot, cl, tbl["n"].to_numpy(zero_copy_only=False))
+        np.add.at(s_tot, cl, tbl["s"].to_numpy(zero_copy_only=False))
+    mean = np.where(n_tot > 0, s_tot / np.maximum(n_tot, 1), 0.0)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(np.arange(len(cents), dtype=np.int64)),
+        "n": pa.array(n_tot),
+        "mean_cos": pa.array(np.round(mean, ndp), pa.float64()),
+    }))
 
 
 def semdedup_pairs(ds, k: int = 8, eps: float = 0.05,

@@ -50,6 +50,9 @@ def test_kmeans_fit_matches_numpy_oracle(ray_session):
     ocents, oassign = _py_kmeans(m, 4, 4, 5)
     assert cents.shape == ocents.shape
     np.testing.assert_allclose(cents, ocents, atol=2e-7)
+    # distributed bucket_merge fold path agrees with the driver fold
+    cents_b = kmeans_fit(ds, k=4, iters=4, seed=5, fold="bucket")
+    np.testing.assert_allclose(cents_b, cents, atol=2e-7)
     got = pa.concat_tables(
         ray.get(assign_clusters(ds, cents).to_arrow_refs())
     ).sort_by("vec_id")["cluster"].to_numpy(zero_copy_only=False)
