@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "dup_ngrams": Q.q_dup_ngrams,
         "token_budget": Q.q_token_budget,
+        "sample_global": Q.q_sample_global,
+        "blocklist": Q.q_blocklist,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,

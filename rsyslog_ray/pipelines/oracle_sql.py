@@ -781,6 +781,14 @@ WHERE doc_id % 20 <> 0
     q["token_budget"] = token_budget_sql(
         {"src0": 3000, "src1": 1500}, default_budget=800)
 
+    from ..stages.sampling import sample_global_n_sql  # noqa: PLC0415
+    q["sample_global"] = sample_global_n_sql(100)
+
+    from ..stages.textstats import blocklist_sql  # noqa: PLC0415
+    from .queries import BLOCKLIST  # noqa: PLC0415
+    q["blocklist"] = ("SELECT doc_id, source FROM documents WHERE "
+                      + blocklist_sql(BLOCKLIST))
+
     q["dup_ngrams"] = r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents

@@ -1317,3 +1317,28 @@ def q_token_budget(sf_dir: str) -> pa.Table:
                      columns=["doc_id", "source", "text"])
     return _to_table(token_budget_sample(
         ds, budgets={"src0": 3000, "src1": 1500}, default_budget=800))
+
+
+def q_sample_global(sf_dir: str) -> pa.Table:
+    """Deterministic global uniform fixed-N sample (ORDER BY id-hash
+    LIMIT n without a sort shuffle — bounded partial-top-n fold)."""
+    from ..stages.sampling import sample_global_n
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source"])
+    return _to_table(sample_global_n(ds, n=100))
+
+
+BLOCKLIST = ["slow", "error"]
+
+
+def q_blocklist(sf_dir: str) -> pa.Table:
+    """C4-style badword filter: drop docs containing any blocklist
+    token (exact lowercase token match)."""
+    from ..stages.textstats import blocklist_filter
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    out = blocklist_filter(ds, BLOCKLIST)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "source"])
+    return _to_table(out.map_batches(proj, batch_format="pyarrow"))

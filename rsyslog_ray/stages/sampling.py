@@ -622,3 +622,52 @@ WITH tb_base AS (
 )
 SELECT {id_col}, {key_col}, n_tokens, cum_tokens FROM tb_cum
 WHERE cum_tokens <= CASE {key_col} {whens} ELSE {default_budget} END"""
+
+
+#: fifth independent odd multiplier — global uniform sampling order
+GLOBAL_SAMPLE_PRIME = 0xD1B54A32D192ED03
+
+
+def sample_global_n(ds, n: int = 100, id_col: str = "doc_id",
+                    keep_cols: tuple = ("source",)):
+    """Deterministic global uniform fixed-N sample: the n rows with the
+    smallest (id·prime mod 2^64, id) — a reproducible ORDER BY hash
+    LIMIT n without a global sort shuffle. Each block contributes its
+    local n smallest (vectorized partial top-n), the driver merges
+    O(n × blocks) candidates — the same bounded-fold shape as
+    aggregate.global_topn. Independent hash stream from split/sample/
+    budget ops so the draws compose without correlation."""
+    import ray.data as rd
+
+    cols = [id_col, *keep_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _u64(batch[id_col], GLOBAL_SAMPLE_PRIME)
+        k = min(n, len(h))
+        idx = np.argpartition(h, k - 1)[:k] if k < len(h) else \
+            np.arange(len(h))
+        t = batch.select(cols).take(pa.array(idx))
+        return (t.append_column("_hi", pa.array(
+                    (h[idx] >> np.uint64(32)).astype(np.int64)))
+                 .append_column("_lo", pa.array(
+                    (h[idx] & np.uint64(0xFFFFFFFF)).astype(np.int64))))
+
+    parts = []
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if t.num_rows:
+            parts.append(t)
+    allc = pa.concat_tables(parts, promote_options="default")
+    out = (allc.sort_by([("_hi", "ascending"), ("_lo", "ascending"),
+                         (id_col, "ascending")])
+           .slice(0, n).select(cols))
+    return rd.from_arrow(out)
+
+
+def sample_global_n_sql(n: int = 100, id_col: str = "doc_id",
+                        keep_cols: tuple = ("source",),
+                        table: str = "documents") -> str:
+    cols = ", ".join([id_col, *keep_cols])
+    return (f"SELECT {cols} FROM {table} ORDER BY "
+            f"(CAST({id_col} AS HUGEINT) * {GLOBAL_SAMPLE_PRIME}) "
+            f"% {_TWO64}, {id_col} LIMIT {n}")

@@ -564,3 +564,35 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                          "n_bigrams": pa.array(n.astype(np.int64))})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def blocklist_filter(ds, words: list[str], text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """C4-style badword filter: drop every document containing ANY
+    blocklist token (exact lowercase whitespace-token match — the C4
+    rule; substring variants over-trigger). One vectorized pass:
+    split → lower → is_in(blocklist) → per-row hit count == 0. The
+    blocklist ships in the serialized fn (KBs)."""
+    wset = pa.array(sorted({w.lower() for w in words}), pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(txt), pattern=r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pc.is_in(lists.flatten(), value_set=wset) \
+            .to_numpy(zero_copy_only=False)
+        csum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])
+        per_row = csum[offs[1:]] - csum[offs[:-1]]
+        return batch.filter(pa.array(per_row == 0))
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def blocklist_sql(words: list[str], text_col: str = "text",
+                  table: str = "documents") -> str:
+    """Matching DuckDB predicate (token-exact, lowercased both sides)."""
+    lst = ", ".join("'" + w.lower().replace("'", "''") + "'"
+                    for w in sorted({w.lower() for w in words}))
+    return (f"NOT list_has_any(regexp_extract_all(lower({text_col}), "
+            f"'\\S+'), [{lst}])")

@@ -265,3 +265,32 @@ def test_token_budget_sample_properties(ray_session):
         per_src[s] = max(per_src.get(s, 0), cum)
     for s, mx in per_src.items():
         assert mx <= budgets.get(s, 60)
+
+
+def test_sample_global_n_matches_sql_and_partitioning(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.sampling import (sample_global_n,
+                                             sample_global_n_sql)
+    t = pa.table({"doc_id": pa.array(range(500), pa.int64()),
+                  "source": pa.array([f"s{i % 3}" for i in range(500)])})
+    want = duckdb.sql(sample_global_n_sql(40, table="t")).fetchall()
+    for parts in (1, 6):
+        got = [(r["doc_id"], r["source"]) for r in sample_global_n(
+            rd.from_arrow(t).repartition(parts), n=40).take_all()]
+        assert got == [tuple(r) for r in want]
+    assert len(got) == 40 and len(set(g[0] for g in got)) == 40
+
+
+def test_blocklist_filter_matches_sql(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.textstats import blocklist_filter, blocklist_sql
+    texts = ["all clean words here", "contains BadWord middle",
+             "badword", "embedded badwording is fine", "", "BADWORD end"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = sorted(r["doc_id"] for r in blocklist_filter(
+        rd.from_arrow(t), ["badword"]).take_all())
+    want = sorted(r[0] for r in duckdb.sql(
+        "SELECT doc_id FROM t WHERE "
+        + blocklist_sql(["badword"], table="t")).fetchall())
+    assert got == want == [0, 3, 4]
