@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,
         "conv_docs": Q.q_conv_docs,
+        "conv_dedup": Q.q_conv_dedup,
         "range_join": Q.q_range_join,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "asof_join": Q.q_asof_join,

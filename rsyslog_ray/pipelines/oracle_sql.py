@@ -937,6 +937,13 @@ SELECT conv_id,
          AS n_chars
 FROM read_parquet('{src}') GROUP BY conv_id"""
 
+    q["conv_dedup"] = f"""
+WITH d AS (
+  SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS doc
+  FROM read_parquet('{src}') GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id FROM d GROUP BY doc"""
+
     q["global_topn"] = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 ORDER BY value DESC, event_id LIMIT 100"""

@@ -1342,3 +1342,17 @@ def q_blocklist(sf_dir: str) -> pa.Table:
     def proj(t: pa.Table) -> pa.Table:
         return t.select(["doc_id", "source"])
     return _to_table(out.map_batches(proj, batch_format="pyarrow"))
+
+
+def q_conv_dedup(sf_dir: str) -> pa.Table:
+    """Conversation-level exact dedup composite: rebuild each
+    conversation's document (ordered turn concat) then keep the min
+    conv_id per identical document — two keyed shuffles end-to-end
+    (conv concat, then doc-keyed dedup), no driver materialization."""
+    from ..stages.aggregate import concat_group_text
+    from ..stages.dedup import exact_dedup
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    docs = concat_group_text(ds, key="conv_id", order_col="turn_idx")
+    return _to_table(exact_dedup(docs, text_col="doc", id_col="conv_id")
+                     .select_columns(["conv_id"]))
