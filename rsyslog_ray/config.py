@@ -62,6 +62,8 @@ register_stage("mmanon", _enrich_mod.mmanon_table)
 register_stage("mmanon_ipv6", _enrich_mod.mmanon_ipv6_table)
 register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
 register_stage("mmutf8fix", _enrich_mod.mmutf8fix_table)
+register_stage("mmtaghostname", _enrich_mod.mmtaghostname_table)
+register_stage("mmrfc5424addhmac", _enrich_mod.mmrfc5424addhmac_table)
 
 
 def _mmnormalize(batch, **kw):

@@ -431,3 +431,72 @@ def redact_sql(col: str = "text",
         p = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
     return expr
+
+
+def mmtaghostname_table(batch: pa.Table, tag: str | None = None,
+                        force_localhostname: bool = False,
+                        localhostname: str = "localhost") -> pa.Table:
+    """mmtaghostname (contrib/mmtaghostname/mmtaghostname.c doAction):
+    optionally force the TAG and/or overwrite HOSTNAME with the local
+    host name (useful ahead of relays that mangle either). Pure column
+    rewrites; `localhostname` stands in for glbl.GetLocalHostName()
+    (a deterministic engine cannot read the worker's hostname)."""
+    out = batch
+    n = batch.num_rows
+    if tag is not None:
+        arr = pa.array([tag] * n, pa.string())
+        if "tag" in out.column_names:
+            out = out.set_column(out.schema.get_field_index("tag"),
+                                 "tag", arr)
+        else:
+            out = out.append_column("tag", arr)
+    if force_localhostname:
+        arr = pa.array([localhostname] * n, pa.string())
+        if "hostname" in out.column_names:
+            out = out.set_column(out.schema.get_field_index("hostname"),
+                                 "hostname", arr)
+        else:
+            out = out.append_column("hostname", arr)
+    return out
+
+
+def mmrfc5424addhmac_table(batch: pa.Table, key: str,
+                           hashfunction: str = "sha256",
+                           sdid: str = "hmac@0",
+                           text_col: str = "text") -> pa.Table:
+    """mmrfc5424addhmac (contrib/mmrfc5424addhmac/mmrfc5424addhmac.c:
+    311-334 hashMsg, 283-307 isHmacPresent): for RFC5424 messages whose
+    structured data does not already carry `sdid`, append
+    `[<sdid> hash="<hex hmac>"]` — HMAC(hashfunction, key) over the RAW
+    message bytes; an empty ('-') SD is replaced, otherwise the element
+    is concatenated (MsgAddToStructuredData, runtime/msg.c:5205-5224).
+    The HMAC itself is per-row C code inside hashlib; only qualifying
+    rows (5424 ∧ not-yet-signed) enter the loop."""
+    import hashlib
+    import hmac as _hmac
+    import re as _re
+
+    algo = getattr(hashlib, hashfunction)
+    kb = key.encode()
+    sd = pc.fill_null(pc.cast(batch["structured_data"], pa.string()), "-")
+    proto = pc.fill_null(pc.cast(batch["protocol"], pa.int64()), -1)
+    present = pc.match_substring_regex(
+        sd, pattern=r"\[" + _re.escape(sdid) + r"[ =\]\"]")
+    eligible = pc.and_(pc.equal(proto, 1), pc.invert(present))
+    idx = np.flatnonzero(eligible.to_numpy(zero_copy_only=False))
+    if not len(idx):
+        return batch
+    raw = pc.cast(batch[text_col], pa.string()).take(pa.array(idx)) \
+        .to_pylist()
+    old = sd.take(pa.array(idx)).to_pylist()
+    new = []
+    for r, o in zip(raw, old):
+        dig = _hmac.new(kb, r.encode("utf-8", "surrogatepass"),
+                        algo).hexdigest()
+        el = f'[{sdid} hash="{dig}"]'
+        new.append(el if o == "-" or o == "" else o + el)
+    allsd = sd.to_numpy(zero_copy_only=False).astype(object)
+    allsd[idx] = new
+    i = batch.schema.get_field_index("structured_data")
+    return batch.set_column(i, "structured_data",
+                            pa.array(allsd, pa.string()))

@@ -271,3 +271,40 @@ def test_redact_table_matches_duckdb():
     assert got == want
     assert got[0] == "mail <EMAIL> or <EMAIL> now"
     assert "<NUM>" in got[2] and "99999" in got[2]
+
+
+def test_mmtaghostname():
+    from rsyslog_ray.stages.enrich import mmtaghostname_table
+    t = pa.table({"text": pa.array(["a", "b"]),
+                  "hostname": pa.array(["h1", "h2"])})
+    out = mmtaghostname_table(t, tag="mytag:", force_localhostname=True,
+                              localhostname="lh")
+    assert out["tag"].to_pylist() == ["mytag:", "mytag:"]
+    assert out["hostname"].to_pylist() == ["lh", "lh"]
+    # no-op config leaves columns alone
+    same = mmtaghostname_table(t)
+    assert same["hostname"].to_pylist() == ["h1", "h2"]
+
+
+def test_mmrfc5424addhmac():
+    import hashlib
+    import hmac
+    from rsyslog_ray.stages.enrich import mmrfc5424addhmac_table
+    raw = ['<34>1 2024-01-01T00:00:00Z h app 1 m [x@1 a="b"] hello',
+           '<34>1 2024-01-01T00:00:00Z h app 1 m - empty-sd',
+           '<13>Feb  5 17:32:18 host prog: not5424',
+           '<34>1 2024-01-01T00:00:00Z h app 1 m [hmac@0 hash="old"] signed']
+    t = pa.table({
+        "text": pa.array(raw, pa.string()),
+        "protocol": pa.array([1, 1, 0, 1], pa.int64()),
+        "structured_data": pa.array(
+            ['[x@1 a="b"]', "-", "", '[hmac@0 hash="old"]'], pa.string()),
+    })
+    out = mmrfc5424addhmac_table(t, key="s3cret")["structured_data"] \
+        .to_pylist()
+    d0 = hmac.new(b"s3cret", raw[0].encode(), hashlib.sha256).hexdigest()
+    d1 = hmac.new(b"s3cret", raw[1].encode(), hashlib.sha256).hexdigest()
+    assert out[0] == f'[x@1 a="b"][hmac@0 hash="{d0}"]'   # concatenated
+    assert out[1] == f'[hmac@0 hash="{d1}"]'              # '-' replaced
+    assert out[2] == ""                                   # non-5424 skipped
+    assert out[3] == '[hmac@0 hash="old"]'                # already signed
