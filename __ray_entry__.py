@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": Q.q_token_budget,
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
+        "zscore": Q.q_zscore,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,

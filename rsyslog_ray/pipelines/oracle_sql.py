@@ -944,6 +944,16 @@ WITH d AS (
 )
 SELECT min(conv_id) AS conv_id FROM d GROUP BY doc"""
 
+    q["zscore"] = """
+WITH s AS (
+  SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+  round((e.value - s.mu) / CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END, 6) AS z
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.mu) > 3 * s.sd"""
+
     q["global_topn"] = """
 SELECT event_id, ts, user_id, event_type, value FROM events
 ORDER BY value DESC, event_id LIMIT 100"""

@@ -1356,3 +1356,12 @@ def q_conv_dedup(sf_dir: str) -> pa.Table:
     docs = concat_group_text(ds, key="conv_id", order_col="turn_idx")
     return _to_table(exact_dedup(docs, text_col="doc", id_col="conv_id")
                      .select_columns(["conv_id"]))
+
+
+def q_zscore(sf_dir: str) -> pa.Table:
+    """Per-event-type z-score outliers (|value − μ| > 3σ_pop): bounded
+    per-key moment partials → driver fold → broadcast filter pass."""
+    from ..stages.aggregate import zscore_outliers
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "event_type", "value"])
+    return _to_table(zscore_outliers(ds, z=3.0))

@@ -773,3 +773,69 @@ def pivot_counts(ds, row_key: str = "facility", col_key: str = "severity",
         out[f"{prefix}{c}"] = pa.array(
             wide[c].to_numpy().astype(np.int64), pa.int64())
     return pa.table(out)
+
+
+def zscore_outliers(ds, key: str = "event_type", value_col: str = "value",
+                    id_cols: tuple = ("event_id",), z: float = 3.0,
+                    ndp: int = 6):
+    """Per-key z-score outlier detection (the telemetry anomaly readout):
+    emit rows with |value - mean(key)| > z·stddev_pop(key). Two passes:
+    per-batch (n, Σv, Σv²) partials per key — O(keys) rows each — folded
+    on the driver (key domains are bounded: event types, tools,
+    facilities), then one broadcast filter pass computing the z column.
+    Population stddev matches SQL STDDEV_POP; z rounded half-away to
+    `ndp` so the DuckDB oracle hashes identically."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        uniq, inv = np.unique(np.asarray(k.to_pylist(), dtype=object),
+                              return_inverse=True)
+        return pa.table({
+            key: pa.array(uniq, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(uniq))
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=v,
+                                      minlength=len(uniq))),
+            "s2": pa.array(np.bincount(inv, weights=v * v,
+                                       minlength=len(uniq))),
+        })
+
+    stats: dict = {}
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for kk, n_, s_, s2_ in zip(t[key].to_pylist(),
+                                   t["n"].to_pylist(),
+                                   t["s"].to_pylist(),
+                                   t["s2"].to_pylist()):
+            a = stats.setdefault(kk, [0, 0.0, 0.0])
+            a[0] += n_
+            a[1] += s_
+            a[2] += s2_
+    mean_sd = {}
+    for kk, (n_, s_, s2_) in stats.items():
+        mu = s_ / n_
+        var = max(s2_ / n_ - mu * mu, 0.0)
+        mean_sd[kk] = (mu, var ** 0.5)
+    ref = _ray.put(mean_sd)
+    scale = 10.0 ** ndp
+
+    def filt(t: pa.Table) -> pa.Table:
+        ms = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        keys = t[key].to_pylist()
+        mu = np.array([ms[kk][0] for kk in keys])
+        sd = np.array([ms[kk][1] for kk in keys])
+        v = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        zs = np.where(sd > 0, (v - mu) / np.where(sd > 0, sd, 1.0), 0.0)
+        keep = np.abs(v - mu) > z * sd
+        zr = np.copysign(np.floor(np.abs(zs) * scale + 0.5) / scale, zs)
+        out = t.select([*id_cols, key, value_col]) \
+               .append_column("z", pa.array(zr, pa.float64()))
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

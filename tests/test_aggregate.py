@@ -641,3 +641,30 @@ def test_pivot_counts_pins_missing_columns(ray_session):
     assert out["s1"].to_pylist() == [1, 1]
     assert out["s2"].to_pylist() == [0, 0]   # absent value stays, zeroed
     assert out["s3"].to_pylist() == [1, 0]
+
+
+def test_zscore_outliers_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    from rsyslog_ray.stages.aggregate import zscore_outliers
+    rng = np.random.RandomState(3)
+    vals = rng.normal(10, 2, size=400)
+    vals[::97] = 100.0                       # planted outliers
+    t = pa.table({"event_id": pa.array(range(400), pa.int64()),
+                  "event_type": pa.array([f"t{i % 3}" for i in range(400)]),
+                  "value": pa.array(vals, pa.float64())})
+    got = sorted((r["event_id"], r["z"]) for r in zscore_outliers(
+        rd.from_arrow(t).repartition(5)).take_all())
+    want = sorted((i, z) for i, z in duckdb.sql("""
+        WITH s AS (SELECT event_type, AVG(value) AS mu,
+                          STDDEV_POP(value) AS sd
+                   FROM t GROUP BY event_type)
+        SELECT e.event_id,
+          round((e.value - s.mu) / CASE WHEN s.sd > 0 THEN s.sd ELSE 1 END,
+                6) AS z
+        FROM t e JOIN s USING (event_type)
+        WHERE abs(e.value - s.mu) > 3 * s.sd""").fetchall())
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                               atol=2e-6)
+    assert set(range(0, 400, 97)) <= {g[0] for g in got}
