@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
         "zscore": Q.q_zscore,
+        "funnel": Q.q_funnel,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,

@@ -944,6 +944,9 @@ WITH d AS (
 )
 SELECT min(conv_id) AS conv_id FROM d GROUP BY doc"""
 
+    from ..stages.aggregate import funnel_sql  # noqa: PLC0415
+    q["funnel"] = funnel_sql(["view", "click", "purchase"])
+
     q["zscore"] = """
 WITH s AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd

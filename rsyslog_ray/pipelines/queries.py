@@ -1365,3 +1365,13 @@ def q_zscore(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/events.parquet",
                      columns=["event_id", "event_type", "value"])
     return _to_table(zscore_outliers(ds, z=3.0))
+
+
+def q_funnel(sf_dir: str) -> pa.Table:
+    """view→click→purchase conversion funnel per user (each step strictly
+    after the previous): one keyed shuffle, vectorized per-bucket
+    groupby-min cascade."""
+    from ..stages.aggregate import funnel_steps
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["user_id", "event_type", "ts"])
+    return _to_table(funnel_steps(ds, ["view", "click", "purchase"]))

@@ -839,3 +839,57 @@ def zscore_outliers(ds, key: str = "event_type", value_col: str = "value",
         return out.filter(pa.array(keep))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def funnel_steps(ds, steps: list[str], key: str = "user_id",
+                 type_col: str = "event_type", ts_col: str = "ts"):
+    """Ordered funnel completion per key: for steps [s1, s2, …] emit one
+    row per key that performed s1, then s2 STRICTLY after its s1 time,
+    then s3 strictly after that, … with the step times (t1, t2, …).
+    The events analytics staple (conversion funnels over telemetry).
+
+    Shape: one keyed shuffle (_per_bucket on `key`), then per bucket a
+    VECTORIZED cascade — one pandas groupby-min per step (no per-key
+    Python): t_i = min ts of step-i rows with ts > t_{i-1}(key)."""
+    import pandas as pd
+
+    from .ratelimit import _per_bucket
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None            # Series: key → time of previous step
+        outs = []
+        for i, st in enumerate(steps):
+            rows = g[g[type_col] == st]
+            if cur is not None:
+                prev = rows[key].map(cur)
+                rows = rows[rows[ts_col] > prev.fillna(pd.Timestamp.max)]
+            cur = rows.groupby(key, sort=False)[ts_col].min()
+            outs.append(cur.rename(f"t{i + 1}"))
+        res = pd.concat(outs, axis=1, join="inner").reset_index()
+        return res.rename(columns={res.columns[0]: key})
+
+    return _per_bucket(ds, fold, key=key)
+
+
+def funnel_sql(steps: list[str], key: str = "user_id",
+               type_col: str = "event_type", ts_col: str = "ts",
+               table: str = "events") -> str:
+    """Matching DuckDB chained-CTE oracle for funnel_steps."""
+    ctes = []
+    for i, st in enumerate(steps):
+        s = st.replace("'", "''")
+        if i == 0:
+            ctes.append(
+                f"f1 AS (SELECT {key}, MIN({ts_col}) AS t1 FROM {table} "
+                f"WHERE {type_col} = '{s}' GROUP BY {key})")
+        else:
+            ctes.append(
+                f"f{i + 1} AS (SELECT e.{key}, MIN(e.{ts_col}) AS t{i + 1} "
+                f"FROM {table} e JOIN f{i} USING ({key}) "
+                f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > f{i}.t{i} "
+                f"GROUP BY e.{key})")
+    cols = ", ".join([f"f1.{key}"] + [f"t{i + 1}"
+                                      for i in range(len(steps))])
+    joins = " ".join(f"JOIN f{i + 1} USING ({key})"
+                     for i in range(1, len(steps)))
+    return (f"WITH {', '.join(ctes)} SELECT {cols} FROM f1 {joins}")

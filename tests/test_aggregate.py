@@ -668,3 +668,28 @@ def test_zscore_outliers_matches_duckdb(ray_session):
     np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
                                atol=2e-6)
     assert set(range(0, 400, 97)) <= {g[0] for g in got}
+
+
+def test_funnel_steps_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow as pa
+    from rsyslog_ray.stages.aggregate import funnel_sql, funnel_steps
+    rng = np.random.RandomState(9)
+    n = 600
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([f"u{rng.randint(40)}" for _ in range(n)]),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "error"], size=n).tolist()),
+        "ts": pa.array([base + np.timedelta64(int(x), "s")
+                        for x in rng.randint(0, 100000, size=n)],
+                       pa.timestamp("us")),
+    })
+    got = sorted((r["user_id"], r["t1"], r["t2"], r["t3"])
+                 for r in funnel_steps(
+        rd.from_arrow(t).repartition(5),
+        ["view", "click", "purchase"]).take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(
+        funnel_sql(["view", "click", "purchase"], table="t")).fetchall())
+    assert got == [tuple(w) for w in want]
+    assert 0 < len(got) < 40       # some but not all users convert
