@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- no-SQL-oracle entries LAST (rows-only driver check): if the
         # driver's per-round budget runs out mid-list, it costs a weaker
         # rows-only signal instead of a full rows+schema+hash row.
+        "ewma": Q.q_ewma,                       # recurrence, pandas oracle
         "distinct_users_hll": Q.q_distinct_users_hll,  # sketch
         "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash

@@ -1375,3 +1375,17 @@ def q_funnel(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/events.parquet",
                      columns=["user_id", "event_type", "ts"])
     return _to_table(funnel_steps(ds, ["view", "click", "purchase"]))
+
+
+def q_ewma(sf_dir: str) -> pa.Table:
+    """Per-user EWMA of event value along (ts, event_id) order — the
+    streaming anomaly-baseline recurrence; rows-only (no SQL form) +
+    pandas-oracle pytest."""
+    from ..stages.aggregate import ewma_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "ts", "user_id", "value"])
+    out = ewma_by_key(ds, key="user_id", order_cols=("ts", "event_id"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "ewma"])
+    return _to_table(out.map_batches(proj, batch_format="pyarrow"))

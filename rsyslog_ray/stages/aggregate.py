@@ -893,3 +893,25 @@ def funnel_sql(steps: list[str], key: str = "user_id",
     joins = " ".join(f"JOIN f{i + 1} USING ({key})"
                      for i in range(1, len(steps)))
     return (f"WITH {', '.join(ctes)} SELECT {cols} FROM f1 {joins}")
+
+
+def ewma_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
+                value_col: str = "value", alpha: float = 0.3,
+                out_col: str = "ewma", ndp: int = 6):
+    """Per-key exponentially-weighted moving average along the declared
+    order — the streaming-smoother/anomaly-baseline op (EWMA is a
+    recurrence, so no SQL oracle; pinned by a pandas-oracle pytest).
+    Same one-keyed-shuffle shape as every window op here; inside a
+    bucket pandas' C ewm kernel runs once per key group."""
+    import pandas as pd
+
+    from .ratelimit import _per_bucket
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_cols], kind="mergesort")
+        ew = (g.groupby(key, sort=False)[value_col]
+              .transform(lambda s: s.ewm(alpha=alpha, adjust=True).mean()))
+        g[out_col] = ew.round(ndp)
+        return g
+
+    return _per_bucket(ds, fold, key=key)

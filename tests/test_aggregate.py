@@ -693,3 +693,24 @@ def test_funnel_steps_matches_duckdb(ray_session):
         funnel_sql(["view", "click", "purchase"], table="t")).fetchall())
     assert got == [tuple(w) for w in want]
     assert 0 < len(got) < 40       # some but not all users convert
+
+
+def test_ewma_by_key_matches_pandas(ray_session):
+    import pyarrow as pa
+    from rsyslog_ray.stages.aggregate import ewma_by_key
+    rng = np.random.RandomState(4)
+    n = 300
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([f"u{i % 7}" for i in range(n)]),
+        "ts": pa.array(rng.permutation(n).tolist(), pa.int64()),
+        "value": pa.array(rng.normal(size=n), pa.float64()),
+    })
+    got = {r["event_id"]: r["ewma"] for r in ewma_by_key(
+        rd.from_arrow(t).repartition(4), key="user_id",
+        order_cols=("ts", "event_id")).take_all()}
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["ewma"] = (df.groupby("user_id")["value"]
+                  .transform(lambda s: s.ewm(alpha=0.3).mean()).round(6))
+    want = dict(zip(df["event_id"], df["ewma"]))
+    assert got == want
