@@ -125,6 +125,12 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("bpe_tokens", Q.q_bpe_tokens, sf_dir)
     timed("dup_ngrams", Q.q_dup_ngrams, sf_dir)
     timed("token_budget", Q.q_token_budget, sf_dir)
+    timed("conv_dedup", Q.q_conv_dedup, sf_dir)
+    timed("blocklist", Q.q_blocklist, sf_dir)
+    timed("sample_global", Q.q_sample_global, sf_dir)
+    timed("zscore", Q.q_zscore, sf_dir)
+    timed("funnel", Q.q_funnel, sf_dir)
+    timed("ewma", Q.q_ewma, sf_dir)
 
     out["queries"] = timings
     return out
