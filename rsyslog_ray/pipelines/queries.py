@@ -1389,3 +1389,30 @@ def q_ewma(sf_dir: str) -> pa.Table:
     def proj(t: pa.Table) -> pa.Table:
         return t.select(["event_id", "user_id", "ewma"])
     return _to_table(out.map_batches(proj, batch_format="pyarrow"))
+
+
+def q_pca(sf_dir: str) -> pa.Table:
+    """Distributed PCA over the embeddings table: one pass of O(d²)
+    Gram/mean partials → driver eigh; output = per-vector projection
+    onto the top-4 components. Rows-only + numpy-oracle pytest."""
+    from ..stages.clustering import pca_fit, pca_transform
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    comps, mean, _ = pca_fit(ds, n_components=4)
+    out = pca_transform(ds, comps, mean)
+
+    def explode(t: pa.Table) -> pa.Table:
+        # long form (vec_id, dim, value): hash-friendly flat schema
+        arr = t["pca"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        k = 4
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "dim": pa.array(np.tile(np.arange(1, k + 1), len(ids))),
+            "val": pa.array(flat, pa.float64()),
+        })
+    return _to_table(out.map_batches(explode, batch_format="pyarrow"))

@@ -206,3 +206,87 @@ def semdedup(ds, k: int = 8, eps: float = 0.05, id_col: str = "vec_id",
     pairs = semdedup_pairs(ds, k=k, eps=eps, id_col=id_col, col=col,
                            iters=iters, seed=seed)
     return drop_pair_partners(ds.select_columns([id_col]), pairs, id_col)
+
+
+def pca_fit(ds, col: str = "embedding", n_components: int = 8,
+            ndp: int = 9):
+    """Distributed PCA: ONE map_batches pass emits per-batch second-moment
+    partials (dim×dim Gram matrix + mean vector + count — O(d²) floats per
+    block, independent of rows); the driver folds them streaming, forms
+    the covariance, and runs np.linalg.eigh on the d×d matrix (d is
+    embedding width — hundreds — so the eig is trivial driver work).
+    Sign convention: each component's largest-|loading| coordinate is
+    made positive (eigenvector sign is arbitrary); rounded to `ndp` so
+    results are stable across batch splits. Returns (components
+    (n_components, d) float64, mean (d,), explained_var (n_components,))."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, col)
+        g = m.T @ m
+        return pa.table({
+            "i": pa.array(np.repeat(np.arange(g.shape[0]), g.shape[1])),
+            "j": pa.array(np.tile(np.arange(g.shape[1]), g.shape[0])),
+            "g": pa.array(g.ravel()),
+            "s": pa.array(np.repeat(m.sum(axis=0), g.shape[1])),
+            "n": pa.array(np.repeat(np.int64(len(m)), g.size)),
+        })
+
+    # dimension from one row (iter_batches may split a block's d² rows,
+    # so it cannot be inferred from a yielded batch)
+    d = len(ds.limit(1).take_all()[0][col])
+    gram = np.zeros((d, d))
+    ssum = np.zeros(d)
+    n_tot = 0
+    for t in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if not t.num_rows:
+            continue
+        i = t["i"].to_numpy(zero_copy_only=False)
+        j = t["j"].to_numpy(zero_copy_only=False)
+        np.add.at(gram, (i, j), t["g"].to_numpy(zero_copy_only=False))
+        jz = j == 0
+        np.add.at(ssum, i[jz], t["s"].to_numpy(zero_copy_only=False)[jz])
+        # each source block contributes exactly one (i=0, j=0) row, so
+        # this count survives iter_batches splitting/coalescing
+        z = jz & (i == 0)
+        n_tot += int(t["n"].to_numpy(zero_copy_only=False)[z].sum())
+    mean = ssum / n_tot
+    cov = gram / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T
+    for r in range(comps.shape[0]):          # deterministic sign
+        mx = np.argmax(np.abs(comps[r]))
+        if comps[r, mx] < 0:
+            comps[r] = -comps[r]
+    return (np.round(comps, ndp), np.round(mean, ndp),
+            np.round(np.maximum(w[order], 0.0), ndp))
+
+
+class PcaTransformStage:
+    """map_batches stage: project embeddings onto broadcast components."""
+
+    def __init__(self, comps_ref, mean_ref, id_col: str, col: str,
+                 ndp: int = 6):
+        self.comps = np.asarray(ray.get(comps_ref) if isinstance(
+            comps_ref, ray.ObjectRef) else comps_ref)
+        self.mean = np.asarray(ray.get(mean_ref) if isinstance(
+            mean_ref, ray.ObjectRef) else mean_ref)
+        self.id_col = id_col
+        self.col = col
+        self.ndp = ndp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch, self.col)
+        proj = np.round((m - self.mean) @ self.comps.T, self.ndp)
+        return pa.table({
+            self.id_col: pc.cast(batch[self.id_col], pa.int64()),
+            "pca": pa.array([r.tolist() for r in proj],
+                            pa.list_(pa.float64())),
+        })
+
+
+def pca_transform(ds, components: np.ndarray, mean: np.ndarray,
+                  id_col: str = "vec_id", col: str = "embedding"):
+    return ds.map_batches(
+        PcaTransformStage(ray.put(components), ray.put(mean), id_col, col),
+        batch_format="pyarrow")

@@ -109,3 +109,39 @@ def test_semdedup_pairs_symmetric_free_and_thresholded(ray_session):
     b = pairs["b"].to_numpy(zero_copy_only=False)
     sc = pairs["score"].to_numpy(zero_copy_only=False)
     assert (a < b).all() and (sc >= 0.99 - 1e-9).all()
+
+
+def test_pca_matches_numpy(ray_session):
+    from rsyslog_ray.stages.clustering import pca_fit, pca_transform
+    rng = np.random.RandomState(21)
+    # anisotropic cloud: PCA directions are well separated
+    basis = rng.normal(size=(12, 12))
+    scales = np.linspace(5, 0.1, 12)
+    m = (rng.normal(size=(300, 12)) * scales) @ basis
+    tbl = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m.astype(np.float64)],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(6)
+    comps, mean, ev = pca_fit(ds, n_components=4)
+    # numpy oracle
+    mu = m.mean(axis=0)
+    cov = (m - mu).T @ (m - mu) / len(m)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    ocomps = v[:, order].T
+    for r in range(4):
+        mx = np.argmax(np.abs(ocomps[r]))
+        if ocomps[r, mx] < 0:
+            ocomps[r] = -ocomps[r]
+    np.testing.assert_allclose(mean, mu, atol=1e-6)
+    np.testing.assert_allclose(ev, np.maximum(w[order], 0), rtol=1e-6)
+    np.testing.assert_allclose(comps, ocomps, atol=1e-6)
+    assert ev[0] > ev[1] > ev[2]
+    # transform: projections match, partition-invariant
+    got = {r["vec_id"]: r["pca"] for r in
+           pca_transform(ds, comps, mean).take_all()}
+    want = np.round((m - mean) @ comps.T, 6)
+    for i in range(300):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-9)
