@@ -1416,3 +1416,29 @@ def q_pca(sf_dir: str) -> pa.Table:
             "val": pa.array(flat, pa.float64()),
         })
     return _to_table(out.map_batches(explode, batch_format="pyarrow"))
+
+
+def q_sq8(sf_dir: str) -> pa.Table:
+    """Int8 scalar quantization of embeddings (FAISS SQ8 analogue):
+    per-dim [min,max] fold + broadcast quantize pass; long-form output.
+    Rows-only + roundtrip-error pytest."""
+    from ..stages.similarity import sq8_quantize
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    out = sq8_quantize(ds)
+
+    def explode(t: pa.Table) -> pa.Table:
+        arr = t["sq8"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ids = pc.cast(t["vec_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, k)),
+            "dim": pa.array(np.tile(np.arange(1, k + 1), len(ids))),
+            "code": pa.array(flat.astype(np.int64)),
+        })
+    return _to_table(out.map_batches(explode, batch_format="pyarrow"))

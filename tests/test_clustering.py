@@ -145,3 +145,27 @@ def test_pca_matches_numpy(ray_session):
     want = np.round((m - mean) @ comps.T, 6)
     for i in range(300):
         np.testing.assert_allclose(got[i], want[i], atol=1e-9)
+
+
+def test_sq8_roundtrip_error_bounded(ray_session):
+    from rsyslog_ray.stages.similarity import sq8_quantize, sq8_train
+    rng = np.random.RandomState(8)
+    m = rng.normal(size=(200, 10)) * np.linspace(0.5, 4, 10)
+    tbl = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(4)
+    lo, hi = sq8_train(ds)
+    np.testing.assert_allclose(lo, m.min(axis=0))
+    np.testing.assert_allclose(hi, m.max(axis=0))
+    got = {r["vec_id"]: np.asarray(r["sq8"]) for r in
+           sq8_quantize(ds, bounds=(lo, hi)).take_all()}
+    step = (hi - lo) / 255.0
+    for i in range(200):
+        deq = lo + got[i] * step
+        assert (np.abs(deq - m[i]) <= step / 2 + 1e-12).all()
+    # deterministic across partitionings
+    got2 = {r["vec_id"]: np.asarray(r["sq8"]) for r in
+            sq8_quantize(rd.from_arrow(tbl), bounds=(lo, hi)).take_all()}
+    assert all((got[i] == got2[i]).all() for i in range(200))
