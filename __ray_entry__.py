@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma": Q.q_ewma,                       # recurrence, pandas oracle
         "pca": Q.q_pca,                         # eigh on driver, numpy oracle
         "sq8": Q.q_sq8,                         # quantizer, roundtrip pytest
+        "bloom_decontaminate": Q.q_bloom_decontaminate,  # probabilistic
         "distinct_users_hll": Q.q_distinct_users_hll,  # sketch
         "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash

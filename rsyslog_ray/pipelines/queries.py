@@ -1442,3 +1442,31 @@ def q_sq8(sf_dir: str) -> pa.Table:
             "code": pa.array(flat.astype(np.int64)),
         })
     return _to_table(out.map_batches(explode, batch_format="pyarrow"))
+
+
+def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
+    """Bloom-filter decontamination (probabilistic sibling of
+    `decontaminate`): build the filter over eval-doc texts (doc_id%20==0)
+    at O(1) memory, drop corpus docs that are possible members. No false
+    negatives (every true contaminant is dropped); a ~1e-4 FPR of clean
+    docs may be over-dropped — rows-only + FPR pytest."""
+    from ..stages.bloom import bloom_build, bloom_filter_rows
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def side(want_eval):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20))
+            m = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(m)
+        return fn
+
+    evald = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    bits = bloom_build(evald, "text", m_bits=1 << 20, k=4)
+    out = bloom_filter_rows(corpus, bits, "text", negate=True)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+    return _to_table(out.map_batches(proj, batch_format="pyarrow"))

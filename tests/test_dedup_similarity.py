@@ -459,3 +459,31 @@ def test_first_occurrence_global_line_dedup(ray_session):
                  first_occurrence(rd.from_arrow(t).repartition(4))
                  .take_all())
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
+    from rsyslog_ray.stages.bloom import bloom_build, bloom_filter_rows
+    ref_vals = [f"seen-{i}" for i in range(2000)]
+    ref = rd.from_arrow(pa.table({"v": pa.array(ref_vals)})).repartition(4)
+    bits = bloom_build(ref, "v", m_bits=1 << 16, k=4)
+    probe_vals = ref_vals[:500] + [f"new-{i}" for i in range(2000)]
+    probe = rd.from_arrow(pa.table({"v": pa.array(probe_vals)}))
+    kept = {r["v"] for r in bloom_filter_rows(probe, bits, "v").take_all()}
+    assert set(ref_vals[:500]) <= kept          # no false negatives
+    fp = len(kept) - 500
+    # k=4, n=2000, m=65536 → theoretical FPR ≈ 1.2e-4; allow slack
+    assert fp / 2000 < 0.01, fp
+    # negate drops possible members, keeps the definite-new rows
+    clean = {r["v"] for r in bloom_filter_rows(
+        probe, bits, "v", negate=True).take_all()}
+    assert clean.isdisjoint(set(ref_vals))
+    assert len(clean) >= 2000 - fp - 1
+
+
+def test_bloom_partition_invariant(ray_session):
+    from rsyslog_ray.stages.bloom import bloom_build
+    vals = pa.table({"v": pa.array([f"x{i}" for i in range(999)])})
+    a = bloom_build(rd.from_arrow(vals), "v", m_bits=1 << 14)
+    b = bloom_build(rd.from_arrow(vals).repartition(7), "v",
+                    m_bits=1 << 14)
+    assert (a == b).all()
