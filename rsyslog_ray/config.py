@@ -127,6 +127,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
             partition_by=a.get("partition_by"),
             keep_columns=a.get("keep_columns"),
             format=a.get("format", "parquet"),
+            zip_level=a.get("zip_level", 0),
             only_if_previous_suspended=a.get("only_if_previous_suspended",
                                              False),
             target=target,

@@ -47,6 +47,10 @@ class Action:
     # the rendered template verbatim (tools/omfile.c writeFile); text mode
     # concatenates the `rendered` column bytes into .log part files
     format: str = "parquet"
+    # omfile zipLevel (tools/omfile.c, 0-9): text parts gzip-compressed to
+    # .log.gz — each part is a standalone gzip member, matching omfile's
+    # restart-safe stream-append property (cat of .gz parts is valid gzip)
+    zip_level: int = 0
     # execOnlyWhenPreviousIsSuspended (action.c:409,509-521): run only for
     # batches whose previous write-action just entered the suspended state
     only_if_previous_suspended: bool = False
@@ -214,7 +218,13 @@ class RouteWriter:
             col = "rendered" if "rendered" in table.column_names                 else table.column_names[0]
             vals = pc.fill_null(pc.cast(table[col], pa.string()), "")
             body = "".join(vals.to_pylist()).encode()
-            fname = fname.replace(".parquet", ".log")
+            zl = getattr(act, "zip_level", 0)
+            if zl:
+                import gzip
+                body = gzip.compress(body, compresslevel=zl, mtime=0)
+                fname = fname.replace(".parquet", ".log.gz")
+            else:
+                fname = fname.replace(".parquet", ".log")
             tmp = os.path.join(d, f"._tmp-{fname}")
             with open(tmp, "wb") as fh:
                 fh.write(body)

@@ -159,3 +159,21 @@ def test_text_sink_writes_rendered_lines(ray_session, tmp_path):
     files = glob.glob(str(tmp_path / "logs" / "part-*.log"))
     assert len(files) == 1
     assert open(files[0]).read() == "line one\nline two\n"
+
+
+def test_text_sink_zip_level(ray_session, tmp_path):
+    import glob
+    import gzip
+    from rsyslog_ray.stages.route import Action, RouteWriter, Ruleset
+    rs = Ruleset("m", [Action("logs", template="%msg%\n", format="text",
+                              zip_level=6)])
+    batch = pa.table({"msg": pa.array(["alpha", "beta"]),
+                      "conv_id": pa.array(["c1", "c2"]),
+                      "turn_idx": pa.array([0, 1], pa.int32()),
+                      "hostname": pa.array(["h", "h"]),
+                      "tag": pa.array(["", ""]),
+                      "appname": pa.array(["a", "a"])})
+    RouteWriter(rs, str(tmp_path))(batch)
+    files = glob.glob(str(tmp_path / "logs" / "part-*.log.gz"))
+    assert len(files) == 1
+    assert gzip.open(files[0], "rt").read() == "alpha\nbeta\n"
