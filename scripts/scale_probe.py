@@ -215,11 +215,30 @@ def main() -> None:
         return rd.read_parquet(emb_path)
 
     from rsyslog_ray.stages.clustering import (kmeans_cluster_stats,
+                                               pca_fit, pca_transform,
                                                semdedup)
     timed("kmeans", lambda: kmeans_cluster_stats(
         eds(), k=64, iters=3).count())
     timed("semdedup", lambda: semdedup(eds(), k=64, eps=0.01,
                                        iters=3).count())
+
+    def _pca():
+        comps, mean, _ = pca_fit(eds(), n_components=8)
+        return pca_transform(eds(), comps, mean).count()
+    timed("pca", _pca)
+
+    from rsyslog_ray.stages.similarity import sq8_quantize
+    timed("sq8", lambda: sq8_quantize(eds()).count())
+
+    from rsyslog_ray.stages.bloom import bloom_build, bloom_filter_rows
+
+    def _bloom():
+        evald = ds().map_batches(_side(True), batch_format="pyarrow")
+        corpus = ds().map_batches(_side(False), batch_format="pyarrow")
+        bits = bloom_build(evald, "text", m_bits=1 << 22)
+        return bloom_filter_rows(corpus, bits, "text",
+                                 negate=True).count()
+    timed("bloom_decontaminate", _bloom)
 
     print(json.dumps(results))
     ray.shutdown()
