@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": Q.q_token_budget,
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
+        "keyword_search": Q.q_keyword_search,
         "zscore": Q.q_zscore,
         "funnel": Q.q_funnel,
         "event_gaps": Q.q_event_gaps,

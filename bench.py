@@ -131,6 +131,9 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("zscore", Q.q_zscore, sf_dir)
     timed("funnel", Q.q_funnel, sf_dir)
     timed("ewma", Q.q_ewma, sf_dir)
+    timed("pca", Q.q_pca, sf_dir)
+    timed("sq8", Q.q_sq8, sf_dir)
+    timed("bloom_decontaminate", Q.q_bloom_decontaminate, sf_dir)
 
     out["queries"] = timings
     return out

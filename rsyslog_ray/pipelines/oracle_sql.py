@@ -947,6 +947,10 @@ SELECT min(conv_id) AS conv_id FROM d GROUP BY doc"""
     from ..stages.aggregate import funnel_sql  # noqa: PLC0415
     q["funnel"] = funnel_sql(["view", "click", "purchase"])
 
+    q["keyword_search"] = """
+SELECT DISTINCT doc_id FROM documents
+WHERE list_contains(regexp_extract_all(lower(text), '\\S+'), 'slow')"""
+
     q["zscore"] = """
 WITH s AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd

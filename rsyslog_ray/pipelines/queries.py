@@ -1470,3 +1470,18 @@ def q_bloom_decontaminate(sf_dir: str) -> pa.Table:
     def proj(t: pa.Table) -> pa.Table:
         return t.select(["doc_id"])
     return _to_table(out.map_batches(proj, batch_format="pyarrow"))
+
+
+def q_keyword_search(sf_dir: str) -> pa.Table:
+    """Inverted-index build + partition-pruned keyword lookup: postings
+    hash-partitioned by token; the search reads ONE partition of the
+    index, never the corpus. Oracled vs a token-membership scan."""
+    import shutil
+    from ..stages.index import build_inverted_index, search_index
+    from ..datagen import sf_tag_of_dir
+    root = f"/tmp/rsyslog_ray_out/index_{sf_tag_of_dir(sf_dir)}"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    build_inverted_index(ds, root)
+    return _finalize(search_index(root, "slow"))

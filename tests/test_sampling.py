@@ -294,3 +294,27 @@ def test_blocklist_filter_matches_sql(ray_session):
         "SELECT doc_id FROM t WHERE "
         + blocklist_sql(["badword"], table="t")).fetchall())
     assert got == want == [0, 3, 4]
+
+
+def test_inverted_index_build_and_search(ray_session, tmp_path):
+    from rsyslog_ray.stages.index import (build_inverted_index,
+                                          search_index, token_partition)
+    texts = ["alpha beta gamma", "beta delta", "ALPHA omega", "unrelated",
+             "beta beta beta"]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    root = str(tmp_path / "idx")
+    n = build_inverted_index(rd.from_arrow(t).repartition(3), root,
+                             n_partitions=4)
+    assert n == sum(len(set(x.lower().split())) for x in texts)
+    assert search_index(root, "beta", 4)["doc_id"].to_pylist() == [0, 1, 4]
+    assert search_index(root, "alpha", 4)["doc_id"].to_pylist() == [0, 2]
+    assert search_index(root, "missing", 4)["doc_id"].to_pylist() == []
+    # the lookup really is partition-pruned: only one part dir has beta
+    import os
+    import pyarrow.parquet as pq
+    part = token_partition("beta", 4)
+    others = [p for p in os.listdir(root) if p != f"part={part}"]
+    for o in others:
+        tt = pq.read_table(os.path.join(root, o), columns=["token"])
+        assert "beta" not in set(tt["token"].to_pylist())
