@@ -75,12 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
         "dup_ngrams": Q.q_dup_ngrams,
-        "token_budget": Q.q_token_budget,
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
         "keyword_search": Q.q_keyword_search,
         "zscore": Q.q_zscore,
-        "funnel": Q.q_funnel,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,
         "user_ntile": Q.q_user_ntile,
@@ -93,7 +91,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,
         "conv_docs": Q.q_conv_docs,
-        "conv_dedup": Q.q_conv_dedup,
         "range_join": Q.q_range_join,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "asof_join": Q.q_asof_join,
@@ -124,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_rollup": Q.q_conv_rollup,
         "sd_params": Q.q_sd_params,
         "parse_fields": Q.q_parse_fields,
+        "funnel": Q.q_funnel,
+        "token_budget": Q.q_token_budget,
+        "conv_dedup": Q.q_conv_dedup,
         "jaccard_dedup": Q.q_jaccard_dedup,
         "suppress_repeats": Q.q_suppress_repeats,
         "neardup_pairs": Q.q_neardup_pairs,
