@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
         "keyword_search": Q.q_keyword_search,
+        "chunk_docs": Q.q_chunk_docs,
         "zscore": Q.q_zscore,
         "event_gaps": Q.q_event_gaps,
         "running_total": Q.q_running_total,

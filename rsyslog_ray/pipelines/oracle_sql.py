@@ -951,6 +951,9 @@ SELECT min(conv_id) AS conv_id FROM d GROUP BY doc"""
 SELECT DISTINCT doc_id FROM documents
 WHERE list_contains(regexp_extract_all(lower(text), '\\S+'), 'slow')"""
 
+    from ..stages.sampling import chunk_sql  # noqa: PLC0415
+    q["chunk_docs"] = chunk_sql(128, 96)
+
     q["zscore"] = """
 WITH s AS (
   SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sd

@@ -1485,3 +1485,12 @@ def q_keyword_search(sf_dir: str) -> pa.Table:
                      columns=["doc_id", "text"])
     build_inverted_index(ds, root)
     return _finalize(search_index(root, "slow"))
+
+
+def q_chunk_docs(sf_dir: str) -> pa.Table:
+    """Overlapping character-window chunking (RAG pre-processing):
+    size-128 windows every 96 chars, vectorized explode."""
+    from ..stages.sampling import chunk_documents
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(chunk_documents(ds, size=128, stride=96))

@@ -689,3 +689,59 @@ def sample_global_n_sql(n: int = 100, id_col: str = "doc_id",
     return (f"SELECT {cols} FROM {table} ORDER BY "
             f"(CAST({id_col} AS HUGEINT) * {GLOBAL_SAMPLE_PRIME}) "
             f"% {_TWO64}, {id_col} LIMIT {n}")
+
+
+def chunk_documents(ds, size: int = 128, stride: int = 96,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Overlapping character-window chunking (the RAG / long-context
+    pre-processing op): doc → chunks of `size` chars starting every
+    `stride` chars; the last window is the remainder (non-empty), so
+    every character lands in ≥1 chunk. Fully vectorized explode: one
+    offsets pass + one zero-copy substring kernel per batch; output
+    (id, chunk_idx, chunk) with chunk_idx 0-based in document order."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        n_chunks = np.maximum((np.maximum(lens - 1, 0) // stride) + 1, 1)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        rowidx = np.repeat(np.arange(batch.num_rows), n_chunks)
+        cidx = (np.arange(len(rowidx))
+                - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        starts = cidx * stride
+        big = txt.take(pa.array(rowidx))
+        # utf8_slice_codeunits takes scalar bounds only → slice per
+        # distinct start offset (bounded by max chunks per doc, not rows)
+        out_chunks = np.empty(len(rowidx), dtype=object)
+        big_np = big.to_numpy(zero_copy_only=False)
+        for st in np.unique(starts):
+            m = starts == st
+            seg = pa.array(big_np[m], pa.string())
+            sl = pc.utf8_slice_codeunits(seg, int(st), int(st) + size)
+            out_chunks[m] = sl.to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids[rowidx]),
+            "chunk_idx": pa.array(cidx.astype(np.int64)),
+            "chunk": pa.array(out_chunks, pa.string()),
+        })
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_sql(size: int = 128, stride: int = 96, text_col: str = "text",
+              id_col: str = "doc_id", table: str = "documents") -> str:
+    """Matching DuckDB oracle (1-based substr)."""
+    return f"""
+WITH c AS (
+  SELECT {id_col},
+    CAST(unnest(range(0, CAST(
+      greatest(length({text_col}) - 1, 0) // {stride} + 1 AS BIGINT)))
+      AS BIGINT) AS chunk_idx,
+    {text_col} AS t
+  FROM {table}
+)
+SELECT {id_col}, chunk_idx,
+       substr(t, chunk_idx * {stride} + 1, {size}) AS chunk
+FROM c"""

@@ -318,3 +318,23 @@ def test_inverted_index_build_and_search(ray_session, tmp_path):
     for o in others:
         tt = pq.read_table(os.path.join(root, o), columns=["token"])
         assert "beta" not in set(tt["token"].to_pylist())
+
+
+def test_chunk_documents_covers_everything(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.sampling import chunk_documents, chunk_sql
+    texts = ["abcdefghij", "x", "", "a" * 25]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = sorted((r["doc_id"], r["chunk_idx"], r["chunk"])
+                 for r in chunk_documents(
+        rd.from_arrow(t).repartition(2), size=8, stride=5).take_all())
+    want = sorted(tuple(r) for r in duckdb.sql(
+        chunk_sql(8, 5, table="t")).fetchall())
+    assert got == [tuple(w) for w in want]
+    # reassembly: stride-prefixes of chunks (plus the final tail) == doc
+    doc0 = [c for (d, i, c) in got if d == 0]
+    assert doc0 == ["abcdefgh", "fghij"]
+    assert [c for (d, i, c) in got if d == 2] == [""]
+    assert "".join(c[:5] for c in [x for (d, _, x) in got if d == 3])[:25] \
+        == "a" * 25
