@@ -134,6 +134,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("pca", Q.q_pca, sf_dir)
     timed("sq8", Q.q_sq8, sf_dir)
     timed("bloom_decontaminate", Q.q_bloom_decontaminate, sf_dir)
+    timed("keyword_search", Q.q_keyword_search, sf_dir)
+    timed("chunk_docs", Q.q_chunk_docs, sf_dir)
 
     out["queries"] = timings
     return out
