@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props": Q.q_events_props,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
+        "decontaminate_frac": Q.q_decontaminate_frac,
         "dup_ngrams": Q.q_dup_ngrams,
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,

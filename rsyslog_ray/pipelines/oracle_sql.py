@@ -812,6 +812,32 @@ SELECT d.doc_id,
   COALESCE(round(CAST(per.dup AS DOUBLE) / per.total, 6), 0.0) AS dup_frac
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
 
+    q["decontaminate_frac"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM w WHERE len(ws) >= 5
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g FROM starts
+),
+eval_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+),
+ov AS (
+  SELECT grams.doc_id, COUNT(*) AS total,
+         SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS hits
+  FROM grams LEFT JOIN eval_g e USING (g)
+  WHERE grams.doc_id % 20 <> 0
+  GROUP BY grams.doc_id
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN ov ON d.doc_id = ov.doc_id
+WHERE d.doc_id % 20 <> 0
+  AND COALESCE(CAST(ov.hits AS DOUBLE) / ov.total, 0.0) < 0.2"""
+
     q["foreach_list"] = """
 SELECT vec_id,
   CAST(unnest(generate_series(1, len(embedding))) AS BIGINT) AS idx,

@@ -1494,3 +1494,28 @@ def q_chunk_docs(sf_dir: str) -> pa.Table:
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
     return _to_table(chunk_documents(ds, size=128, stride=96))
+
+
+def q_decontaminate_frac(sf_dir: str) -> pa.Table:
+    """GPT-3-style fractional decontamination: drop corpus docs whose
+    eval-set 5-gram overlap ratio is ≥ 0.2 (vs the any-hit rule of
+    `decontaminate`)."""
+    from ..stages.sampling import decontaminate_frac
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20))
+            mask = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(mask)
+        return fn
+
+    evald = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    out = decontaminate_frac(corpus, evald, n=5, frac=0.2)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+    return _to_table(out.map_batches(proj, batch_format="pyarrow"))

@@ -745,3 +745,29 @@ WITH c AS (
 SELECT {id_col}, chunk_idx,
        substr(t, chunk_idx * {stride} + 1, {size}) AS chunk
 FROM c"""
+
+
+def decontaminate_frac(ds, eval_ds, n: int = 5, frac: float = 0.1,
+                       text_col: str = "text"):
+    """Fractional-overlap decontamination (the GPT-3-style rule: drop a
+    training doc when ≥ `frac` of its word n-gram occurrences appear in
+    the eval set, rather than on ANY single hit). Same broadcast shape
+    as `decontaminate`; the per-batch membership mask feeds a bincount
+    instead of an any-reduction. Docs with no grams are kept."""
+    import ray as _ray
+    gram_ref = _ray.put(eval_ngram_set(eval_ds, text_col, n))
+
+    def keep_clean(batch: pa.Table) -> pa.Table:
+        gset = _ray.get(gram_ref) if isinstance(
+            gram_ref, _ray.ObjectRef) else gram_ref
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        total = np.bincount(rows, minlength=batch.num_rows) \
+            if len(g) else np.zeros(batch.num_rows, np.int64)
+        hits = np.zeros(batch.num_rows, np.int64)
+        if len(g) and len(gset):
+            m = pc.is_in(pa.array(g, pa.string()), value_set=gset)
+            hits = np.bincount(rows[m.to_numpy(zero_copy_only=False)],
+                               minlength=batch.num_rows)
+        ratio = np.where(total > 0, hits / np.maximum(total, 1), 0.0)
+        return batch.filter(pa.array(ratio < frac))
+    return ds.map_batches(keep_clean, batch_format="pyarrow")
