@@ -136,6 +136,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("bloom_decontaminate", Q.q_bloom_decontaminate, sf_dir)
     timed("keyword_search", Q.q_keyword_search, sf_dir)
     timed("chunk_docs", Q.q_chunk_docs, sf_dir)
+    timed("decontaminate_frac", Q.q_decontaminate_frac, sf_dir)
 
     out["queries"] = timings
     return out
