@@ -35,8 +35,6 @@ def word_histogram(ds, text_col: str = "text",
     Same exactness argument as textstats.top_ngrams: after bucket_merge
     every word's global count lives in exactly one block, so the union
     of per-block top-k's contains the global top-k."""
-    import pandas as pd
-
     def partial(batch: pa.Table) -> pa.Table:
         lists = pc.split_pattern_regex(
             pc.fill_null(pc.cast(batch[text_col], pa.string()), ""),
