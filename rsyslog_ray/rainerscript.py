@@ -1,0 +1,329 @@
+"""RainerScript front-end (subset) → the JSON config object model.
+
+Round 1-2 compiled the OBJECT MODEL only (config.load_config over a
+JSON dict), leaving the config *language* (grammar/grammar.y, lexer.l)
+out of scope. This module closes that gap for the useful batch subset —
+a hand-written tokenizer + recursive-descent parser (the reference uses
+flex/bison; ~same grammar shape) producing exactly the dict
+`config.load_config` consumes, so the whole existing compile path,
+including nested call rulesets and stop semantics, is reused unchanged.
+
+Supported subset (documented; the rest raises ParseError):
+  template(name="t" type="string" string="%msg%\\n")
+  ruleset(name="sub") { <statements> }          # callable via `call sub`
+  action(type="omfile" name="n" template="t" partition_by="col"
+         format="text" zipLevel=6 keep_columns=["a","b"])
+  module(load="mmjsonparse")                     # → modifiers list
+  stop                                           # also accepted: `~`
+  call <rulesetname>
+  if <expr> then <stmt-or-block> [else <stmt-or-block>]
+  expressions: $properties, 'str'/"str", numbers, [lists],
+      == != <= >= < > contains startswith, and / or / not, parens,
+      prifilt("fac.sev"), arithmetic + - *, string concat &
+Nested `if` compounds filters with `and`; `else` negates. `set`/`unset`,
+lookup() in expressions, and input()/global() directives are not in the
+subset (the object model covers them via JSON).
+
+Reference: grammar/grammar.y (cfline/script statements), lexer.l tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class ParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
+  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+""", re.VERBOSE)
+
+
+def _tokenize(src: str):
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ParseError(f"lex error at {src[i:i+30]!r}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        kind = m.lastgroup
+        val = m.group()
+        if kind == "str":
+            body = val[1:-1]
+            val = re.sub(r"\\(.)", lambda g: {"n": "\n", "t": "\t"}.get(
+                g.group(1), g.group(1)), body)
+        out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+        self.templates: dict[str, str] = {}
+        self.rulesets: dict[str, dict] = {}
+        self.modifiers: list = []
+        self._auto = 0
+
+    # -- token helpers ----------------------------------------------------
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ParseError(f"expected {val or kind}, got {v!r}")
+        return v
+
+    def accept(self, kind, val=None):
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return True
+        return False
+
+    # -- params -----------------------------------------------------------
+    def params(self) -> dict:
+        """(key="v" key=123 key=["a","b"]) — name=value pairs."""
+        self.expect("op", "(")
+        out = {}
+        while not self.accept("op", ")"):
+            key = self.next()[1]
+            self.expect("op", "=")
+            k, v = self.next()
+            if k == "num":
+                out[key] = float(v) if "." in v else int(v)
+            elif k == "str":
+                out[key] = v
+            elif k == "op" and v == "[":
+                vals = []
+                while not self.accept("op", "]"):
+                    kk, vv = self.next()
+                    if kk == "op" and vv == ",":
+                        continue
+                    vals.append(float(vv) if kk == "num" and "." in vv
+                                else int(vv) if kk == "num" else vv)
+                out[key] = vals
+            else:
+                raise ParseError(f"bad param value {v!r}")
+        return out
+
+    # -- expressions (precedence: or < and < not < cmp < add < mul) -------
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.accept("word", "or"):
+            left = ["or", left, self._and()]
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.accept("word", "and"):
+            left = ["and", left, self._not()]
+        return left
+
+    def _not(self):
+        if self.accept("word", "not"):
+            return ["not", self._not()]
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", "<=", ">=", "<", ">"):
+            self.next()
+            right = self._add()
+            if v == "==" and isinstance(right, list) and right and \
+                    right[0] == "_array":
+                return ["in", left, right[1:]]
+            if v == "!=" and isinstance(right, list) and right and \
+                    right[0] == "_array":
+                return ["not", ["in", left, right[1:]]]
+            return [v, left, right]
+        if k == "word" and v in ("contains", "startswith",
+                                 "contains_i", "startswith_i"):
+            self.next()
+            return [v, left, self._add()]
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-", "&"):
+                self.next()
+                left = [v, left, self._mul()]
+            else:
+                return left
+
+    def _mul(self):
+        left = self._atom()
+        while self.accept("op", "*"):
+            left = ["*", left, self._atom()]
+        return left
+
+    def _atom(self):
+        k, v = self.next()
+        if k == "prop":
+            name = v[1:]
+            if v.startswith("$!"):
+                return ["prop", v]        # JSON-tree path kept verbatim
+            return ["prop", name]
+        if k == "str":
+            return ["lit", v]
+        if k == "num":
+            return float(v) if "." in v else int(v)
+        if k == "op" and v == "(":
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if k == "op" and v == "[":
+            vals = ["_array"]
+            while not self.accept("op", "]"):
+                kk, vv = self.next()
+                if kk == "op" and vv == ",":
+                    continue
+                vals.append(float(vv) if kk == "num" and "." in vv
+                            else int(vv) if kk == "num" else vv)
+            return vals
+        if k == "word" and v == "prifilt":
+            self.expect("op", "(")
+            pat = self.expect("str")
+            self.expect("op", ")")
+            return ["prifilt", pat]
+        raise ParseError(f"unexpected token {v!r} in expression")
+
+    # -- statements -------------------------------------------------------
+    def statements(self, stop_at="}") -> list[dict]:
+        out = []
+        while True:
+            k, v = self.peek()
+            if (k == "op" and v == stop_at) or k == "eof":
+                return out
+            out.extend(self.statement())
+
+    def statement(self) -> list[dict]:
+        k, v = self.peek()
+        if k == "word" and v == "action":
+            self.next()
+            p = self.params()
+            self._auto += 1
+            a = {"name": p.get("name", f"action_{self._auto}")}
+            if "template" in p:
+                a["template"] = p["template"]
+            for src_key, dst in (("partition_by", "partition_by"),
+                                 ("dynaFile", "partition_by"),
+                                 ("format", "format"),
+                                 ("keep_columns", "keep_columns")):
+                if src_key in p:
+                    a[dst] = p[src_key]
+            if p.get("zipLevel"):
+                a["zip_level"] = int(p["zipLevel"])
+            if p.get("type") == "omdiscard":
+                a["kind"] = "stop"
+            return [a]
+        if k == "word" and v == "stop" or (k == "op" and v == "~"):
+            self.next()
+            return [{"name": f"stop_{self.i}", "kind": "stop"}]
+        if k == "word" and v == "call":
+            self.next()
+            name = self.next()[1]
+            if name not in self.rulesets:
+                raise ParseError(f"call of undefined ruleset {name!r}")
+            return [{"name": f"call_{name}", "kind": "call",
+                     "ruleset": self.rulesets[name]}]
+        if k == "word" and v == "if":
+            self.next()
+            cond = self.expr()
+            self.expect("word", "then")
+            then_stmts = self.block_or_stmt()
+            else_stmts = []
+            if self.accept("word", "else"):
+                else_stmts = self.block_or_stmt()
+            out = []
+            for s in then_stmts:
+                out.append(self._and_filter(s, cond))
+            for s in else_stmts:
+                out.append(self._and_filter(s, ["not", cond]))
+            return out
+        raise ParseError(f"unexpected statement start {v!r}")
+
+    def block_or_stmt(self) -> list[dict]:
+        if self.accept("op", "{"):
+            stmts = self.statements("}")
+            self.expect("op", "}")
+            return stmts
+        return self.statement()
+
+    @staticmethod
+    def _and_filter(stmt: dict, cond) -> dict:
+        stmt = dict(stmt)
+        if stmt.get("kind") == "call":
+            # gate the call action itself; the callee spec is untouched
+            pass
+        if "filter" in stmt and stmt["filter"] is not None:
+            stmt["filter"] = ["and", cond, stmt["filter"]]
+        else:
+            stmt["filter"] = cond
+        return stmt
+
+    # -- top level --------------------------------------------------------
+    def parse(self) -> dict:
+        main_stmts: list[dict] = []
+        while self.peek()[0] != "eof":
+            k, v = self.peek()
+            if k == "word" and v == "template":
+                self.next()
+                p = self.params()
+                if p.get("type", "string") != "string":
+                    raise ParseError("only type=\"string\" templates in "
+                                     "the subset")
+                self.templates[p["name"]] = p["string"]
+            elif k == "word" and v == "module":
+                self.next()
+                p = self.params()
+                self.modifiers.append(p["load"])
+            elif k == "word" and v == "ruleset":
+                self.next()
+                p = self.params()
+                self.expect("op", "{")
+                stmts = self.statements("}")
+                self.expect("op", "}")
+                self.rulesets[p["name"]] = {"name": p["name"],
+                                            "actions": stmts}
+            else:
+                main_stmts.extend(self.statement())
+        cfg: dict = {"ruleset": {"name": "main", "actions": main_stmts}}
+        if self.templates:
+            cfg["templates"] = self.templates
+        if self.modifiers:
+            cfg["modifiers"] = self.modifiers
+        return cfg
+
+
+def parse_rainerscript(src: str) -> dict:
+    """RainerScript (subset) text → config dict for config.load_config."""
+    return _Parser(src).parse()
+
+
+def load_rainerscript(src: str):
+    """Parse + compile in one step → CompiledConfig."""
+    from .config import load_config
+    return load_config(parse_rainerscript(src))
