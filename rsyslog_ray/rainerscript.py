@@ -17,6 +17,8 @@ Supported subset (documented; the rest raises ParseError):
   stop                                           # also accepted: `~`
   call <rulesetname>
   if <expr> then <stmt-or-block> [else <stmt-or-block>]
+  <pri-selector> <stmt-or-block>      # classic 'local0.err ...' /
+      '*.info;mail.none {...}' lines → prifilt filters
   expressions: $properties, 'str'/"str", numbers, [lists],
       == != <= >= < > contains startswith, and / or / not, parens,
       prifilt("fac.sev"), arithmetic + - *, string concat &
@@ -40,6 +42,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
   | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
@@ -249,6 +252,15 @@ class _Parser:
                 raise ParseError(f"call of undefined ruleset {name!r}")
             return [{"name": f"call_{name}", "kind": "call",
                      "ruleset": self.rulesets[name]}]
+        if k == "sel":
+            # classic PRI selector line: 'local0.err <statement>' /
+            # '*.info;mail.none { ... }' — the most common rsyslog form;
+            # identical semantics to if prifilt('<sel>') then <statement>
+            self.next()
+            out = []
+            for stmt in self.block_or_stmt():
+                out.append(self._and_filter(stmt, ["prifilt", v]))
+            return out
         if k == "word" and v == "if":
             self.next()
             cond = self.expr()

@@ -101,3 +101,23 @@ def test_rainerscript_expressions_and_errors():
         parse_rainerscript("if $a == then stop")
     with pytest.raises(ParseError):
         parse_rainerscript("frobnicate()")
+
+
+def test_classic_selector_lines():
+    cfg = parse_rainerscript("""
+local0.err action(name="errs")
+*.info;mail.none {
+    action(name="info")
+    stop
+}
+""")
+    acts = cfg["ruleset"]["actions"]
+    assert acts[0]["filter"] == ["prifilt", "local0.err"]
+    assert acts[0]["name"] == "errs"
+    assert acts[1]["filter"] == ["prifilt", "*.info;mail.none"]
+    assert acts[2]["kind"] == "stop"
+    assert acts[2]["filter"] == ["prifilt", "*.info;mail.none"]
+    # numbers must still lex as numbers, not selectors
+    c2 = parse_rainerscript("if $v == 1.5 then stop")
+    assert c2["ruleset"]["actions"][0]["filter"] == \
+        ["==", ["prop", "v"], 1.5]
