@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": Q.q_quality,
         "dedup_lines": Q.q_dedup_lines,
         "strfun": Q.q_strfun,
+        "set_vars": Q.q_set_vars,
         "lookup_enrich": Q.q_lookup_enrich,
         "sample_by_source": Q.q_sample_by_source,
         "hash_split": Q.q_hash_split,

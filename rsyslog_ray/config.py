@@ -131,6 +131,9 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
             only_if_previous_suspended=a.get("only_if_previous_suspended",
                                              False),
             target=target,
+            var=a.get("var"),
+            value=_to_expr(a["value"]) if a.get("value") is not None
+            else None,
         ))
     return Ruleset(spec.get("name", "main"), actions).validate()
 
@@ -145,6 +148,8 @@ class CompiledConfig:
         self.tables = _load_tables(cfg.get("lookup_tables", {}))
         self.ruleset = _compile_ruleset(cfg.get("ruleset", {"actions": []}),
                                         self.templates)
+        # bind lookup tables for ("lookup", name, key) expressions
+        self.ruleset.tables = self.tables
         self.modifiers = []
         for m in cfg.get("modifiers", []):
             if isinstance(m, str):

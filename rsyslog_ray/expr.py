@@ -72,13 +72,24 @@ class PropertyRegistry:
         "protocol-version": "protocol",
     }
 
-    def __init__(self, table: pa.Table):
+    def __init__(self, table: pa.Table, tables: dict | None = None):
         self.table = table
+        # lookup tables addressable from expressions via lookup("name", key)
+        # (grammar/rainerscript.c doFunct_Lookup) — bound by the ruleset
+        # executor from the config's lookup_tables
+        self.tables = tables or {}
         # per-row script errno (wti execState.script_errno analogue,
         # runtime/wti.h:82): set by the most recent errno-setting function
         # call evaluated against this batch; persists across statements
         # when one registry walks a whole ruleset (route_table)
         self.script_errno = None  # lazily: np.int64[n], 0 = RS_SCRIPT_EOK
+
+    def rebind(self, table: pa.Table) -> None:
+        """Point the registry at an updated batch (after a `set`/`unset`
+        statement rewrote a column) while keeping cross-statement state
+        (script errno, lookup tables). Row count must be unchanged —
+        set/unset never add or drop rows."""
+        self.table = table
 
     def set_errno(self, ok) -> None:
         """Record per-row errno from an errno-setting function's ok mask
@@ -110,6 +121,16 @@ class PropertyRegistry:
             raise KeyError(
                 f"property {name!r} needs a parsed JSON tree column "
                 f"(cee_json) — run mmjsonparse/parse_json first")
+        if stripped.startswith("."):
+            # local variable `$.name` (grammar/rainerscript.c VAR_LOCAL):
+            # stored as a batch column under its literal spelling by the
+            # `set` statement; an unset variable reads as "" (msg.c
+            # MsgGetProp returns the empty string for unknown vars)
+            col = "$." + stripped[1:]
+            if col in self.table.column_names:
+                return self._col(col)
+            n = self.table.num_rows
+            return pa.array([""] * n, pa.string())
         name_l = name.lower().lstrip("$")
         if name_l in self._COMPUTED:
             return self._COMPUTED[name_l](self)
@@ -437,6 +458,19 @@ def compile_expr(expr, props: PropertyRegistry):
                   else pc.is_valid(res))
             props.set_errno(ok)
         return res
+    if op == "lookup":
+        # lookup("table", key) (grammar/rainerscript.c doFunct_Lookup):
+        # resolves against the registry's bound lookup tables (config
+        # lookup_tables → Ruleset.tables). Key coerces to string like the
+        # reference's es_str2cstr of the key expression.
+        tbl = props.tables.get(expr[1])
+        if tbl is None:
+            raise KeyError(f"lookup table {expr[1]!r} not bound "
+                           f"(config lookup_tables)")
+        key = compile_expr(expr[2], props)
+        if not isinstance(key, (pa.Array, pa.ChunkedArray)):
+            key = pa.array([key] * props.table.num_rows)
+        return tbl.lookup_array(pc.cast(key, pa.string()))
     if op == "exists":
         # exists($!a!b) (grammar/rainerscript.c doFunct_Exists): key
         # presence in the JSON tree — distinguishes present-null from

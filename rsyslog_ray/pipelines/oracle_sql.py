@@ -286,6 +286,15 @@ SELECT severity,
   count(*) AS "rows"
 FROM alive GROUP BY 1, 2"""
 
+    q["set_vars"] = f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  upper(role) || '|' ||
+  CASE WHEN role = 'system' THEN ''
+       ELSE CAST(length(text) AS VARCHAR) END || '|' ||
+  CASE WHEN tool IS NOT NULL AND tool <> '' THEN 'tool_' || tool
+       ELSE '' END AS rendered
+FROM read_parquet('{src}')"""
+
     q["suppress_repeats"] = f"""
 WITH w AS (
   SELECT conv_id, turn_idx, text,

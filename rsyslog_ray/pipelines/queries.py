@@ -173,6 +173,35 @@ def q_strfun(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
 
 
+SET_VARS_SCRIPT = """
+template(name="t" type="string" string="%$.role_u%|%$!len%|%$.cls%")
+set $.role_u = toupper($role);
+set $!len = strlen($rawmsg);
+if $tool != "" then set $.cls = "tool_" & $tool;
+if $role == "system" then unset $!len;
+action(type="omfile" name="out" template="t")
+"""
+
+
+def q_set_vars(sf_dir: str) -> pa.Table:
+    """RainerScript `set`/`unset` statements (§2.3, grammar cnfstmtNewSet/
+    NewUnset): local ($.x) and JSON-tree ($!x) variables written by gated
+    set statements, read back by a later template — the whole path goes
+    through the LANGUAGE front-end (rainerscript.py), not the object
+    model."""
+    from ..rainerscript import load_rainerscript
+
+    rs = load_rainerscript(SET_VARS_SCRIPT).ruleset
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "role",
+                                         "tool", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        routed = route_table(batch, rs)
+        return routed["out"].select(["conv_id", "turn_idx", "rendered"])
+    return _to_table(ds.map_batches(fn, batch_format="pyarrow"))
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup over documents: keep min doc_id per identical text
     (hash-partitioned groupby; §dedup extras)."""

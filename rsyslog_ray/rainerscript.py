@@ -14,17 +14,24 @@ Supported subset (documented; the rest raises ParseError):
   action(type="omfile" name="n" template="t" partition_by="col"
          format="text" zipLevel=6 keep_columns=["a","b"])
   module(load="mmjsonparse")                     # → modifiers list
+  lookup_table(name="t" file="/path/tbl.json")   # → lookup_tables
   stop                                           # also accepted: `~`
   call <rulesetname>
+  set $!a!b = <expr>;  /  set $.local = <expr>;  # JSON-tree / local vars
+  unset $!a!b;  /  unset $.local;
   if <expr> then <stmt-or-block> [else <stmt-or-block>]
   <pri-selector> <stmt-or-block>      # classic 'local0.err ...' /
       '*.info;mail.none {...}' lines → prifilt filters
-  expressions: $properties, 'str'/"str", numbers, [lists],
+  expressions: $properties (incl. $!json!paths and $.locals),
+      'str'/"str", numbers, [lists],
       == != <= >= < > contains startswith, and / or / not, parens,
-      prifilt("fac.sev"), arithmetic + - *, string concat &
-Nested `if` compounds filters with `and`; `else` negates. `set`/`unset`,
-lookup() in expressions, and input()/global() directives are not in the
-subset (the object model covers them via JSON).
+      prifilt("fac.sev"), lookup("table", <expr>), exists($!path),
+      any registry function f(<expr>, ...) (strlen/tolower/re_match/
+      field/format_time/..., functions.REGISTRY), arithmetic + - *,
+      string concat &
+Nested `if` compounds filters with `and`; `else` negates. Statements may
+end with `;` (optional, as in the reference grammar). input()/global()
+directives are not in the subset (the object model covers them via JSON).
 
 Reference: grammar/grammar.y (cfline/script statements), lexer.l tokens.
 """
@@ -44,7 +51,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
-  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~)
+  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
   | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
 """, re.VERBOSE)
 
@@ -76,6 +83,7 @@ class _Parser:
         self.templates: dict[str, str] = {}
         self.rulesets: dict[str, dict] = {}
         self.modifiers: list = []
+        self.lookup_tables: dict[str, dict] = {}
         self._auto = 0
 
     # -- token helpers ----------------------------------------------------
@@ -211,6 +219,35 @@ class _Parser:
             pat = self.expect("str")
             self.expect("op", ")")
             return ["prifilt", pat]
+        if k == "word" and v == "exists":
+            # exists($!a!b) — key presence in the JSON tree
+            self.expect("op", "(")
+            p = self.expect("prop")
+            self.expect("op", ")")
+            return ["exists", p]
+        if k == "word" and v == "lookup":
+            # lookup("table", key-expr) (grammar doFunct_Lookup)
+            self.expect("op", "(")
+            tname = self.expect("str")
+            self.expect("op", ",")
+            key = self.expr()
+            self.expect("op", ")")
+            return ["lookup", tname, key]
+        if k == "word" and self.peek() == ("op", "("):
+            # registry function call f(arg, ...) — the fm* loadable-module
+            # surface (functions.REGISTRY); unknown names fail at parse
+            # time like the reference's unresolved-function config error
+            from .functions import REGISTRY
+            if v not in REGISTRY:
+                raise ParseError(f"unknown function {v!r}")
+            self.next()  # "("
+            args: list = []
+            if not self.accept("op", ")"):
+                args.append(self.expr())
+                while self.accept("op", ","):
+                    args.append(self.expr())
+                self.expect("op", ")")
+            return ["call", v] + args
         raise ParseError(f"unexpected token {v!r} in expression")
 
     # -- statements -------------------------------------------------------
@@ -241,13 +278,36 @@ class _Parser:
                 a["zip_level"] = int(p["zipLevel"])
             if p.get("type") == "omdiscard":
                 a["kind"] = "stop"
+            self.accept("op", ";")
             return [a]
+        if k == "op" and v == ";":      # empty statement
+            self.next()
+            return []
         if k == "word" and v == "stop" or (k == "op" and v == "~"):
             self.next()
+            self.accept("op", ";")
             return [{"name": f"stop_{self.i}", "kind": "stop"}]
+        if k == "word" and v == "set":
+            # set $!a!b = expr; / set $.local = expr;
+            self.next()
+            var = self.expect("prop")
+            self.expect("op", "=")
+            val = self.expr()
+            self.accept("op", ";")
+            self._auto += 1
+            return [{"name": f"set_{self._auto}", "kind": "set",
+                     "var": var, "value": val}]
+        if k == "word" and v == "unset":
+            self.next()
+            var = self.expect("prop")
+            self.accept("op", ";")
+            self._auto += 1
+            return [{"name": f"unset_{self._auto}", "kind": "unset",
+                     "var": var}]
         if k == "word" and v == "call":
             self.next()
             name = self.next()[1]
+            self.accept("op", ";")
             if name not in self.rulesets:
                 raise ParseError(f"call of undefined ruleset {name!r}")
             return [{"name": f"call_{name}", "kind": "call",
@@ -312,6 +372,14 @@ class _Parser:
                 self.next()
                 p = self.params()
                 self.modifiers.append(p["load"])
+            elif k == "word" and v == "lookup_table":
+                # lookup_table(name="t" file="/path.json") —
+                # plugins/lookup tables (runtime/lookup.c loadTable)
+                self.next()
+                p = self.params()
+                if "file" not in p:
+                    raise ParseError("lookup_table needs file=")
+                self.lookup_tables[p["name"]] = {"file": p["file"]}
             elif k == "word" and v == "ruleset":
                 self.next()
                 p = self.params()
@@ -327,6 +395,8 @@ class _Parser:
             cfg["templates"] = self.templates
         if self.modifiers:
             cfg["modifiers"] = self.modifiers
+        if self.lookup_tables:
+            cfg["lookup_tables"] = self.lookup_tables
         return cfg
 
 

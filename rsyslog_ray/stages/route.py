@@ -39,7 +39,7 @@ class Action:
     """One statement of a ruleset (cnfstmt analogue)."""
     name: str
     filter: tuple | None = None          # expr AST; None = always
-    kind: str = "write"                  # write | stop | noop | call
+    kind: str = "write"          # write | stop | noop | call | set | unset
     template: str | None = None          # template spec/name for `rendered`
     partition_by: str | None = None      # dynafile analogue
     keep_columns: list[str] | None = None
@@ -60,12 +60,24 @@ class Action:
     # kills the msg for the caller's LATER statements too (DISCARDMSG
     # propagates through scriptExec).
     target: "Ruleset | None" = None
+    # kind="set"/"unset" (grammar/rainerscript.c cnfstmtNewSet/NewUnset):
+    # `var` is the target variable — "$!a!b" writes into the message JSON
+    # tree (cee_json column), "$.name" a local variable (a batch column
+    # under its literal spelling). `value` is the expr AST for `set`.
+    # Only rows passing this statement's filter (∧ alive ∧ gate) are
+    # written; other rows keep their previous value — later statements
+    # (including stop filters and templates) see the update.
+    var: str | None = None
+    value: tuple | None = None
 
 
 @dataclass
 class Ruleset:
     name: str
     actions: list[Action] = dfield(default_factory=list)
+    # lookup tables addressable from filter/set expressions via
+    # ("lookup", name, key) — bound by config.load_config
+    tables: dict = dfield(default_factory=dict)
 
     def compiled_templates(self) -> dict[str, Template]:
         out = {}
@@ -99,17 +111,87 @@ class Ruleset:
         return self
 
 
+def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
+                  props: PropertyRegistry) -> pa.Table:
+    """One `set`/`unset` statement: rewrite the target variable's column
+    for masked rows, leave the rest untouched. Returns the updated batch
+    (same row count, same order)."""
+    from ..expr import compile_expr
+    from ..functions import json_set, json_unset
+
+    stripped = act.var.lstrip("$")
+    mask_arr = pa.array(mask)
+    n = batch.num_rows
+
+    def _col(name):
+        c = batch[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def _replace(name, col):
+        if name in batch.column_names:
+            return batch.set_column(batch.column_names.index(name),
+                                    name, col)
+        return batch.append_column(name, col)
+
+    if stripped.startswith("!"):
+        # message JSON tree: $!a!b → cee_json (msgAddJSON overwrite
+        # semantics; absent/null trees start from {})
+        path = stripped[1:]
+        col_name = ("json_tree" if "json_tree" in batch.column_names
+                    and "cee_json" not in batch.column_names else "cee_json")
+        base = (pc.cast(_col(col_name), pa.string())
+                if col_name in batch.column_names
+                else pa.nulls(n, pa.string()))
+        if act.kind == "set":
+            vals = compile_expr(act.value, props)
+            new = json_set(base, path, vals)
+        else:
+            new = json_unset(base, path)
+        return _replace(col_name, pc.if_else(mask_arr, new, base))
+
+    if stripped.startswith("."):
+        # local variable $.name → batch column under its literal spelling
+        col_name = "$." + stripped[1:]
+        old = (_col(col_name) if col_name in batch.column_names else None)
+        if act.kind == "unset":
+            if old is None:
+                return batch
+            return _replace(col_name,
+                            pc.if_else(mask_arr, pa.nulls(n, old.type), old))
+        vals = compile_expr(act.value, props)
+        if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            vals = pa.array([vals] * n)
+        elif isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if old is None:
+            old = pa.nulls(n, vals.type)
+        elif old.type != vals.type:
+            # a variable reassigned with a different type: both sides
+            # degrade to the JSON-ish common representation (string)
+            old = pc.cast(old, pa.string())
+            vals = pc.cast(vals, pa.string())
+        return _replace(col_name, pc.if_else(mask_arr, vals, old))
+
+    raise ValueError(
+        f"set/unset target must be a $! JSON path or $. local variable, "
+        f"got {act.var!r} (message properties are read-only, as in the "
+        f"reference)")
+
+
 def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
                   templates: dict[str, Template], out: dict,
                   gate: np.ndarray | None = None,
-                  props: PropertyRegistry | None = None) -> None:
-    """scriptExec over one statement list; mutates `alive` and `out`.
-    `gate` restricts which rows this (called) ruleset applies to.
-    `props` is the batch-wide shared registry: script_error() state set by
-    an errno-setting function in one statement's filter is visible to
-    LATER statements (the per-worker wti execState analogue)."""
+                  props: PropertyRegistry | None = None,
+                  tables: dict | None = None) -> pa.Table:
+    """scriptExec over one statement list; mutates `alive` and `out`,
+    returns the (possibly set/unset-updated) batch so callers and later
+    caller statements see variable writes. `gate` restricts which rows
+    this (called) ruleset applies to. `props` is the batch-wide shared
+    registry: script_error() state set by an errno-setting function in
+    one statement's filter is visible to LATER statements (the per-worker
+    wti execState analogue)."""
     if props is None:
-        props = PropertyRegistry(batch)
+        props = PropertyRegistry(batch, tables=tables)
     for act in actions:
         if act.kind == "write" and out is None:
             continue  # stop-only walk: write filters never touch `alive`
@@ -124,11 +206,16 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
         if act.kind == "stop":
             alive &= ~m
             continue
+        if act.kind in ("set", "unset"):
+            batch = _apply_setvar(batch, act, m, props)
+            props.rebind(batch)
+            continue
         if act.kind == "call" and act.target is not None:
-            # callee shares the caller's alive mask (stop propagates);
+            # callee shares the caller's alive mask (stop propagates) AND
+            # the caller's variable state (vars are per-message, msg.c);
             # only rows passing this statement's filter enter the callee
-            _exec_actions(batch, act.target.actions, alive, templates, out,
-                          gate=m, props=props)
+            batch = _exec_actions(batch, act.target.actions, alive,
+                                  templates, out, gate=m, props=props)
             continue
         if act.kind != "write" or out is None:
             continue
@@ -139,6 +226,7 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
         if act.keep_columns:
             sub = sub.select([c for c in act.keep_columns if c in sub.column_names])
         out[act.name] = sub
+    return batch
 
 
 def route_table(batch: pa.Table, ruleset: Ruleset,
@@ -152,7 +240,8 @@ def route_table(batch: pa.Table, ruleset: Ruleset,
     templates = templates or ruleset.compiled_templates()
     alive = np.ones(batch.num_rows, dtype=bool)
     out: dict[str, pa.Table] = {}
-    _exec_actions(batch, ruleset.actions, alive, templates, out)
+    _exec_actions(batch, ruleset.actions, alive, templates, out,
+                  tables=ruleset.tables)
     return out
 
 
@@ -383,7 +472,8 @@ def apply_stops(ds, ruleset: Ruleset):
     stops (e.g. the aggregate stage) sees."""
     def fn(batch: pa.Table) -> pa.Table:
         alive = np.ones(batch.num_rows, dtype=bool)
-        _exec_actions(batch, ruleset.actions, alive, {}, None)
+        batch = _exec_actions(batch, ruleset.actions, alive, {}, None,
+                              tables=ruleset.tables)
         return batch.filter(pa.array(alive))
     return ds.map_batches(fn, batch_format="pyarrow")
 

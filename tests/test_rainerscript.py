@@ -121,3 +121,110 @@ local0.err action(name="errs")
     c2 = parse_rainerscript("if $v == 1.5 then stop")
     assert c2["ruleset"]["actions"][0]["filter"] == \
         ["==", ["prop", "v"], 1.5]
+
+
+def test_set_unset_and_functions(ray_session):
+    import json
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = """
+template(name="t" type="string" string="%$.cls%|%$!note%|%msg%")
+set $.cls = tolower($app-name) & "!";
+if $severity <= 3 then {
+    set $!note = "sev" & cstr($severity);
+}
+if $.cls == "err!" then action(type="omfile" name="errs" template="t")
+action(type="omfile" name="all" template="t");
+unset $!note;
+if $severity <= 3 then unset $.cls;
+action(type="omfile" name="after" template="t")
+"""
+    cc = load_rainerscript(src)
+    batch = pa.table({
+        "msg": ["boom", "fine", "warn"],
+        "appname": ["ERR", "Info", "other"],
+        "severity": pa.array([2, 6, 3], pa.int64()),
+    })
+    routed = route_table(batch, cc.ruleset)
+    # set gated by if: only sev<=3 rows carry $!note; $.cls set everywhere
+    assert routed["errs"]["rendered"].to_pylist() == ["err!|sev2|boom"]
+    assert routed["all"]["rendered"].to_pylist() == [
+        "err!|sev2|boom", "info!||fine", "other!|sev3|warn"]
+    # unset $!note for all rows; $.cls unset only where sev<=3 (renders "")
+    assert routed["after"]["rendered"].to_pylist() == [
+        "||boom", "info!||fine", "||warn"]
+    # the JSON tree column reflects masked set/unset edits
+    assert json.loads(
+        routed["errs"]["cee_json"].to_pylist()[0]) == {"note": "sev2"}
+
+
+def test_set_chain_and_stop_interaction(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    # a set var drives a later stop; a second set reads the first
+    src = """
+set $.a = toupper($msg);
+set $.b = $.a & "-x";
+if $.b == "DROP-x" then stop
+action(name="kept" keep_columns=["msg"])
+"""
+    cc = load_rainerscript(src)
+    batch = pa.table({"msg": ["drop", "keep"]})
+    routed = route_table(batch, cc.ruleset)
+    assert routed["kept"]["msg"].to_pylist() == ["keep"]
+
+
+def test_lookup_in_expressions(ray_session, tmp_path):
+    import json
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    tbl = {"version": 1, "type": "string", "nomatch": "?",
+           "table": [{"index": "err", "value": "E"},
+                     {"index": "info", "value": "I"}]}
+    f = tmp_path / "tbl.json"
+    f.write_text(json.dumps(tbl))
+    src = f"""
+lookup_table(name="m" file="{f}")
+set $.cls = lookup("m", tolower($msg));
+if lookup("m", tolower($msg)) == "E" then action(name="e" keep_columns=["msg"])
+action(name="all" keep_columns=["$.cls"])
+"""
+    cc = load_rainerscript(src)
+    batch = pa.table({"msg": ["ERR", "info", "zzz"]})
+    routed = route_table(batch, cc.ruleset)
+    assert routed["e"]["msg"].to_pylist() == ["ERR"]
+    assert routed["all"]["$.cls"].to_pylist() == ["E", "I", "?"]
+
+
+def test_function_calls_parse_and_errors():
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    c = parse_rainerscript(
+        "if re_match($msg, 'a+') and strlen($msg) > 2 then stop")
+    f = c["ruleset"]["actions"][0]["filter"]
+    assert f == ["and", ["call", "re_match", ["prop", "msg"], ["lit", "a+"]],
+                 [">", ["call", "strlen", ["prop", "msg"]], 2]]
+    c = parse_rainerscript("set $.f = field($msg, ',', 2);")
+    a = c["ruleset"]["actions"][0]
+    assert a["kind"] == "set" and a["var"] == "$.f"
+    assert a["value"] == ["call", "field", ["prop", "msg"], ["lit", ","], 2]
+    with pytest.raises(ParseError):
+        parse_rainerscript("if nosuchfn($msg) then stop")
+    # message properties are read-only: rejected at execution time
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    cc = load_rainerscript("set $msg = 'x';\naction(name=\"a\")")
+    with pytest.raises(ValueError, match="read-only"):
+        route_table(pa.table({"msg": ["m"]}), cc.ruleset)
