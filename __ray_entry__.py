@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": Q.q_decontaminate,
         "decontaminate_frac": Q.q_decontaminate_frac,
         "dup_ngrams": Q.q_dup_ngrams,
+        "dedup_spans": Q.q_dedup_spans,
         "sample_global": Q.q_sample_global,
         "blocklist": Q.q_blocklist,
         "keyword_search": Q.q_keyword_search,

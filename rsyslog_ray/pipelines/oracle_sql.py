@@ -821,6 +821,44 @@ SELECT d.doc_id,
   COALESCE(round(CAST(per.dup AS DOUBLE) / per.total, 6), 0.0) AS dup_frac
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
 
+    q["dedup_spans"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS pos
+  FROM w
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM w WHERE len(ws) >= 5
+),
+grams AS (
+  SELECT doc_id, i, array_to_string(ws[i:i+4], ' ') AS g FROM starts
+),
+dups AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, cpos FROM (
+    SELECT grams.doc_id, unnest(generate_series(i, i + 4)) AS cpos
+    FROM grams JOIN dups USING (g))
+),
+kept AS (
+  SELECT t.doc_id, t.tok, t.pos
+  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.cpos = t.pos
+  WHERE c.doc_id IS NULL
+),
+tt AS (SELECT doc_id, COUNT(*) AS m FROM toks GROUP BY doc_id),
+kk AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned,
+              COUNT(*) AS kc
+       FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+  COALESCE(kk.cleaned, '') AS cleaned,
+  COALESCE(tt.m, 0) AS n_tokens,
+  COALESCE(tt.m, 0) - COALESCE(kk.kc, 0) AS n_removed
+FROM w LEFT JOIN tt USING (doc_id) LEFT JOIN kk USING (doc_id)"""
+
     q["decontaminate_frac"] = r"""
 WITH w AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents

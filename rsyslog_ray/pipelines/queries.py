@@ -1313,6 +1313,17 @@ def q_dup_ngrams(sf_dir: str) -> pa.Table:
     return _to_table(dup_ngram_fraction(ds, n=5))
 
 
+def q_dedup_spans(sf_dir: str) -> pa.Table:
+    """Exact duplicated-span REMOVAL (Lee et al. 2021 ExactSubstr cleaning
+    step): every occurrence of a word 5-gram with ≥2 total occurrences
+    corpus-wide is cut out of the text; kept tokens re-join with single
+    spaces."""
+    from ..stages.sampling import remove_dup_spans
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(remove_dup_spans(ds, n=5))
+
+
 def q_bpe_vocab(sf_dir: str) -> pa.Table:
     """Distributed BPE tokenizer induction (Sennrich 2016): one corpus
     pass builds the exact capped word histogram; the classic merge loop

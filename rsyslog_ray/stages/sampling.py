@@ -107,12 +107,11 @@ def sample_threshold_sql(weights: dict[str, float],
             f"ELSE CAST({dflt} AS HUGEINT) END")
 
 
-def _word_ngrams(txt: pa.Array, n: int):
-    """Whitespace-token word n-grams per row, space-joined — the exact
-    string DuckDB's array_to_string(ws[i:i+n-1], ' ') builds over
-    regexp_extract_all(text, '\\S+') tokens. Vectorized: one split pass,
-    U-dtype word matrix, n-1 np.char.add joins; grams never cross rows.
-    Returns (grams: np object array, gram_row: np int64 array)."""
+def _word_ngrams_pos(txt: pa.Array, n: int):
+    """Position-aware variant of _word_ngrams: additionally returns the
+    flat word array, each word's row index, and each gram's flat start
+    index — enough to rebuild documents after span removal.
+    Returns (grams, gram_flat_starts, words, word_row)."""
     lists = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
@@ -125,13 +124,25 @@ def _word_ngrams(txt: pa.Array, n: int):
     words, rowidx = words[nonempty], rowidx[nonempty]
     m = len(words)
     if m < n:
-        return np.empty(0, object), np.empty(0, np.int64)
+        return (np.empty(0, object), np.empty(0, np.int64), words, rowidx)
     ws = words.astype("U")          # fixed-width → np.char C kernels
     g = ws[:m - n + 1]
     for j in range(1, n):
         g = np.char.add(np.char.add(g, " "), ws[j:j + m - n + 1])
     valid = rowidx[:m - n + 1] == rowidx[n - 1:]
-    return g[valid].astype(object), rowidx[:m - n + 1][valid]
+    starts = np.arange(m - n + 1, dtype=np.int64)[valid]
+    return g[valid].astype(object), starts, words, rowidx
+
+
+def _word_ngrams(txt: pa.Array, n: int):
+    """Whitespace-token word n-grams per row, space-joined — the exact
+    string DuckDB's array_to_string(ws[i:i+n-1], ' ') builds over
+    regexp_extract_all(text, '\\S+') tokens. Vectorized: one split pass,
+    U-dtype word matrix, n-1 np.char.add joins; grams never cross rows.
+    Returns (grams: np object array, gram_row: np int64 array)."""
+    g, starts, words, rowidx = _word_ngrams_pos(txt, n)
+    rows = rowidx[starts] if len(starts) else np.empty(0, np.int64)
+    return g, rows
 
 
 def eval_ngram_set(eval_ds, text_col: str = "text", n: int = 5) -> pa.Array:
@@ -560,6 +571,103 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
         return pa.table({id_col: pc.cast(t[id_col], pa.int64()),
                          "dup_frac": pa.array(frac, pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, n: int = 5, text_col: str = "text",
+                     id_col: str = "doc_id", min_count: int = 2,
+                     broadcast_threshold: int = 5_000_000):
+    """Exact duplicated-span REMOVAL (the cleaning step of Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better", ExactSubstr):
+    every occurrence of a word n-gram appearing ≥ min_count times
+    corpus-wide (TOTAL occurrences, within-document repeats included — the
+    suffix-array criterion; dup_ngram_fraction's df counts distinct docs)
+    marks its n tokens; a document's kept tokens re-join with single
+    spaces. Whitespace canonicalization of the surviving text is the
+    documented deviation from the byte-exact reference (the paper operates
+    on token ids where the question doesn't arise). Docs with < n words
+    pass through (canonicalized). Output: (id, cleaned, n_tokens,
+    n_removed).
+
+    Shape: pass 1 emits per-batch (gram, occurrence-count) partials,
+    folded exactly like dup_ngram_fraction (driver group_by below
+    broadcast_threshold partial rows, hash-bucketed bucket_merge above);
+    the ≥min_count dup-gram set — a small corpus slice by Zipf — then
+    broadcasts once (ray.put) and pass 2 rebuilds every doc with one
+    vectorized is_in + interval-coverage cumsum + Arrow binary_join. No
+    corpus shuffle on either pass. A corpus whose dup-gram set itself
+    exceeds worker memory would need the (gram ⋈ occurrence) join path of
+    dup_ngram_fraction plus a doc-keyed re-join of covered positions —
+    out of scope here and log()-disclosed."""
+    import ray as _ray
+
+    def cf_partial(batch: pa.Table) -> pa.Table:
+        g, _ = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        if not len(g):
+            return pa.table({"g": pa.array([], pa.string()),
+                             "cf": pa.array([], pa.int64())})
+        vc = pc.value_counts(pa.array(g, pa.string()))
+        return pa.table({"g": vc.field("values"),
+                         "cf": pc.cast(vc.field("counts"), pa.int64())})
+
+    from .dedup import _materialize_nonempty
+    partials, n_part = _materialize_nonempty(
+        ds.map_batches(cf_partial, batch_format="pyarrow"),
+        [("g", pa.string()), ("cf", pa.int64())])
+
+    if n_part <= broadcast_threshold:
+        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        folded = tbl.group_by(["g"]).aggregate([("cf", "sum")])
+        gset = folded.filter(
+            pc.greater_equal(folded["cf_sum"], min_count))["g"] \
+            .combine_chunks()
+    else:
+        from .aggregate import bucket_merge
+        cf_tbl = bucket_merge(partials, ["g"], {"cf": ("cf", "sum")})
+
+        def only_dup(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["cf"],
+                                             min_count)).select(["g"])
+        dups, _n_dup = _materialize_nonempty(
+            cf_tbl.map_batches(only_dup, batch_format="pyarrow"),
+            [("g", pa.string())])
+        gset = pa.concat_tables(
+            _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
+    ref = _ray.put(gset)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        gs = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        g, starts, words, rowidx = _word_ngrams_pos(
+            pc.cast(batch[text_col], pa.string()), n)
+        m = len(words)
+        ntok = (np.bincount(rowidx, minlength=batch.num_rows)
+                if m else np.zeros(batch.num_rows, np.int64))
+        cov = np.zeros(m + 1, np.int64)
+        if len(g) and len(gs):
+            mdup = pc.is_in(pa.array(g, pa.string()),
+                            value_set=gs).to_numpy(zero_copy_only=False)
+            s = starts[mdup]
+            # interval coverage: +1 at each dup gram start, -1 past its
+            # end; a gram never crosses a row so coverage can't leak into
+            # the next document
+            np.add.at(cov, s, 1)
+            np.add.at(cov, s + n, -1)
+        covered = np.cumsum(cov[:-1]) > 0
+        kept = ~covered
+        keptr = rowidx[kept] if m else rowidx
+        kcnt = (np.bincount(keptr, minlength=batch.num_rows)
+                if m else np.zeros(batch.num_rows, np.int64))
+        offs = np.concatenate(([0], np.cumsum(kcnt)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(words[kept] if m else words, pa.string()))
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "cleaned": pc.binary_join(lists, " "),
+            "n_tokens": pa.array(ntok.astype(np.int64)),
+            "n_removed": pa.array((ntok - kcnt).astype(np.int64)),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow")
 
 
 #: fourth independent odd multiplier (murmur3 fmix64's) — token-budget order

@@ -338,3 +338,77 @@ def test_chunk_documents_covers_everything(ray_session):
     assert [c for (d, i, c) in got if d == 2] == [""]
     assert "".join(c[:5] for c in [x for (d, _, x) in got if d == 3])[:25] \
         == "a" * 25
+
+
+def test_remove_dup_spans_planted(ray_session):
+    """Planted duplicated 5-gram spans are removed from BOTH carriers
+    (total-occurrence criterion, within-doc repeats included); unique
+    text survives canonicalized."""
+    from rsyslog_ray.stages.sampling import remove_dup_spans
+
+    dup = "alpha beta gamma delta epsilon"
+    docs = [
+        f"one two {dup} three four",      # carrier A
+        f"{dup} five six seven eight",    # carrier B
+        "only unique words here nine",    # untouched (has 5 words, no dup)
+        f"{dup} {dup} inner repeat",      # within-doc repeat
+        "tiny doc",                       # < n words: pass-through
+        "  spaced   out\ttext  here now ",  # canonicalization only
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "text": docs})
+    out = remove_dup_spans(rd.from_arrow(tbl), n=5).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "cleaned"] == "one two three four"
+    assert out.loc[1, "cleaned"] == "five six seven eight"
+    assert out.loc[2, "cleaned"] == "only unique words here nine"
+    # overlapping grams of the 10-word repeat cover everything dup-ish;
+    # "inner repeat" tail survives only if no dup gram covers it
+    assert "inner repeat" in out.loc[3, "cleaned"] or \
+        out.loc[3, "cleaned"] == ""
+    assert out.loc[4, "cleaned"] == "tiny doc"
+    assert out.loc[5, "cleaned"] == "spaced out text here now"
+    assert out.loc[0, "n_tokens"] == 9 and out.loc[0, "n_removed"] == 5
+    assert out.loc[5, "n_removed"] == 0
+
+
+def test_remove_dup_spans_python_oracle_and_batching(ray_session):
+    """Exact Python-oracle recompute + batch-split invariance."""
+    from collections import Counter
+
+    from rsyslog_ray.stages.sampling import remove_dup_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+            for _ in range(80)]
+    n = 5
+
+    # oracle
+    cf = Counter()
+    toks = [d.split() for d in docs]
+    for ws in toks:
+        for i in range(len(ws) - n + 1):
+            cf[" ".join(ws[i:i + n])] += 1
+    dup = {g for g, c in cf.items() if c >= 2}
+    want = []
+    for ws in toks:
+        cov = [False] * len(ws)
+        for i in range(len(ws) - n + 1):
+            if " ".join(ws[i:i + n]) in dup:
+                for j in range(i, i + n):
+                    cov[j] = True
+        want.append(" ".join(w for w, c in zip(ws, cov) if not c))
+
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": docs})
+    prev = None
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = remove_dup_spans(ds, n=n).to_pandas() \
+            .set_index("doc_id").sort_index()
+        assert list(out["cleaned"]) == want
+        assert (out["n_removed"] >= 0).all()
+        if prev is not None:
+            assert list(out["cleaned"]) == prev
+        prev = list(out["cleaned"])
