@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq8": Q.q_sq8,                         # quantizer, roundtrip pytest
         "bloom_decontaminate": Q.q_bloom_decontaminate,  # probabilistic
         "distinct_users_hll": Q.q_distinct_users_hll,  # sketch
+        "tdigest": Q.q_tdigest,                 # quantile sketch
         "countmin_topk": Q.q_countmin_topk,  # sketch
         "dedup_simhash": Q.q_dedup_simhash,     # simhash
         "fingerprint": Q.q_fingerprint,         # rolling hash

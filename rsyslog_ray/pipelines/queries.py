@@ -269,6 +269,16 @@ def q_percentiles(sf_dir: str) -> pa.Table:
     return percentiles_by_key(ds)
 
 
+def q_tdigest(sf_dir: str) -> pa.Table:
+    """Approximate p50/p95/p99 via mergeable t-digest sketches — the
+    unbounded-value-domain scale path (rows-only: approximate by design;
+    accuracy bounds pinned by pytest against the exact readout)."""
+    from ..stages.aggregate import tdigest_quantiles_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+    return tdigest_quantiles_by_key(ds)
+
+
 def q_head_per_conv(sf_dir: str) -> pa.Table:
     """First 2 turns per conversation (ordered group-head sampling) —
     hash-bucketed, no global sort."""

@@ -319,6 +319,127 @@ def percentiles_by_key(ds, key: str = "event_type", value_col: str = "value",
                         for nm in names}})
 
 
+def _td_k1(q: float, delta: float) -> float:
+    """t-digest k1 scale function (Dunning & Ertl 2019, eq. 2):
+    k(q) = δ/(2π)·asin(2q−1) — cluster size budget ∝ q(1−q), so accuracy
+    concentrates at the tails."""
+    return delta / (2.0 * np.pi) * np.arcsin(
+        min(1.0, max(-1.0, 2.0 * q - 1.0)))
+
+
+def _td_compress(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Merge (mean, weight) centroids into ≤ ~2δ clusters (the MergingDigest
+    algorithm): sort by mean, greedily absorb neighbours while the merged
+    cluster's k-size stays ≤ 1. O(|centroids|) after the sort — runs on
+    partial digests (≤ a few thousand rows), never on raw values."""
+    if len(means) == 0:
+        return means.astype(np.float64), weights.astype(np.float64)
+    order = np.argsort(means, kind="mergesort")
+    means = means[order].astype(np.float64)
+    weights = weights[order].astype(np.float64)
+    total = weights.sum()
+    out_m: list[float] = []
+    out_w: list[float] = []
+    q0 = 0.0
+    k0 = _td_k1(q0, delta)
+    cm, cw = means[0], weights[0]
+    for i in range(1, len(means)):
+        w = weights[i]
+        if _td_k1(q0 + (cw + w) / total, delta) - k0 <= 1.0:
+            cm += (means[i] - cm) * (w / (cw + w))
+            cw += w
+        else:
+            out_m.append(cm)
+            out_w.append(cw)
+            q0 += cw / total
+            k0 = _td_k1(q0, delta)
+            cm, cw = means[i], w
+    out_m.append(cm)
+    out_w.append(cw)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _td_quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Interpolated quantile readout over sorted centroids (Dunning's
+    reference readout: centroids sit at the midpoint of their weight
+    span; linear interpolation between adjacent midpoints)."""
+    n = len(means)
+    if n == 0:
+        return float("nan")
+    if n == 1:
+        return float(means[0])
+    total = weights.sum()
+    target = q * total
+    # midpoint rank of each centroid
+    cum = np.cumsum(weights)
+    mids = cum - weights / 2.0
+    if target <= mids[0]:
+        return float(means[0])
+    if target >= mids[-1]:
+        return float(means[-1])
+    j = int(np.searchsorted(mids, target)) - 1
+    frac = (target - mids[j]) / (mids[j + 1] - mids[j])
+    return float(means[j] + frac * (means[j + 1] - means[j]))
+
+
+def tdigest_quantiles_by_key(ds, key: str = "event_type",
+                             value_col: str = "value",
+                             qs: tuple = (0.5, 0.95, 0.99),
+                             names: tuple = ("p50", "p95", "p99"),
+                             delta: float = 200.0) -> pa.Table:
+    """Approximate distributed percentiles for UNBOUNDED value domains —
+    the scale companion to percentiles_by_key (whose exact cent histogram
+    assumes a bounded discrete domain). Per-batch per-key t-digests
+    (Dunning & Ertl 2019) emit centroid rows (key, mean, weight) —
+    O(|keys|·δ) per batch, independent of row count AND value
+    cardinality; digests are mergeable, so one tiny driver fold
+    compresses per key and reads the quantiles out. Rank error is
+    O(q(1−q)/δ): tight at the tails, the p99-monitoring sweet spot.
+    Shuffle volume: centroid partials only — the raw values never move."""
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = pc.cast(batch[value_col], pa.float64())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        keys_arr = batch[key]
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        ok = pc.is_valid(vals)
+        vals = vals.filter(ok).to_numpy(zero_copy_only=False)
+        keys = np.asarray(keys_arr.filter(ok).to_pylist(), dtype=object)
+        out_k: list = []
+        out_m: list = []
+        out_w: list = []
+        if len(vals):
+            uk, inv = np.unique(keys, return_inverse=True)
+            for j, k in enumerate(uk):
+                v = vals[inv == j]
+                # equal values pre-collapse into weighted singletons
+                vm, vw = np.unique(v, return_counts=True)
+                m, w = _td_compress(vm, vw.astype(np.float64), delta)
+                out_k.extend([k] * len(m))
+                out_m.extend(m)
+                out_w.extend(w)
+        return pa.table({key: pa.array(out_k, pa.string()),
+                         "mean": pa.array(out_m, pa.float64()),
+                         "weight": pa.array(out_w, pa.float64())})
+
+    parts = pa.concat_tables(
+        [b for b in ds.map_batches(partial, batch_format="pyarrow")
+         .iter_batches(batch_size=None, batch_format="pyarrow")])
+    df = parts.to_pandas()
+    out_keys: list = []
+    out_cols: dict = {nm: [] for nm in names}
+    for k, g in df.groupby(key, sort=True):
+        m, w = _td_compress(g["mean"].to_numpy(), g["weight"].to_numpy(),
+                            delta)
+        out_keys.append(k)
+        for q, nm in zip(qs, names):
+            out_cols[nm].append(_td_quantile(m, w, q))
+    return pa.table({key: pa.array(out_keys),
+                     **{nm: pa.array(out_cols[nm], pa.float64())
+                        for nm in names}})
+
+
 def distinct_count_by(ds, key: str = "event_type", val: str = "user_id",
                       n_buckets: int | None = None,
                       driver_threshold: int = 5_000_000) -> pa.Table:

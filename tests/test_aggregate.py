@@ -714,3 +714,69 @@ def test_ewma_by_key_matches_pandas(ray_session):
                   .transform(lambda s: s.ewm(alpha=0.3).mean()).round(6))
     want = dict(zip(df["event_id"], df["ewma"]))
     assert got == want
+
+
+def test_tdigest_rank_accuracy_and_merge_invariance(ray_session):
+    """t-digest quantiles: rank error < 1% at p50/p95/p99 on a heavy-tail
+    distribution, stable under repartitioning (mergeable sketches), and
+    exact min/max behaviour at the extremes."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import tdigest_quantiles_by_key
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([rng.lognormal(0.0, 1.5, 30_000),
+                           rng.normal(100.0, 5.0, 20_000)])
+    keys = np.where(np.arange(len(vals)) % 2 == 0, "a", "b")
+    tbl = pa.table({"event_type": pa.array(keys.astype(object), pa.string()),
+                    "value": pa.array(vals, pa.float64())})
+
+    results = []
+    for nblocks in (1, 13):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = tdigest_quantiles_by_key(ds).to_pandas() \
+            .set_index("event_type").sort_index()
+        results.append(out)
+        for k in ("a", "b"):
+            v = np.sort(vals[keys == k])
+            for q, nm in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+                est = out.loc[k, nm]
+                # rank of the estimate in the true distribution
+                rank = np.searchsorted(v, est) / len(v)
+                assert abs(rank - q) < 0.01, (k, nm, rank, q)
+    # merge invariance: both partitionings land within the same rank band
+    for nm in ("p50", "p95", "p99"):
+        a = results[0][nm].to_numpy()
+        b = results[1][nm].to_numpy()
+        assert np.allclose(a, b, rtol=0.05), (nm, a, b)
+
+
+def test_tdigest_close_to_exact_percentiles(ray_session):
+    """On the real events table the sketch lands near the exact operator
+    (bounded 2-dp domain → both paths see the same data)."""
+    from rsyslog_ray.stages.aggregate import (percentiles_by_key,
+                                              tdigest_quantiles_by_key)
+    from rsyslog_ray.sources import read_scaled
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    exact = percentiles_by_key(
+        read_scaled(src, columns=["event_type", "value"])).to_pandas() \
+        .set_index("event_type").sort_index()
+    approx = tdigest_quantiles_by_key(
+        read_scaled(src, columns=["event_type", "value"])).to_pandas() \
+        .set_index("event_type").sort_index()
+    assert list(exact.index) == list(approx.index)
+    # the sketch's guarantee is on RANKS, not values (a sparse discrete
+    # tail can sit far apart in value space at adjacent ranks): the
+    # estimate's rank within each type's sorted values must be within
+    # ±0.02 of the target quantile (small-n slack: ±2 ranks)
+    ev = pq.read_table(src, columns=["event_type", "value"]).to_pandas()
+    for k, g in ev.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy())
+        for q, nm in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            est = approx.loc[k, nm]
+            rank = np.searchsorted(v, est, side="right") / len(v)
+            tol = max(0.02, 2.0 / len(v))
+            assert abs(rank - q) <= tol, (k, nm, rank, q, len(v))
