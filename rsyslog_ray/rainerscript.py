@@ -22,6 +22,10 @@ Supported subset (documented; the rest raises ParseError):
   if <expr> then <stmt-or-block> [else <stmt-or-block>]
   <pri-selector> <stmt-or-block>      # classic 'local0.err ...' /
       '*.info;mail.none {...}' lines → prifilt filters
+  :prop, [!]op, "value" <stmt-or-block>   # classic property filter
+      (op: contains|isequal|isempty|startswith|regex|ereregex)
+  Param names may be dotted (queue.type="..."); unknown action/ruleset
+  params are accepted and ignored (the reference warns on unused params).
   expressions: $properties (incl. $!json!paths and $.locals),
       'str'/"str", numbers, [lists],
       == != <= >= < > contains startswith, and / or / not, parens,
@@ -47,13 +51,23 @@ class ParseError(ValueError):
 
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
+  | (?P<pfilt>:\$?[A-Za-z][A-Za-z0-9_-]*[ \t]*,[ \t]*!?[a-z]+[ \t]*,
+              [ \t]*"(?:\\.|[^"\\])*")
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
   | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
-  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
 """, re.VERBOSE)
+
+#: classic property-filter compare operations → expr ops
+#: (grammar/rainerscript.c DecodePropFilter:302-318; regex is handled by
+#: the same ("regex", ...) op as ereregex — functions.re_match translates
+#: BRE/ERE differences)
+_PROPFILT_RE = re.compile(
+    r'^:(\$?[A-Za-z][A-Za-z0-9_-]*)[ \t]*,[ \t]*(!?)([a-z]+)[ \t]*,'
+    r'[ \t]*"((?:\\.|[^"\\])*)"$')
 
 
 def _tokenize(src: str):
@@ -115,7 +129,12 @@ class _Parser:
         out = {}
         while not self.accept("op", ")"):
             key = self.next()[1]
-            self.expect("op", "=")
+            # dotted param names (queue.type=...) lex as selector tokens,
+            # which greedily include a trailing '='
+            if key.endswith("="):
+                key = key[:-1]
+            else:
+                self.expect("op", "=")
             k, v = self.next()
             if k == "num":
                 out[key] = float(v) if "." in v else int(v)
@@ -312,6 +331,30 @@ class _Parser:
                 raise ParseError(f"call of undefined ruleset {name!r}")
             return [{"name": f"call_{name}", "kind": "call",
                      "ruleset": self.rulesets[name]}]
+        if k == "pfilt":
+            # classic property-based filter line (lexer.l PROPFILT):
+            #   :propname, [!]compare-op, "value" <statement-or-block>
+            self.next()
+            m = _PROPFILT_RE.match(v)
+            if not m:
+                raise ParseError(f"bad property filter {v!r}")
+            prop, neg, cmp_op, val = m.groups()
+            val = re.sub(r"\\(.)", r"\1", val)
+            pexpr = ["prop", prop.lstrip("$")]
+            ops = {"contains": lambda: ["contains", pexpr, ["lit", val]],
+                   "isequal": lambda: ["==", pexpr, ["lit", val]],
+                   "startswith": lambda: ["startswith", pexpr, ["lit", val]],
+                   "isempty": lambda: ["isempty", pexpr],
+                   "regex": lambda: ["regex", pexpr, val],
+                   "ereregex": lambda: ["regex", pexpr, val]}
+            if cmp_op not in ops:
+                raise ParseError(
+                    f"invalid compare operation {cmp_op!r} in {v!r}")
+            cond = ops[cmp_op]()
+            if neg:
+                cond = ["not", cond]
+            return [self._and_filter(s, cond)
+                    for s in self.block_or_stmt()]
         if k == "sel":
             # classic PRI selector line: 'local0.err <statement>' /
             # '*.info;mail.none { ... }' — the most common rsyslog form;

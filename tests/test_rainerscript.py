@@ -228,3 +228,58 @@ def test_function_calls_parse_and_errors():
     cc = load_rainerscript("set $msg = 'x';\naction(name=\"a\")")
     with pytest.raises(ValueError, match="read-only"):
         route_table(pa.table({"msg": ["m"]}), cc.ruleset)
+
+
+def test_classic_property_filters(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript, parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    cfg = parse_rainerscript("""
+:msg, contains, "error" action(name="a")
+:msg, !startswith, "ok" action(name="b")
+:msg, isempty, "" action(name="c")
+:msg, regex, "num[0-9]+" action(name="d")
+""")
+    acts = cfg["ruleset"]["actions"]
+    assert acts[0]["filter"] == ["contains", ["prop", "msg"],
+                                 ["lit", "error"]]
+    assert acts[1]["filter"] == ["not", ["startswith", ["prop", "msg"],
+                                         ["lit", "ok"]]]
+    assert acts[2]["filter"] == ["isempty", ["prop", "msg"]]
+    assert acts[3]["filter"] == ["regex", ["prop", "msg"], "num[0-9]+"]
+
+    cc = load_rainerscript("""
+:msg, contains, "error" {
+    action(name="errs" keep_columns=["msg"])
+    stop
+}
+action(name="rest" keep_columns=["msg"])
+""")
+    batch = pa.table({"msg": ["an error here", "all fine", ""]})
+    routed = route_table(batch, cc.ruleset)
+    assert routed["errs"]["msg"].to_pylist() == ["an error here"]
+    assert routed["rest"]["msg"].to_pylist() == ["all fine", ""]
+
+    with pytest.raises(ParseError):
+        parse_rainerscript(':msg, frobnicate, "x" action(name="a")')
+
+
+def test_dotted_param_names_accepted():
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    cfg = parse_rainerscript("""
+ruleset(name="r" queue.type="LinkedList" queue.size=50000) {
+    action(name="a" type="omfile" queue.dequeueBatchSize=256
+           action.resumeRetryCount=-1)
+}
+call r
+""")
+    acts = cfg["ruleset"]["actions"]
+    assert acts[0]["kind"] == "call"
+    # the queue.* / action.* params are accepted and ignored (the
+    # reference warns on unused params; Ray provides the queueing)
+    inner = acts[0]["ruleset"]["actions"][0]
+    assert inner["name"] == "a"
+    assert "queue.dequeueBatchSize" not in inner
