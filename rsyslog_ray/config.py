@@ -64,6 +64,8 @@ register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
 register_stage("mmutf8fix", _enrich_mod.mmutf8fix_table)
 register_stage("mmtaghostname", _enrich_mod.mmtaghostname_table)
 register_stage("mmrfc5424addhmac", _enrich_mod.mmrfc5424addhmac_table)
+register_stage("mmaudit", _enrich_mod.mmaudit_table)
+register_stage("mmsnmptrapd", _enrich_mod.mmsnmptrapd_table)
 
 
 def _mmnormalize(batch, **kw):

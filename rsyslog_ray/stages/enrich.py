@@ -500,3 +500,148 @@ def mmrfc5424addhmac_table(batch: pa.Table, key: str,
     i = batch.schema.get_field_index("structured_data")
     return batch.set_column(i, "structured_data",
                             pa.array(allsd, pa.string()))
+
+
+def _audit_kv_parse(s: str) -> dict | None:
+    """plugins/mmaudit/mmaudit.c audit_parse (parseName/parseValue,
+    :122-167): name runs to '=', value is '\\''-/'"'-quoted (to the
+    matching quote) or bare (to the next space); whitespace between
+    pairs skips. Returns None on the parse error the C code FINALIZEs
+    on (a name not followed by '=')."""
+    data: dict = {}
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i].isspace():
+            i += 1
+        j = i
+        while j < n and s[j] != "=":
+            j += 1
+        name = s[i:j]
+        if j >= n:                        # name without '='
+            return None if name else data
+        i = j + 1
+        if i < n and s[i] in ("'", '"'):
+            term = s[i]
+            i += 1
+        else:
+            term = " "
+        j = i
+        while j < n and s[j] != term:
+            j += 1
+        data[name] = s[i:j]
+        i = j + 1 if j < n else j
+    return data
+
+
+def mmaudit_table(batch: pa.Table, msg_col: str = "msg",
+                  out_col: str = "audit_json") -> pa.Table:
+    """plugins/mmaudit (mmaudit.c doAction:204-270): recognize Linux
+    audit records 'type=NNNN audit(<id>): k=v ...' and parse them into a
+    JSON tree {"data": {k: v, ...}, "hdr": {"auditid": ..., "type": N}}
+    (normalized sorted-key string in `out_col`), plus
+    `audit_parsesuccess`. Faithfully reproduces the reference's
+    off-by-one: `buf += sizeof(" audit(")` skips one char PAST the '(',
+    so the first character of the audit id is dropped (mmaudit.c:245).
+    Vectorized prefilter (one RE2 match over the column); only matched
+    rows pay the per-row k=v scan — same shape as pmpanngfw."""
+    import json as _json
+
+    msg = pc.cast(batch[msg_col], pa.string())
+    n = batch.num_rows
+    # leading-whitespace skip + header shape; auditID may be empty
+    pre = pc.extract_regex(
+        msg, r"^\s*type=(?P<t>[0-9]+) audit\((?P<id>[^)]*)\):(?P<rest>[\s\S]*)$")
+    if isinstance(pre, pa.ChunkedArray):
+        pre = pre.combine_chunks()
+    ok = pc.is_valid(pre).to_numpy(zero_copy_only=False)
+    out = np.full(n, None, dtype=object)
+    success = np.zeros(n, dtype=bool)
+    if ok.any():
+        idx = np.flatnonzero(ok)
+        st = pre.take(pa.array(idx))
+        types = st.field("t").to_pylist()
+        ids = st.field("id").to_pylist()
+        rests = st.field("rest").to_pylist()
+        for k, (t, aid, rest) in enumerate(zip(types, ids, rests)):
+            data = _audit_kv_parse(rest)
+            if data is None:
+                continue
+            tree = {"data": data,
+                    # the reference skips the first id char (see above)
+                    "hdr": {"auditid": aid[1:], "type": int(t)}}
+            out[idx[k]] = _json.dumps(tree, separators=(",", ":"),
+                                      sort_keys=True)
+            success[idx[k]] = True
+    return batch.append_column(out_col, pa.array(out, pa.string())) \
+        .append_column("audit_parsesuccess", pa.array(success))
+
+
+def mmsnmptrapd_table(batch: pa.Table, tag_name: str = "snmptrapd",
+                      severity_mapping: str = "",
+                      tag_col: str = "tag", host_col: str = "hostname",
+                      sev_col: str = "severity") -> pa.Table:
+    """plugins/mmsnmptrapd (mmsnmptrapd.c doAction:235-263): messages
+    whose TAG starts with '<tag_name>/' carry '<tag>/<severity>/<host>:';
+    the module extracts both components (getTagComponent: to the next
+    ' ', '/' or end; the host component requires its leading '/'), strips
+    a trailing ':' from the host, rewrites TAG to '<tag_name>:', sets
+    HOSTNAME to the extracted host (even when empty), and maps the
+    severity string to a numeric code via `severity_mapping`
+    ('warning/4,error/3' — buildSeverityMapping:272-310; unmapped
+    strings leave severity unchanged). Fully vectorized."""
+    sev_map: dict[str, int] = {}
+    if severity_mapping:
+        for pair in severity_mapping.split(","):
+            name, _, code = pair.partition("/")
+            if not code.strip().isdigit():
+                raise ValueError(f"invalid severity mapping entry {pair!r}")
+            c = int(code)
+            if not 0 <= c <= 7:
+                raise ValueError(f"severity code {c} outside 0..7")
+            sev_map[name] = c
+
+    tag = pc.cast(batch[tag_col], pa.string())
+    tag_id = tag_name + "/"
+    m = pc.starts_with(pc.fill_null(tag, ""), pattern=tag_id)
+    ex = pc.extract_regex(
+        pc.fill_null(tag, ""),
+        "^" + re.escape(tag_id) + r"(?P<sev>[^ /]*)(?P<hs>/?)(?P<host>[^ /]*)")
+    if isinstance(ex, pa.ChunkedArray):
+        ex = ex.combine_chunks()
+    mask = pc.and_(m, pc.is_valid(ex)).to_numpy(zero_copy_only=False)
+    out = batch
+    if mask.any():
+        sev_s = np.asarray(ex.field("sev").to_pylist(), dtype=object)
+        has_slash = np.asarray(ex.field("hs").to_pylist(), dtype=object)
+        host_s = np.asarray(ex.field("host").to_pylist(), dtype=object)
+        # host component exists only behind its '/'
+        host_s = np.where(has_slash == "/", host_s, "")
+        host_s = np.array([h[:-1] if h.endswith(":") else h
+                           for h in host_s], dtype=object)
+
+        def _col(name):
+            c = out[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        mk = pa.array(mask)
+        # TAG → '<tag_name>:'
+        newtag = pc.if_else(mk, pa.scalar(tag_name + ":"), _col(tag_col))
+        out = out.set_column(out.schema.get_field_index(tag_col), tag_col,
+                             pc.cast(newtag, out[tag_col].type))
+        if host_col in out.column_names:
+            hostv = _col(host_col).to_numpy(zero_copy_only=False) \
+                .astype(object)
+            hostv[mask] = host_s[mask]
+            out = out.set_column(out.schema.get_field_index(host_col),
+                                 host_col, pa.array(hostv, pa.string()))
+        if sev_col in out.column_names and sev_map:
+            codes = np.array([sev_map.get(s, -1) for s in sev_s],
+                             dtype=np.int64)
+            sv = pc.cast(_col(sev_col), pa.int64()) \
+                .to_numpy(zero_copy_only=False).copy()
+            upd = mask & (codes >= 0)
+            sv[upd] = codes[upd]
+            out = out.set_column(out.schema.get_field_index(sev_col),
+                                 sev_col,
+                                 pc.cast(pa.array(sv), out[sev_col].type))
+    return out

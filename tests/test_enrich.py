@@ -308,3 +308,113 @@ def test_mmrfc5424addhmac():
     assert out[1] == f'[hmac@0 hash="{d1}"]'              # '-' replaced
     assert out[2] == ""                                   # non-5424 skipped
     assert out[3] == '[hmac@0 hash="old"]'                # already signed
+
+
+def test_mmaudit_parses_audit_records(ray_session):
+    import json
+
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmaudit_table
+
+    batch = pa.table({"msg": [
+        "type=1305 audit(1234.567:890): auid=0 ses=1 op='add rule' res=1",
+        '  type=1300 audit(99.1:2): key="val with spaces" x=y',
+        "type=1305 audit(1:2): trailing space ",     # parse error: bare
+        "not an audit line",
+        "type=1305 noparen",
+    ]})
+    out = mmaudit_table(batch)
+    ok = out["audit_parsesuccess"].to_pylist()
+    assert ok == [True, True, False, False, False]
+    t0 = json.loads(out["audit_json"].to_pylist()[0])
+    # reference off-by-one: first char of the audit id is dropped
+    # (mmaudit.c buf += sizeof(" audit(") — documented quirk)
+    assert t0["hdr"] == {"auditid": "234.567:890", "type": 1305}
+    assert t0["data"] == {"auid": "0", "ses": "1", "op": "add rule",
+                          "res": "1"}
+    t1 = json.loads(out["audit_json"].to_pylist()[1])
+    assert t1["data"]["key"] == "val with spaces"
+    assert t1["hdr"]["auditid"] == "9.1:2"
+
+
+def test_mmaudit_python_oracle(ray_session):
+    """Property-ish check of the k=v scanner against a literal port of
+    parseName/parseValue run per record."""
+    import json
+
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmaudit_table
+
+    def c_oracle(rest):
+        i, n, data = 0, len(rest), {}
+        while i < n:
+            while i < n and rest[i].isspace():
+                i += 1
+            name = ""
+            while i < n and rest[i] != "=":
+                name += rest[i]
+                i += 1
+            if i >= n:
+                return None if name else data
+            i += 1
+            term = " "
+            if i < n and rest[i] in "'\"":
+                term = rest[i]
+                i += 1
+            val = ""
+            while i < n and rest[i] != term:
+                val += rest[i]
+                i += 1
+            if i < n:
+                i += 1
+            data[name] = val
+        return data
+
+    rests = [" a=1 b='x y' c=\"q\"", " a=1 b", "k='unterminated",
+             " x=1  y=2", "=v", " a==b", ""]
+    msgs = [f"type=7 audit(id:1):{r}" for r in rests]
+    out = mmaudit_table(pa.table({"msg": msgs}))
+    for r, js, ok in zip(rests, out["audit_json"].to_pylist(),
+                         out["audit_parsesuccess"].to_pylist()):
+        want = c_oracle(r)
+        if want is None:
+            assert not ok
+        else:
+            assert ok and json.loads(js)["data"] == want, r
+
+
+def test_mmsnmptrapd_rewrites(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmsnmptrapd_table
+
+    batch = pa.table({
+        "tag": ["snmptrapd/warning/box1:", "snmptrapd/error/box2:",
+                "snmptrapd/unknownsev/box3:", "snmptrapd/warning box4",
+                "othertag:", "snmptrapd//box5:"],
+        "hostname": ["h"] * 6,
+        "severity": pa.array([6, 6, 6, 6, 6, 6], pa.int64()),
+    })
+    out = mmsnmptrapd_table(batch,
+                            severity_mapping="warning/4,error/3")
+    assert out["tag"].to_pylist() == [
+        "snmptrapd:", "snmptrapd:", "snmptrapd:", "snmptrapd:",
+        "othertag:", "snmptrapd:"]
+    # host extracted (trailing ':' stripped); missing '/'-host → ""
+    assert out["hostname"].to_pylist() == [
+        "box1", "box2", "box3", "", "h", "box5"]
+    # mapped severities update; unmapped stay
+    assert out["severity"].to_pylist() == [4, 3, 6, 4, 6, 6]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mmsnmptrapd_table(batch, severity_mapping="warning/9")
+
+
+def test_mm_audit_snmptrapd_registered():
+    from rsyslog_ray.config import STAGE_REGISTRY
+
+    assert "mmaudit" in STAGE_REGISTRY
+    assert "mmsnmptrapd" in STAGE_REGISTRY
