@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": Q.q_tfidf,
         "equi_join": Q.q_equi_join,
         "conv_docs": Q.q_conv_docs,
+        "sft_pairs": Q.q_sft_pairs,
         "range_join": Q.q_range_join,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "asof_join": Q.q_asof_join,

@@ -137,6 +137,12 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("keyword_search", Q.q_keyword_search, sf_dir)
     timed("chunk_docs", Q.q_chunk_docs, sf_dir)
     timed("decontaminate_frac", Q.q_decontaminate_frac, sf_dir)
+    # this session: exact duplicated-span removal, t-digest quantile
+    # sketch, RainerScript set/unset through the language front-end
+    timed("dedup_spans", Q.q_dedup_spans, sf_dir)
+    timed("tdigest", Q.q_tdigest, sf_dir)
+    timed("set_vars", Q.q_set_vars, sf_dir)
+    timed("sft_pairs", Q.q_sft_pairs, sf_dir)
 
     out["queries"] = timings
     return out

@@ -286,6 +286,22 @@ SELECT severity,
   count(*) AS "rows"
 FROM alive GROUP BY 1, 2"""
 
+    q["sft_pairs"] = f"""
+WITH w AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+    max(CASE WHEN role = 'user' THEN CAST(turn_idx AS BIGINT) END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS prompt_turn_idx,
+    last_value(CASE WHEN role = 'user' THEN text END IGNORE NULLS)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{src}')
+)
+SELECT conv_id, prompt_turn_idx, turn_idx AS response_turn_idx,
+       prompt, text AS response
+FROM w WHERE role = 'assistant' AND prompt_turn_idx IS NOT NULL"""
+
     q["set_vars"] = f"""
 SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
   upper(role) || '|' ||

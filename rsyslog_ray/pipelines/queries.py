@@ -1064,6 +1064,17 @@ def q_equi_join(sf_dir: str) -> pa.Table:
                                materialize_right=False))
 
 
+def q_sft_pairs(sf_dir: str) -> pa.Table:
+    """SFT prompt→response pair construction: each assistant turn pairs
+    with the latest preceding user turn of its conversation (window
+    last_value IGNORE NULLS twin)."""
+    from ..stages.aggregate import sft_pairs
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "role",
+                                         "text"])
+    return _to_table(sft_pairs(ds))
+
+
 def q_conv_docs(sf_dir: str) -> pa.Table:
     """Conversation-document reconstruction: per-conv ordered text concat
     (string_agg ORDER BY turn_idx) — the 'turns → training document'

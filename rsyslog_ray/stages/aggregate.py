@@ -759,6 +759,48 @@ def lag_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
     return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
 
 
+def sft_pairs(ds, key: str = "conv_id", order_col: str = "turn_idx",
+              role_col: str = "role", text_col: str = "text",
+              prompt_role: str = "user", response_role: str = "assistant",
+              n_buckets: int | None = None):
+    """Prompt→response pair construction for SFT training data: every
+    `response_role` turn pairs with the LATEST preceding `prompt_role`
+    turn of the same conversation (intervening turns — tool calls,
+    system notes — are skipped); responses with no preceding prompt are
+    dropped. SQL twin: last_value(... IGNORE NULLS) OVER (PARTITION BY
+    conv ORDER BY turn ROWS ... 1 PRECEDING) + a role filter.
+
+    Shape: the same hash-bucketed one-pandas-pass-per-bucket layout as
+    lag_by_key — a conversation's rows co-locate once; inside the bucket
+    a groupwise forward-fill resolves every response's prompt in O(rows).
+    Shuffle volume is the projected 4 columns once."""
+    import pandas as pd
+
+    from .ratelimit import _per_bucket
+
+    def fn(g):
+        g = g.sort_values([key, order_col], kind="mergesort")
+        is_p = g[role_col] == prompt_role
+        grp_keys = g[key]
+        p_idx = g[order_col].where(is_p).groupby(grp_keys, sort=False) \
+            .ffill()
+        p_txt = g[text_col].where(is_p).groupby(grp_keys, sort=False) \
+            .ffill()
+        m = (g[role_col] == response_role) & p_idx.notna()
+        out = pd.DataFrame({
+            key: g.loc[m, key],
+            "prompt_turn_idx": p_idx[m].astype("int64"),
+            "response_turn_idx": g.loc[m, order_col].astype("int64"),
+            "prompt": p_txt[m],
+            "response": g.loc[m, text_col],
+        })
+        return out.reset_index(drop=True)
+
+    return _per_bucket(
+        ds.select_columns([key, order_col, role_col, text_col]),
+        fn, n_buckets=n_buckets, key=key)
+
+
 def cumsum_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
                   value_col: str = "value", out_col: str = "running_total",
                   n_buckets: int | None = None):

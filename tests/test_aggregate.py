@@ -780,3 +780,42 @@ def test_tdigest_close_to_exact_percentiles(ray_session):
             rank = np.searchsorted(v, est, side="right") / len(v)
             tol = max(0.02, 2.0 / len(v))
             assert abs(rank - q) <= tol, (k, nm, rank, q, len(v))
+
+
+def test_sft_pairs(ray_session):
+    """Each assistant turn pairs with the latest PRECEDING user turn;
+    tool/system turns are skipped; assistant turns before any user turn
+    drop; result is batch-partition invariant."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import sft_pairs
+
+    rows = [
+        # conv A: a0 drops (no preceding user), u1→a3 (tool skipped),
+        # u4→a5 and u4→a6 (two responses share a prompt)
+        ("A", 0, "assistant", "orphan"),
+        ("A", 1, "user", "q1"),
+        ("A", 2, "tool", "t"),
+        ("A", 3, "assistant", "r1"),
+        ("A", 4, "user", "q2"),
+        ("A", 5, "assistant", "r2a"),
+        ("A", 6, "assistant", "r2b"),
+        # conv B: system-led, one pair
+        ("B", 0, "system", "s"),
+        ("B", 1, "user", "qq"),
+        ("B", 2, "assistant", "rr"),
+    ]
+    tbl = pa.table({
+        "conv_id": [r[0] for r in rows],
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": [r[2] for r in rows],
+        "text": [r[3] for r in rows],
+    })
+    want = [("A", 1, 3, "q1", "r1"), ("A", 4, 5, "q2", "r2a"),
+            ("A", 4, 6, "q2", "r2b"), ("B", 1, 2, "qq", "rr")]
+    for nblocks in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = sft_pairs(ds).to_pandas().sort_values(
+            ["conv_id", "response_turn_idx"]).reset_index(drop=True)
+        got = list(out.itertuples(index=False, name=None))
+        assert got == want, (nblocks, got)
