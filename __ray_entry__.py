@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize": Q.q_nfc_normalize,
         "shuffle_shards": Q.q_shuffle_shards,
         "events_props": Q.q_events_props,
+        "profile": Q.q_profile,
         "hopping_window": Q.q_hopping_window,
         "decontaminate": Q.q_decontaminate,
         "decontaminate_frac": Q.q_decontaminate_frac,

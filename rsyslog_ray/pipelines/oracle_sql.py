@@ -286,6 +286,13 @@ SELECT severity,
   count(*) AS "rows"
 FROM alive GROUP BY 1, 2"""
 
+    _prof_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    q["profile"] = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS "column", count(*) AS n_rows,
+  count(*) - count({c}) AS n_nulls,
+  count(DISTINCT {c}) AS n_distinct FROM read_parquet('{src}')"""
+        for c in _prof_cols)
+
     q["sft_pairs"] = f"""
 WITH w AS (
   SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,

@@ -1064,6 +1064,16 @@ def q_equi_join(sf_dir: str) -> pa.Table:
                                materialize_right=False))
 
 
+def q_profile(sf_dir: str) -> pa.Table:
+    """Dataset profiler: exact per-column (rows, nulls, distinct) in one
+    pass — the pre-ingestion data-audit readout."""
+    from ..stages.aggregate import profile_columns
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "role",
+                                         "tool", "ts"])
+    return _to_table(profile_columns(ds))
+
+
 def q_sft_pairs(sf_dir: str) -> pa.Table:
     """SFT prompt→response pair construction: each assistant turn pairs
     with the latest preceding user turn of its conversation (window

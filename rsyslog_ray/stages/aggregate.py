@@ -759,6 +759,117 @@ def lag_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
     return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
 
 
+def profile_columns(ds, columns: list[str] | None = None,
+                    driver_threshold: int = 5_000_000) -> pa.Table:
+    """Dataset profiler — the 'describe' of a 100 TB table: one long-form
+    row per column with exact (n_rows, n_nulls, n_distinct), the data-
+    audit readout run before training-corpus ingestion. n_distinct
+    matches SQL COUNT(DISTINCT col) (nulls excluded).
+
+    Shape: ONE pass emits per-batch per-column (rows, nulls) scalars plus
+    the batch's DISTINCT (column, value-as-string) pairs (the combiner —
+    within-batch repeats collapse before any exchange; casting to string
+    is injective for the scalar types profiled, so string-distinct =
+    value-distinct). Pairs then fold exactly like distinct_count_by:
+    whole-pair dedupe on the driver below `driver_threshold`, else
+    hash-bucketed by value so per-bucket distincts are globally distinct.
+    Counts fold driver-side — O(columns), not O(rows)."""
+    import ray as _ray
+
+    if columns is None:
+        columns = ds.schema().names
+    from ..cluster import cluster_buckets
+    nb = cluster_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols_out, rows_out, nulls_out, vals_col, vals_val = [], [], [], [], []
+        for c in columns:
+            arr = batch[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols_out.append(c)
+            rows_out.append(len(arr))
+            nulls_out.append(arr.null_count)
+            u = pc.unique(pc.cast(arr.drop_null(), pa.string()))
+            vals_col.extend([c] * len(u))
+            vals_val.extend(u.to_pylist())
+        stats = pa.table({"column": pa.array(cols_out, pa.string()),
+                          "n_rows": pa.array(rows_out, pa.int64()),
+                          "n_nulls": pa.array(nulls_out, pa.int64()),
+                          "value": pa.nulls(len(cols_out), pa.string()),
+                          "_kind": pa.array([0] * len(cols_out), pa.int8())})
+        pairs = pa.table({"column": pa.array(vals_col, pa.string()),
+                          "n_rows": pa.array(
+                              np.zeros(len(vals_col), np.int64)),
+                          "n_nulls": pa.array(
+                              np.zeros(len(vals_col), np.int64)),
+                          "value": pa.array(vals_val, pa.string()),
+                          "_kind": pa.array([1] * len(vals_col), pa.int8())})
+        return pa.concat_tables([stats, pairs])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    import pandas as pd
+    total = parts.count()
+    if total <= driver_threshold:
+        df = pa.concat_tables(_ray.get(parts.to_arrow_refs())).to_pandas()
+    else:
+        # value-bucketed distributed dedupe: a value's every occurrence
+        # co-locates, so per-bucket distinct pair counts are globally
+        # correct; scalar stat rows ride bucket 0
+        def add_bucket(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(t["value"].to_pylist(), dtype=object),
+                categorize=False).astype(np.uint64)
+            h = np.where(np.asarray(t["_kind"]) == 0, np.uint64(0),
+                         h % np.uint64(nb)).astype(np.int64)
+            return t.append_column("_bucket", pa.array(h))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            stats = g[g["_kind"] == 0]
+            p = g[g["_kind"] == 1].drop_duplicates(["column", "value"])
+            dcnt = p.groupby("column", sort=False).size() \
+                .reset_index(name="n")
+            dcnt["_kind"] = 2
+            out = pd.concat([stats[["column", "n_rows", "n_nulls",
+                                    "_kind"]],
+                             dcnt.rename(columns={"n": "n_rows"})
+                             .assign(n_nulls=0)[["column", "n_rows",
+                                                 "n_nulls", "_kind"]]])
+            return out
+
+        folded = (parts.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(per_bucket, batch_format="pandas"))
+        fdf = pa.concat_tables(
+            [b for b in folded.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+        ).to_pandas()
+        base = (fdf[fdf["_kind"] == 0].groupby("column", sort=True)
+                [["n_rows", "n_nulls"]].sum())
+        dist = (fdf[fdf["_kind"] == 2].groupby("column", sort=True)
+                ["n_rows"].sum())
+        return pa.table({
+            "column": pa.array(base.index.to_numpy(object), pa.string()),
+            "n_rows": pa.array(base["n_rows"].to_numpy(np.int64)),
+            "n_nulls": pa.array(base["n_nulls"].to_numpy(np.int64)),
+            "n_distinct": pa.array(
+                dist.reindex(base.index).fillna(0).to_numpy(np.int64)),
+        })
+
+    stats = df[df["_kind"] == 0]
+    base = stats.groupby("column", sort=True)[["n_rows", "n_nulls"]].sum()
+    pairs = df[df["_kind"] == 1].drop_duplicates(["column", "value"])
+    dist = pairs.groupby("column", sort=True).size()
+    return pa.table({
+        "column": pa.array(base.index.to_numpy(object), pa.string()),
+        "n_rows": pa.array(base["n_rows"].to_numpy(np.int64)),
+        "n_nulls": pa.array(base["n_nulls"].to_numpy(np.int64)),
+        "n_distinct": pa.array(
+            dist.reindex(base.index).fillna(0).astype(np.int64)
+            .to_numpy()),
+    })
+
+
 def sft_pairs(ds, key: str = "conv_id", order_col: str = "turn_idx",
               role_col: str = "role", text_col: str = "text",
               prompt_role: str = "user", response_role: str = "assistant",

@@ -819,3 +819,27 @@ def test_sft_pairs(ray_session):
             ["conv_id", "response_turn_idx"]).reset_index(drop=True)
         got = list(out.itertuples(index=False, name=None))
         assert got == want, (nblocks, got)
+
+
+def test_profile_columns_exact_and_dual_path(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import profile_columns
+
+    tbl = pa.table({
+        "k": ["a", "b", "a", None, "c", "a"],
+        "v": pa.array([1, 1, 2, 2, None, 3], pa.int64()),
+        "f": pa.array([1.5, 1.5, None, None, 2.25, 3.125], pa.float64()),
+    })
+    want = {
+        "k": (6, 1, 3),   # rows, nulls, distinct (nulls excluded)
+        "v": (6, 1, 3),
+        "f": (6, 2, 3),
+    }
+    for thresh in (5_000_000, 0):   # driver fold vs bucketed fold
+        out = profile_columns(rd.from_arrow(tbl).repartition(3),
+                              driver_threshold=thresh).to_pandas() \
+            .set_index("column")
+        got = {c: (int(out.loc[c, "n_rows"]), int(out.loc[c, "n_nulls"]),
+                   int(out.loc[c, "n_distinct"])) for c in want}
+        assert got == want, (thresh, got)
