@@ -609,17 +609,69 @@ def _edit_tree(v, keys: list[str], value, delete: bool):
     return obj
 
 
+def _json_set_fast(arr, key: str, values) -> pa.Array | None:
+    """Vectorized fast path for json_set: single-key path over a column
+    of fresh trees (every row null or '{}') — the 'first set on a fresh
+    message' shape, which is the hot case in ruleset `set` statements.
+    Builds '{"key":<json>}' with Arrow kernels; returns None (→ slow
+    path) when the base has real trees, values need non-trivial JSON
+    escaping (control chars), or the value type's JSON rendering can't
+    be reproduced by a cast (floats)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    fresh = pc.or_(pc.is_null(arr), pc.equal(pc.fill_null(arr, "{}"), "{}"))
+    if not pc.all(fresh).as_py():
+        return None
+    n = len(arr)
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        v = values.combine_chunks() if isinstance(values, pa.ChunkedArray) \
+            else values
+        if pa.types.is_integer(v.type):
+            sval = pc.cast(v, pa.string())          # matches json.dumps(int)
+        elif pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
+            v = pc.cast(v, pa.string())
+            # bail to the slow path if any value needs \uXXXX escaping
+            if pc.any(pc.fill_null(pc.match_substring_regex(
+                    v, r"[\x00-\x1f]"), False)).as_py():
+                return None
+            esc = pc.replace_substring(v, pattern="\\", replacement="\\\\")
+            esc = pc.replace_substring(esc, pattern='"', replacement='\\"')
+            sval = pc.binary_join_element_wise(
+                pa.array(['"'] * n), esc, pa.array(['"'] * n), "")
+        else:
+            return None
+        if v.null_count:
+            sval = pc.fill_null(sval, "null")
+    elif isinstance(values, (bool, float)):
+        return None
+    elif isinstance(values, int):
+        sval = pa.array([str(values)] * n)
+    elif isinstance(values, str):
+        sval = pa.array([json.dumps(values)] * n)
+    else:
+        return None
+    head = json.dumps(key) + ":"
+    return pc.binary_join_element_wise(
+        pa.array(["{" + head] * n), sval, pa.array(["}"] * n), "")
+
+
 def json_set(arr, path: str, values) -> pa.Array:
     """set $!a!b = value (v6 grammar `set` statement writing into the
     message JSON tree, grammar/rainerscript.c cnfstmtNewSet): returns the
     tree column with the path set per row. `values` may be a scalar or a
     column; intermediate non-dict nodes are replaced (msgAddJSON
     overwrite semantics). Null/absent trees start from {}. Output is the
-    engine's normalized (sorted-key, compact) JSON string."""
+    engine's normalized (sorted-key, compact) JSON string. Fresh-tree
+    single-key sets take a fully vectorized fast path (_json_set_fast);
+    real trees pay the per-row parse, which is inherent to JSON."""
+    keys = path.split("!")
+    if len(keys) == 1:
+        fast = _json_set_fast(arr, keys[0], values)
+        if fast is not None:
+            return fast
     vals = values if isinstance(values, list) else None
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         vals = _pylist(values)
-    keys = path.split("!")
     out = []
     for i, v in enumerate(_pylist(arr)):
         val = vals[i] if vals is not None else values

@@ -135,19 +135,39 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
 
     if stripped.startswith("!"):
         # message JSON tree: $!a!b → cee_json (msgAddJSON overwrite
-        # semantics; absent/null trees start from {})
+        # semantics; absent/null trees start from {}). The JSON edit runs
+        # only on MASKED rows (take → edit → scatter): unmasked rows pay
+        # nothing, and a fresh-tree subset keeps json_set's vectorized
+        # fast path even when other rows carry real trees.
         path = stripped[1:]
         col_name = ("json_tree" if "json_tree" in batch.column_names
                     and "cee_json" not in batch.column_names else "cee_json")
         base = (pc.cast(_col(col_name), pa.string())
                 if col_name in batch.column_names
                 else pa.nulls(n, pa.string()))
+        if mask.all():
+            if act.kind == "set":
+                new = json_set(base, path, compile_expr(act.value, props))
+            else:
+                new = json_unset(base, path)
+            return _replace(col_name, new)
+        idx = np.flatnonzero(mask)
+        if not len(idx):
+            return _replace(col_name, base)
+        take = pa.array(idx)
+        sub_base = base.take(take)
         if act.kind == "set":
             vals = compile_expr(act.value, props)
-            new = json_set(base, path, vals)
+            if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                vals = vals.take(take)
+            sub_new = json_set(sub_base, path, vals)
         else:
-            new = json_unset(base, path)
-        return _replace(col_name, pc.if_else(mask_arr, new, base))
+            sub_new = json_unset(sub_base, path)
+        allv = base.to_numpy(zero_copy_only=False).astype(object)
+        allv[idx] = np.asarray(sub_new.to_pylist(), dtype=object)
+        return _replace(col_name, pa.array(allv, pa.string()))
 
     if stripped.startswith("."):
         # local variable $.name → batch column under its literal spelling
