@@ -144,6 +144,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("set_vars", Q.q_set_vars, sf_dir)
     timed("sft_pairs", Q.q_sft_pairs, sf_dir)
     timed("profile", Q.q_profile, sf_dir)
+    timed("image_dedup", Q.q_image_dedup, sf_dir)
 
     out["queries"] = timings
     return out

@@ -982,6 +982,37 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
 
 
+def q_image_dedup(sf_dir: str) -> pa.Table:
+    """Perceptual image near-dup removal over REAL decoded pixels:
+    payloads are per-class gradient PNGs re-encoded with varying filter
+    types and uniform brightness shifts (same image, different bytes) —
+    dHash lands each class in one Hamming component, the dedup keeps the
+    smallest doc_id per class. Rows-only (payload synthesis isn't SQL) +
+    invariance/planted-group pytest."""
+    import numpy as np
+
+    from ..datagen import make_png
+    from ..stages.multimodal import image_dedup
+
+    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            cls = int(i) % 97
+            rng = np.random.default_rng(cls)
+            px = rng.integers(0, 200, (24, 32), dtype=np.uint8)
+            px = np.clip(px + (int(i) // 97) % 3, 0, 255) \
+                .astype(np.uint8)                  # brightness shift
+            payloads.append(make_png(px, filter_type=int(i) % 5))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.large_binary())})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return _to_table(image_dedup(ds).select_columns(["doc_id"]))
+
+
 def q_multimodal(sf_dir: str) -> pa.Table:
     """Multimodal pipeline over REAL image payloads: per-doc deterministic
     PNG fixtures (datagen.synth_png_for_id — stdlib-zlib encoder) → typed

@@ -601,20 +601,40 @@ def _hamming_pairs(g: pd.DataFrame, radius: int, id_col: str) -> pd.DataFrame:
 
 def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                   radius: int = 3, driver_threshold: int = 5_000_000):
-    """SimHash near-dup removal with Hamming-radius bucketing (the
+    """SimHash near-dup removal: text → 64-bit SimHash signatures, then
+    the generic Hamming-radius signature dedup (see
+    hamming_dedup_signatures for the Manku block-bucketing shape)."""
+    sig_ds = simhash_table(ds.select_columns([id_col, text_col]),
+                           text_col).select_columns([id_col, "simhash"])
+    return hamming_dedup_signatures(ds, sig_ds, id_col=id_col,
+                                    radius=radius,
+                                    driver_threshold=driver_threshold)
+
+
+def hamming_dedup_signatures(ds, sig_ds, id_col: str = "doc_id",
+                             sig_col: str = "simhash", radius: int = 3,
+                             driver_threshold: int = 5_000_000):
+    """Near-dup removal over ANY 64-bit signature column (SimHash text
+    fingerprints, image dHashes, …) with Hamming-radius bucketing (the
     Manku/Jain/Sarma 2007 block-permutation scheme): split the 64-bit
     fingerprint into radius+1 blocks — two hashes within Hamming distance
     `radius` agree EXACTLY on at least one block (pigeonhole), so grouping
     by (block_idx, block_value) yields a candidate set with full recall;
     within-bucket exact XOR-popcount verification keeps precision exact.
+    `sig_ds` holds (id_col, sig_col); `ds` is the corpus the drop applies
+    to. Keeps the smallest id of each connected near-dup component.
 
     Below `driver_threshold` exploded rows the pair fold + union-find run
     on the driver; above, distributed pairing + connected components +
     anti-join (same dual path as minhash_lsh_dedup)."""
     nblocks = radius + 1
     width = 64 // nblocks
-    sig_ds = simhash_table(ds.select_columns([id_col, text_col]),
-                           text_col).select_columns([id_col, "simhash"])
+    if sig_col != "simhash":
+        sig_ds = sig_ds.map_batches(
+            lambda t: t.rename_columns(
+                ["simhash" if c == sig_col else c
+                 for c in t.schema.names]),
+            batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = (batch["simhash"].to_numpy(zero_copy_only=False)

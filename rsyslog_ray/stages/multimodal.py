@@ -27,8 +27,16 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_png(b: bytes) -> tuple[int, int, float]:
+    """Pure-stdlib PNG decode → (width, height, mean_luma); see
+    decode_png_pixels for the decoder itself."""
+    w, h, luma = decode_png_pixels(b)
+    return w, h, float(np.round(luma.mean(), 4))
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, "np.ndarray"]:
     """Pure-stdlib PNG decode (zlib inflate + scanline unfilter) →
-    (width, height, mean_luma). Real values, no imaging libs.
+    (width, height, luma plane as float64 (h, w)). Real values, no
+    imaging libs.
 
     Supported subset (raises ValueError outside it): bit depth 8, color
     types 0 gray / 2 RGB / 4 gray+alpha / 6 RGBA, no interlace — exactly
@@ -104,7 +112,7 @@ def decode_png(b: bytes) -> tuple[int, int, float]:
         luma = px[..., 0]
     else:
         luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    return w, h, float(np.round(luma.mean(), 4))
+    return w, h, luma
 
 
 def decode_wav(b: bytes) -> tuple[int, int, float, float]:
@@ -296,3 +304,84 @@ def image_features(ds, payload_col: str = "payload", concurrency=2,
                         concurrency=concurrency)
     return ds.map_batches(ResizeStub, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def dhash64(luma: "np.ndarray") -> int:
+    """64-bit difference hash (dHash, Krawetz) of a luma plane: mean-pool
+    to an 8×9 grid (np.add.reduceat over near-equal row/col segments),
+    set bit (r, c) when cell (r, c) is brighter than its right neighbour.
+    Perceptually stable: uniform brightness shifts, re-encodes and small
+    blurs keep the hash; structural changes flip bits ∝ changed area."""
+    h, w = luma.shape
+    if h < 1 or w < 1:
+        return 0
+    # segment edges for 8 rows × 9 cols (degenerate dims repeat pixels)
+    re_ = np.linspace(0, h, 9).astype(np.int64)[:-1] if h >= 8 else None
+    ce_ = np.linspace(0, w, 10).astype(np.int64)[:-1] if w >= 9 else None
+    if re_ is None or ce_ is None:
+        # tiny image: index-resample to 8×9 instead of pooling
+        ri = np.minimum((np.arange(8) * h) // 8, h - 1)
+        ci = np.minimum((np.arange(9) * w) // 9, w - 1)
+        g = luma[np.ix_(ri, ci)]
+    else:
+        pooled = np.add.reduceat(np.add.reduceat(luma, re_, axis=0),
+                                 ce_, axis=1)
+        rcnt = np.diff(np.append(re_, h)).astype(np.float64)
+        ccnt = np.diff(np.append(ce_, w)).astype(np.float64)
+        g = pooled / (rcnt[:, None] * ccnt[None, :])
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHashStage:
+    """Actor stage: binary payload → 64-bit perceptual dHash column
+    (`dhash`, int64 view of the uint64). PNG payloads hash REAL decoded
+    pixels (decode_png_pixels); non-PNG falls back to a deterministic
+    byte-derived fake (strict=True raises instead) — same
+    disclosure/fallback contract as ImageDecodeStub."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def _hash(self, b: bytes) -> int:
+        if b.startswith(_PNG_SIG):
+            _w, _h, luma = decode_png_pixels(b)
+            return dhash64(luma)
+        if self.strict:
+            raise NotImplementedError(
+                "non-PNG decode requires Pillow; container has none")
+        if not b:
+            return 0
+        import hashlib
+        return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(),
+                              "big")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_bytes(batch, self.payload_col)
+        hs = np.array([self._hash(b) for b in payloads],
+                      dtype=np.uint64) if payloads else \
+            np.array([], np.uint64)
+        return batch.append_column("dhash",
+                                   pa.array(hs.view(np.int64)))
+
+
+def image_dedup(ds, payload_col: str = "payload", id_col: str = "doc_id",
+                radius: int = 2, driver_threshold: int = 5_000_000,
+                concurrency=None, batch_size: int = 256):
+    """Perceptual image near-dup removal: actor-pool dHash over decoded
+    pixels → the generic Hamming-radius signature dedup
+    (dedup.hamming_dedup_signatures — Manku block bucketing, exact
+    XOR-popcount verify, distributed connected components above the
+    driver threshold). Keeps the smallest id per near-dup component.
+    Re-encodes, uniform brightness shifts and small edits land within
+    `radius` bits; distinct images are ~32 bits apart in expectation."""
+    from .dedup import hamming_dedup_signatures
+    sig_ds = ds.map_batches(
+        ImageDHashStage(payload_col=payload_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        **({"concurrency": concurrency} if concurrency else {})
+    ).select_columns([id_col, "dhash"])
+    return hamming_dedup_signatures(ds, sig_ds, id_col=id_col,
+                                    sig_col="dhash", radius=radius,
+                                    driver_threshold=driver_threshold)

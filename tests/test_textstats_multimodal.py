@@ -283,3 +283,60 @@ def test_bigram_lm_join_path_agrees_with_broadcast(ray_session):
     # 'one' has a single token -> no row; common bigrams score higher
     assert b["doc_id"].tolist() == [0, 1, 2, 4]
     assert b.loc[0, "lm_score"] > b.loc[2, "lm_score"]
+
+
+def test_dhash_invariances():
+    """dHash is stable under PNG filter re-encodes and uniform brightness
+    shifts; distinct images are far apart."""
+    import numpy as np
+
+    from rsyslog_ray.datagen import make_png
+    from rsyslog_ray.stages.multimodal import decode_png_pixels, dhash64
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 200, (40, 60), dtype=np.uint8)
+    base = dhash64(img.astype(np.float64))
+    for ft in range(5):
+        _, _, luma = decode_png_pixels(make_png(img, filter_type=ft))
+        assert dhash64(luma) == base, ft
+    shifted = np.clip(img.astype(np.float64) + 17, 0, 255)
+    assert dhash64(shifted) == base
+    other = rng.integers(0, 200, (40, 60), dtype=np.uint8)
+    d = bin(base ^ dhash64(other.astype(np.float64))).count("1")
+    assert d > 10
+    # tiny images resample instead of pooling, still 64-bit stable
+    tiny = rng.integers(0, 200, (3, 4), dtype=np.uint8)
+    assert 0 <= dhash64(tiny.astype(np.float64)) < 2 ** 64
+
+
+def test_image_dedup_planted_groups(ray_session):
+    """Same pixels re-encoded with different filters / brightness shifts
+    collapse to one survivor per class; distinct images all survive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.datagen import make_png
+    from rsyslog_ray.stages.multimodal import image_dedup
+
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 200, (20, 30), dtype=np.uint8)
+            for _ in range(4)]
+    rows = []
+    for i in range(24):
+        cls = i % 4
+        px = np.clip(imgs[cls].astype(np.int64) + (i // 4) % 3, 0, 255) \
+            .astype(np.uint8)
+        rows.append((i, make_png(px, filter_type=i % 5)))
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows],
+                                        pa.large_binary())})
+    out = image_dedup(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas()["doc_id"].sort_values().tolist()
+    assert out == [0, 1, 2, 3]          # smallest id per class survives
+
+    # dual path: force distributed pairing + connected components
+    out2 = image_dedup(rd.from_arrow(tbl).repartition(3),
+                       driver_threshold=0) \
+        .to_pandas()["doc_id"].sort_values().tolist()
+    assert out2 == out
