@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "equi_join": Q.q_equi_join,
         "conv_docs": Q.q_conv_docs,
         "sft_pairs": Q.q_sft_pairs,
+        "turn_windows": Q.q_turn_windows,
         "range_join": Q.q_range_join,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "asof_join": Q.q_asof_join,

@@ -293,6 +293,12 @@ FROM alive GROUP BY 1, 2"""
   count(DISTINCT {c}) AS n_distinct FROM read_parquet('{src}')"""
         for c in _prof_cols)
 
+    q["turn_windows"] = f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  string_agg(text, chr(10)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS context
+FROM read_parquet('{src}')"""
+
     q["sft_pairs"] = f"""
 WITH w AS (
   SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,

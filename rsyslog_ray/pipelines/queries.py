@@ -1095,6 +1095,15 @@ def q_equi_join(sf_dir: str) -> pa.Table:
                                materialize_right=False))
 
 
+def q_turn_windows(sf_dir: str) -> pa.Table:
+    """Sliding 'last 4 turns' context construction per conversation
+    (windowed string_agg twin)."""
+    from ..stages.aggregate import turn_windows
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    return _to_table(turn_windows(ds, k=4))
+
+
 def q_profile(sf_dir: str) -> pa.Table:
     """Dataset profiler: exact per-column (rows, nulls, distinct) in one
     pass — the pre-ingestion data-audit readout."""

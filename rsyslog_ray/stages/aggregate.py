@@ -912,6 +912,47 @@ def sft_pairs(ds, key: str = "conv_id", order_col: str = "turn_idx",
         fn, n_buckets=n_buckets, key=key)
 
 
+def turn_windows(ds, key: str = "conv_id", order_col: str = "turn_idx",
+                 text_col: str = "text", k: int = 4, sep: str = "\n",
+                 n_buckets: int | None = None):
+    """Sliding context windows per conversation — the 'last k turns'
+    training-context constructor (context-length curriculum, RAG window
+    building): each turn emits the sep-joined text of the up-to-k turns
+    ending at it. SQL twin: string_agg(text, sep) OVER (PARTITION BY conv
+    ORDER BY turn ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW).
+
+    Shape: hash-bucketed one-pandas-pass-per-bucket; inside the bucket
+    every row's window indices explode once (repeat/cumsum, the same
+    trick as the interval-explode in joins) into ONE Arrow ListArray +
+    binary_join — O(k·rows) flat work, no per-row Python."""
+    from .ratelimit import _per_bucket
+
+    def fn(g):
+        g = g.sort_values([key, order_col], kind="mergesort")
+        n = len(g)
+        vals = g[text_col].fillna("").to_numpy(dtype=object)
+        keys_np = g[key].to_numpy()
+        i = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys_np[1:] != keys_np[:-1]
+        start_idx = np.maximum.accumulate(np.where(new, i, -1))
+        length = np.minimum(k, i - start_idx + 1)
+        offs = np.concatenate(([0], np.cumsum(length)))
+        wstart = i - length + 1
+        flat = (wstart.repeat(length)
+                + (np.arange(offs[-1]) - offs[:-1].repeat(length)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(vals[flat] if n else vals, pa.string()))
+        out = g[[key, order_col]].copy()
+        out["context"] = pc.binary_join(lists, sep).to_pylist()
+        return out
+
+    return _per_bucket(
+        ds.select_columns([key, order_col, text_col]),
+        fn, n_buckets=n_buckets, key=key)
+
+
 def cumsum_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
                   value_col: str = "value", out_col: str = "running_total",
                   n_buckets: int | None = None):

@@ -843,3 +843,21 @@ def test_profile_columns_exact_and_dual_path(ray_session):
         got = {c: (int(out.loc[c, "n_rows"]), int(out.loc[c, "n_nulls"]),
                    int(out.loc[c, "n_distinct"])) for c in want}
         assert got == want, (thresh, got)
+
+
+def test_turn_windows(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import turn_windows
+
+    tbl = pa.table({
+        "conv_id": ["A", "A", "A", "A", "B", "B"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int64()),
+        "text": ["t0", "t1", "t2", "t3", "b0", "b1"],
+    })
+    for nblocks in (1, 3):
+        out = turn_windows(rd.from_arrow(tbl).repartition(nblocks),
+                           k=3).to_pandas() \
+            .sort_values(["conv_id", "turn_idx"])
+        assert list(out["context"]) == [
+            "t0", "t0\nt1", "t0\nt1\nt2", "t1\nt2\nt3", "b0", "b0\nb1"]
