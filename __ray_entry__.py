@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_cosine": Q.q_lsh_cosine,           # approximate
         "multimodal": Q.q_multimodal,           # PNG decode, Python oracle
         "image_dedup": Q.q_image_dedup,         # dHash near-dup, Python oracle
+        "audio_dedup": Q.q_audio_dedup,         # audio fp near-dup
         "simhash_dedup": Q.q_simhash_dedup,     # Python-oracle pytest
         "token_bucket": Q.q_token_bucket,       # stateful reference semantics
     }

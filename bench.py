@@ -146,6 +146,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("profile", Q.q_profile, sf_dir)
     timed("image_dedup", Q.q_image_dedup, sf_dir)
     timed("turn_windows", Q.q_turn_windows, sf_dir)
+    timed("audio_dedup", Q.q_audio_dedup, sf_dir)
 
     out["queries"] = timings
     return out

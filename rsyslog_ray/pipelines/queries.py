@@ -1013,6 +1013,36 @@ def q_image_dedup(sf_dir: str) -> pa.Table:
     return _to_table(image_dedup(ds).select_columns(["doc_id"]))
 
 
+def q_audio_dedup(sf_dir: str) -> pa.Table:
+    """Audio near-dup removal over REAL decoded PCM: per-class sine
+    fixtures at varying gains/encodings collapse to one survivor per
+    class. Rows-only + invariance pytest."""
+    import numpy as np
+
+    from ..datagen import make_wav
+    from ..stages.multimodal import audio_dedup
+
+    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            cls = int(i) % 89
+            rate = 8000
+            n = 1200 + (cls * 37) % 800
+            freq = 100 + (cls * 13) % 900
+            gain = 0.2 + ((int(i) // 89) % 4) / 10.0   # same class, new gain
+            t = np.arange(n) / rate
+            payloads.append(make_wav(gain * np.sin(2 * np.pi * freq * t),
+                                     sample_rate=rate))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "payload": pa.array(payloads, pa.large_binary())})
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    return _to_table(audio_dedup(ds).select_columns(["doc_id"]))
+
+
 def q_multimodal(sf_dir: str) -> pa.Table:
     """Multimodal pipeline over REAL image payloads: per-doc deterministic
     PNG fixtures (datagen.synth_png_for_id — stdlib-zlib encoder) → typed

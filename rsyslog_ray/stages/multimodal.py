@@ -385,3 +385,104 @@ def image_dedup(ds, payload_col: str = "payload", id_col: str = "doc_id",
     return hamming_dedup_signatures(ds, sig_ds, id_col=id_col,
                                     sig_col="dhash", radius=radius,
                                     driver_threshold=driver_threshold)
+
+
+def decode_wav_samples(b: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/PCM16 WAV → (sample_rate, mono float64 samples in [-1, 1)) —
+    the sample-level sibling of decode_wav (which returns scalars);
+    multi-channel audio downmixes by mean."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, nch, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        ln = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (format={tag} bits={bits})")
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    x = np.frombuffer(data[: len(data) - (len(data) % 2)],
+                      dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        x = x[: len(x) - (len(x) % nch)].reshape(-1, nch).mean(axis=1)
+    return rate, x
+
+
+def audio_fingerprint64(samples: "np.ndarray") -> int:
+    """64-bit energy-difference audio fingerprint (the dHash idea on the
+    time axis): mean segment energy over 65 near-equal windows, bit i set
+    when segment i is louder than segment i+1. Gain-invariant (uniform
+    amplitude scaling preserves every comparison), re-encode stable,
+    structure-sensitive."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    seg = 65
+    if n < seg:
+        samples = np.repeat(samples, -(-seg // n))[: max(seg, n)]
+        n = len(samples)
+    edges = np.linspace(0, n, seg + 1).astype(np.int64)[:-1]
+    e = np.add.reduceat(samples.astype(np.float64) ** 2, edges)
+    cnt = np.diff(np.append(edges, n)).astype(np.float64)
+    e = e / cnt
+    bits = e[:-1] > e[1:]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprintStage:
+    """Actor stage: binary payload → 64-bit audio fingerprint column
+    (`afp`, int64 view). WAV payloads fingerprint REAL decoded samples;
+    non-WAV falls back to a deterministic byte-derived fake (strict=True
+    raises) — the multimodal fallback contract."""
+
+    def __init__(self, payload_col: str = "payload", strict: bool = False):
+        self.payload_col = payload_col
+        self.strict = strict
+
+    def _fp(self, b: bytes) -> int:
+        if b[:4] == b"RIFF":
+            _rate, x = decode_wav_samples(b)
+            return audio_fingerprint64(x)
+        if self.strict:
+            raise NotImplementedError(
+                "non-WAV decode requires an audio lib; container has none")
+        if not b:
+            return 0
+        import hashlib
+        return int.from_bytes(hashlib.blake2b(b, digest_size=8).digest(),
+                              "big")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = _payload_bytes(batch, self.payload_col)
+        hs = np.array([self._fp(b) for b in payloads],
+                      dtype=np.uint64) if payloads else \
+            np.array([], np.uint64)
+        return batch.append_column("afp", pa.array(hs.view(np.int64)))
+
+
+def audio_dedup(ds, payload_col: str = "payload", id_col: str = "doc_id",
+                radius: int = 2, driver_threshold: int = 5_000_000,
+                concurrency=None, batch_size: int = 256):
+    """Audio near-dup removal: actor-pool energy-difference fingerprints
+    over decoded PCM16 samples → the generic Hamming-radius signature
+    dedup (dedup.hamming_dedup_signatures). Gain-shifted copies and
+    re-encodes land within `radius` bits; distinct signals are ~32 bits
+    apart in expectation. Keeps the smallest id per component."""
+    from .dedup import hamming_dedup_signatures
+    sig_ds = ds.map_batches(
+        AudioFingerprintStage(payload_col=payload_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        **({"concurrency": concurrency} if concurrency else {})
+    ).select_columns([id_col, "afp"])
+    return hamming_dedup_signatures(ds, sig_ds, id_col=id_col,
+                                    sig_col="afp", radius=radius,
+                                    driver_threshold=driver_threshold)

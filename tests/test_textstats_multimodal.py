@@ -340,3 +340,52 @@ def test_image_dedup_planted_groups(ray_session):
                        driver_threshold=0) \
         .to_pandas()["doc_id"].sort_values().tolist()
     assert out2 == out
+
+
+def test_audio_fingerprint_invariances():
+    import numpy as np
+
+    from rsyslog_ray.datagen import make_wav
+    from rsyslog_ray.stages.multimodal import (audio_fingerprint64,
+                                               decode_wav_samples)
+
+    rng = np.random.default_rng(4)
+    sig = rng.uniform(-0.5, 0.5, 4000)
+    f1 = audio_fingerprint64(sig)
+    assert audio_fingerprint64(sig * 0.3) == f1          # gain invariant
+    _, x = decode_wav_samples(make_wav(sig))
+    assert bin(f1 ^ audio_fingerprint64(x)).count("1") <= 2  # re-encode
+    other = rng.uniform(-0.5, 0.5, 4000)
+    assert bin(f1 ^ audio_fingerprint64(other)).count("1") > 10
+    # stereo downmix decodes
+    st = np.stack([sig, sig]).T.ravel()
+    _, mono = decode_wav_samples(make_wav(st, n_channels=2))
+    assert len(mono) == 4000
+    # degenerate inputs
+    assert audio_fingerprint64(np.array([])) == 0
+    assert 0 <= audio_fingerprint64(np.array([0.1, -0.2])) < 2 ** 64
+
+
+def test_audio_dedup_planted_groups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.datagen import make_wav
+    from rsyslog_ray.stages.multimodal import audio_dedup
+
+    rows = []
+    for i in range(18):
+        cls = i % 3
+        n = 2000 + cls * 500
+        freq = 150 + cls * 211
+        gain = 0.2 + (i // 3) / 12.0
+        t = np.arange(n) / 8000.0
+        rows.append((i, make_wav(gain * np.sin(2 * np.pi * freq * t),
+                                 sample_rate=8000)))
+    tbl = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows],
+                                        pa.large_binary())})
+    out = audio_dedup(rd.from_arrow(tbl).repartition(2)) \
+        .to_pandas()["doc_id"].sort_values().tolist()
+    assert out == [0, 1, 2]
