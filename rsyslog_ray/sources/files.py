@@ -22,20 +22,93 @@ from __future__ import annotations
 import ray.data as rd
 
 
-def read_syslog_text(paths, include_path: bool = False):
-    """Raw log file(s) → Dataset with a `text` column, one row per line
-    (imfile readMode=0). include_path=True adds the source file path as a
-    `path` column (the imfile `metadata` option / $!metadata!filename),
-    which also gives resumable runs their shard identity."""
-    ds = rd.read_text(paths, include_paths=include_path)
+def read_syslog_text(paths, include_path: bool = False,
+                     read_mode: int = 0, escape_lf: bool = True,
+                     escape_lf_string: str = "#012",
+                     startmsg_regex: str | None = None):
+    """Raw log file(s) → Dataset with a `text` column, one row per
+    RECORD. read_mode follows imfile/strmReadLine (runtime/stream.c:886):
 
-    def rename(batch):
-        cols = {"text": batch["text"]}
+    - 0 (default): one record per line — Ray's streaming read_text path,
+      tasks shard WITHIN files, nothing is assembled.
+    - 1: paragraph mode — records separated by blank lines; inner
+      newlines become `escape_lf_string` (escape_lf=True, the reference
+      default "#012") or stay literal.
+    - 2: indented-continuation mode — a line starting with space/tab
+      continues the previous record (the stack-trace shape).
+    - startmsg_regex: a record STARTS at each line matching the regex
+      (imfile startmsg.regex / strmReadMultiLine); the pre-match
+      preamble forms a record of its own. Overrides read_mode.
+
+    Multiline modes read per-FILE (rd.read_binary_files → flat assemble):
+    a record never spans files — the same per-file statefulness imfile
+    has — so parallelism is one task per file; empty records (blank-line
+    runs) are dropped, as imfile's enqLine does. include_path=True adds
+    the source path column (imfile metadata / shard identity)."""
+    import pyarrow as pa
+
+    if read_mode == 0 and startmsg_regex is None:
+        ds = rd.read_text(paths, include_paths=include_path)
+
+        def rename(batch):
+            cols = {"text": batch["text"]}
+            if include_path:
+                cols["path"] = batch["path"]
+            return pa.table(cols)
+        return ds.map_batches(rename, batch_format="pyarrow")
+
+    if read_mode not in (0, 1, 2):
+        raise ValueError(f"read_mode must be 0/1/2, got {read_mode}")
+    esc = escape_lf_string if escape_lf else "\n"
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+        out_text: list = []
+        out_path: list = []
+        for payload, path in zip(batch["bytes"].to_pylist(),
+                                 batch["path"].to_pylist()):
+            lines = np.asarray(
+                payload.decode("utf-8", "replace").split("\n"),
+                dtype=object)
+            n = len(lines)
+            if n == 0:
+                continue
+            if startmsg_regex is not None:
+                arr = pa.array(lines, pa.string())
+                m = pc.match_substring_regex(
+                    arr, startmsg_regex).to_numpy(zero_copy_only=False)
+                grp = np.cumsum(m)
+                keep = lines != ""
+            elif read_mode == 1:
+                blank = lines == ""
+                grp = np.cumsum(blank)
+                keep = ~blank
+            else:
+                cont = np.array([bool(ln) and ln[0] in " \t"
+                                 for ln in lines])
+                grp = np.cumsum(~cont)
+                keep = lines != ""
+            lines, grp = lines[keep], grp[keep]
+            if not len(lines):
+                continue
+            # group ids are monotonic → run-length offsets + binary_join
+            newg = np.ones(len(grp), dtype=bool)
+            newg[1:] = grp[1:] != grp[:-1]
+            counts = np.diff(np.append(np.flatnonzero(newg), len(grp)))
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            la = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(lines, pa.string()))
+            recs = pc.binary_join(la, esc).to_pylist()
+            out_text.extend(recs)
+            out_path.extend([path] * len(recs))
+        cols = {"text": pa.array(out_text, pa.string())}
         if include_path:
-            cols["path"] = batch["path"]
-        import pyarrow as pa
+            cols["path"] = pa.array(out_path, pa.string())
         return pa.table(cols)
-    return ds.map_batches(rename, batch_format="pyarrow")
+
+    return rd.read_binary_files(paths, include_paths=True) \
+        .map_batches(assemble, batch_format="pyarrow", batch_size=8)
 
 
 def read_jsonl(paths, **read_kwargs):

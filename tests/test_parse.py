@@ -335,3 +335,49 @@ def test_parse_null():
     assert out["msg"].to_pylist() == ["<99>raw line", "plain"]
     assert out["tag"].to_pylist() == ["mytag", "mytag"]
     assert parse_null_table(t)["pri"].to_pylist() == [13, 13]
+
+
+def test_read_syslog_text_multiline_modes(ray_session, tmp_path):
+    """imfile readMode 1 (paragraph) / 2 (indented) and startmsg.regex
+    record assembly (runtime/stream.c:886-1010 semantics)."""
+    from rsyslog_ray.sources.files import read_syslog_text
+
+    f1 = tmp_path / "a.log"
+    f1.write_text(
+        "first line\nsecond line\n\npara two\n\n\npara three\n")
+    got = sorted(r["text"] for r in
+                 read_syslog_text(str(f1), read_mode=1).take_all())
+    assert got == sorted([
+        "first line#012second line", "para two", "para three"])
+
+    f2 = tmp_path / "b.log"
+    f2.write_text(
+        "Exception in thread\n  at Foo.bar()\n\tat Baz.qux()\n"
+        "next message\nanother\n  cont\n")
+    got = sorted(r["text"] for r in
+                 read_syslog_text(str(f2), read_mode=2).take_all())
+    assert got == sorted([
+        "Exception in thread#012  at Foo.bar()#012\tat Baz.qux()",
+        "next message", "another#012  cont"])
+
+    # literal newlines when escape_lf=False
+    got = sorted(r["text"] for r in
+                 read_syslog_text(str(f2), read_mode=2,
+                                  escape_lf=False).take_all())
+    assert "Exception in thread\n  at Foo.bar()\n\tat Baz.qux()" in got
+
+    # startmsg.regex: records start at timestamped lines
+    f3 = tmp_path / "c.log"
+    f3.write_text(
+        "preamble\n2024-01-01 ok\ndetail a\n2024-01-02 next\ndetail b\n")
+    got = [r["text"] for r in
+           read_syslog_text(str(f3),
+                            startmsg_regex=r"^\d{4}-\d{2}-\d{2}").take_all()]
+    assert sorted(got) == sorted([
+        "preamble", "2024-01-01 ok#012detail a",
+        "2024-01-02 next#012detail b"])
+
+    # include_path carries shard identity
+    rows = read_syslog_text(str(f1), read_mode=1,
+                            include_path=True).take_all()
+    assert all(r["path"].endswith("a.log") for r in rows)
