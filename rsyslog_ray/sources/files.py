@@ -25,7 +25,8 @@ import ray.data as rd
 def read_syslog_text(paths, include_path: bool = False,
                      read_mode: int = 0, escape_lf: bool = True,
                      escape_lf_string: str = "#012",
-                     startmsg_regex: str | None = None):
+                     startmsg_regex: str | None = None,
+                     endmsg_regex: str | None = None):
     """Raw log file(s) → Dataset with a `text` column, one row per
     RECORD. read_mode follows imfile/strmReadLine (runtime/stream.c:886):
 
@@ -39,6 +40,10 @@ def read_syslog_text(paths, include_path: bool = False,
     - startmsg_regex: a record STARTS at each line matching the regex
       (imfile startmsg.regex / strmReadMultiLine); the pre-match
       preamble forms a record of its own. Overrides read_mode.
+    - endmsg_regex: a record ENDS at each line matching the regex
+      (imfile endmsg.regex — the matching line is the record's LAST
+      line); a trailing unterminated segment still emits. Mutually
+      exclusive with startmsg_regex, overrides read_mode.
 
     Multiline modes read per-FILE (rd.read_binary_files → flat assemble):
     a record never spans files — the same per-file statefulness imfile
@@ -47,7 +52,11 @@ def read_syslog_text(paths, include_path: bool = False,
     the source path column (imfile metadata / shard identity)."""
     import pyarrow as pa
 
-    if read_mode == 0 and startmsg_regex is None:
+    if startmsg_regex is not None and endmsg_regex is not None:
+        raise ValueError(
+            "only one of startmsg_regex or endmsg_regex can be set "
+            "(imfile.c:1985 rule)")
+    if read_mode == 0 and startmsg_regex is None and endmsg_regex is None:
         ds = rd.read_text(paths, include_paths=include_path)
 
         def rename(batch):
@@ -79,6 +88,14 @@ def read_syslog_text(paths, include_path: bool = False,
                 m = pc.match_substring_regex(
                     arr, startmsg_regex).to_numpy(zero_copy_only=False)
                 grp = np.cumsum(m)
+                keep = lines != ""
+            elif endmsg_regex is not None:
+                arr = pa.array(lines, pa.string())
+                m = pc.match_substring_regex(
+                    arr, endmsg_regex).to_numpy(zero_copy_only=False)
+                # the matching line closes its record: next line starts
+                # a new group
+                grp = np.concatenate(([0], np.cumsum(m)[:-1]))
                 keep = lines != ""
             elif read_mode == 1:
                 blank = lines == ""

@@ -381,3 +381,18 @@ def test_read_syslog_text_multiline_modes(ray_session, tmp_path):
     rows = read_syslog_text(str(f1), read_mode=1,
                             include_path=True).take_all()
     assert all(r["path"].endswith("a.log") for r in rows)
+
+
+def test_read_syslog_text_endmsg_regex(ray_session, tmp_path):
+    from rsyslog_ray.sources.files import read_syslog_text
+
+    f = tmp_path / "d.log"
+    f.write_text("part a\npart b END\npart c\nDONE END\ntrailing\n")
+    got = [r["text"] for r in
+           read_syslog_text(str(f), endmsg_regex=r"END$").take_all()]
+    assert sorted(got) == sorted([
+        "part a#012part b END", "part c#012DONE END", "trailing"])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        read_syslog_text(str(f), startmsg_regex="a", endmsg_regex="b")
