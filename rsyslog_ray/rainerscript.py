@@ -24,6 +24,13 @@ Supported subset (documented; the rest raises ParseError):
       '*.info;mail.none {...}' lines → prifilt filters
   :prop, [!]op, "value" <stmt-or-block>   # classic property filter
       (op: contains|isequal|isempty|startswith|regex|ereregex)
+  classic action targets after any filter: '/path' and '-/path'
+      (omfile), '@host'/'@@host' (omfwd), ':omusrmsg:users' and bare
+      '*' (wall) — each becomes a named text sink under out_root
+  legacy $-directives: $ModLoad (mm*/pm* stages; wire transports are
+      native and ignored), $template name,"fmt", and
+      $ActionFileDefaultTemplate; other one-argument $Directives are
+      accepted and ignored; $IncludeConfig raises (inline the file)
   Param names may be dotted (queue.type="..."); unknown action/ruleset
   params are accepted and ignored (the reference warns on unused params).
   expressions: $properties (incl. $!json!paths and $.locals),
@@ -54,6 +61,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pfilt>:\$?[A-Za-z][A-Za-z0-9_-]*[ \t]*,[ \t]*!?[a-z]+[ \t]*,
               [ \t]*"(?:\\.|[^"\\])*")
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<ltarget>-?/[^\s;{}]+|@@?[A-Za-z0-9_.:*-]+|:[A-Za-z0-9]+:[^\s;{}]*)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
@@ -98,6 +106,8 @@ class _Parser:
         self.rulesets: dict[str, dict] = {}
         self.modifiers: list = []
         self.lookup_tables: dict[str, dict] = {}
+        # $ActionFileDefaultTemplate (legacy) — template for path actions
+        self.file_default_template = "RSYSLOG_TraditionalFileFormat"
         self._auto = 0
 
     # -- token helpers ----------------------------------------------------
@@ -302,6 +312,13 @@ class _Parser:
         if k == "op" and v == ";":      # empty statement
             self.next()
             return []
+        if k == "ltarget" or (k == "op" and v == "*"):
+            # classic sysklogd action target (runtime/conf.c
+            # cflineDoAction): '/path' or '-/path' (omfile, '-' = legacy
+            # async flag), '@host'/'@@host' (omfwd UDP/TCP),
+            # ':omusrmsg:users' or bare '*' (wall message)
+            self.next()
+            return [self._legacy_action(v)]
         if k == "word" and v == "stop" or (k == "op" and v == "~"):
             self.next()
             self.accept("op", ";")
@@ -380,6 +397,55 @@ class _Parser:
             return out
         raise ParseError(f"unexpected statement start {v!r}")
 
+    def _legacy_directive(self, name: str) -> None:
+        """Legacy `$Directive` lines (runtime/conf.c cfsysline):
+        $ModLoad (mm*/pm* stages load, wire transports ignored — the
+        engine provides them natively), $template name,"fmt" (options
+        after a second comma are ignored), $ActionFileDefaultTemplate,
+        and a one-argument accept-and-ignore for the remaining
+        housekeeping directives ($FileOwner, $umask, $UDPServerRun, …).
+        Multi-argument exotic directives are outside the subset."""
+        self.next()                                # the $Directive token
+        if name == "$ModLoad":
+            mod = self.next()[1].rsplit("/", 1)[-1]
+            mod = mod[:-3] if mod.endswith(".so") else mod
+            from .config import STAGE_REGISTRY
+            if mod in STAGE_REGISTRY:
+                self.modifiers.append(mod)
+        elif name == "$template":
+            tname = self.next()[1]
+            self.expect("op", ",")
+            fmt = self.expect("str")
+            while self.accept("op", ","):
+                self.next()                        # template option
+            self.templates[tname] = fmt
+        elif name == "$ActionFileDefaultTemplate":
+            self.file_default_template = self.next()[1]
+        elif name == "$IncludeConfig":
+            raise ParseError(
+                "$IncludeConfig is not in the subset — inline the file")
+        elif self.peek()[0] != "eof":
+            self.next()                            # one-arg ignore
+
+    def _legacy_action(self, target: str) -> dict:
+        """Classic action target → write action dict. Sinks are Parquet/
+        text roots under the run's out_root (wire targets stand in as
+        named text sinks, the repo-wide transport substitution)."""
+        self._auto += 1
+        name = re.sub(r"[^A-Za-z0-9_.-]+", "_", target).strip("_") \
+            or f"action_{self._auto}"
+        if target == "*" or target.startswith(":omusrmsg:"):
+            tpl = "RSYSLOG_TraditionalFileFormat"   # wall-message text
+            name = f"usrmsg_{name}" if target != "*" else "usrmsg_all"
+        elif target.startswith("@"):
+            tpl = "RSYSLOG_ForwardFormat"           # omfwd @/@@ target
+            name = f"fwd_{name.lstrip('@')}"
+        else:
+            tpl = self.file_default_template        # omfile path
+            if target.startswith("-"):              # '-' async flag
+                name = name.lstrip("-_")
+        return {"name": name, "template": tpl, "format": "text"}
+
     def block_or_stmt(self) -> list[dict]:
         if self.accept("op", "{"):
             stmts = self.statements("}")
@@ -415,6 +481,10 @@ class _Parser:
                 self.next()
                 p = self.params()
                 self.modifiers.append(p["load"])
+            elif k == "prop" and not v.startswith(("$!", "$.")):
+                # a top-level `$name` line can only be a legacy cfsysline
+                # directive — statements never begin with a property
+                self._legacy_directive(v)
             elif k == "word" and v == "lookup_table":
                 # lookup_table(name="t" file="/path.json") —
                 # plugins/lookup tables (runtime/lookup.c loadTable)

@@ -283,3 +283,56 @@ call r
     inner = acts[0]["ruleset"]["actions"][0]
     assert inner["name"] == "a"
     assert "queue.dequeueBatchSize" not in inner
+
+
+def test_legacy_sysklogd_config(ray_session):
+    """A real-world-shaped legacy rsyslog.conf loads end-to-end: $-line
+    directives, classic selectors with file / @forward / omusrmsg
+    targets, and '-' async-flagged paths."""
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript, parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = """
+$ModLoad imuxsock
+$ModLoad mmjsonparse
+$FileOwner root
+$umask 0022
+$template DynFile,"%msg%\\n"
+$ActionFileDefaultTemplate DynFile
+
+*.info;mail.none -/var/log/messages
+mail.* /var/log/maillog
+*.emerg *
+*.emerg @loghost.example.com:514
+local0.err @@tcploghost
+local1.* :omusrmsg:root
+"""
+    cfg = parse_rainerscript(src)
+    assert cfg["modifiers"] == ["mmjsonparse"]      # imuxsock ignored
+    assert cfg["templates"]["DynFile"] == "%msg%\n"
+    acts = cfg["ruleset"]["actions"]
+    names = [a["name"] for a in acts]
+    assert names == ["var_log_messages", "var_log_maillog", "usrmsg_all",
+                     "fwd_loghost.example.com_514", "fwd_tcploghost",
+                     "usrmsg_omusrmsg_root"]
+    # file actions picked up the $ActionFileDefaultTemplate
+    assert acts[0]["template"] == "DynFile"
+    assert acts[3]["template"] == "RSYSLOG_ForwardFormat"
+    assert all(a["format"] == "text" for a in acts)
+    assert acts[0]["filter"] == ["prifilt", "*.info;mail.none"]
+
+    # compiles and routes (needs parse-chain columns for the templates)
+    cc = load_rainerscript("""
+$template T,"%msg%"
+$ActionFileDefaultTemplate T
+local0.err /var/log/errs
+""")
+    batch = pa.table({
+        "msg": ["a", "b"],
+        "facility": pa.array([16, 16], pa.int64()),
+        "severity": pa.array([3, 6], pa.int64()),
+    })
+    routed = route_table(batch, cc.ruleset)
+    assert routed["var_log_errs"].num_rows == 1
