@@ -386,7 +386,8 @@ def tdigest_quantiles_by_key(ds, key: str = "event_type",
                              value_col: str = "value",
                              qs: tuple = (0.5, 0.95, 0.99),
                              names: tuple = ("p50", "p95", "p99"),
-                             delta: float = 200.0) -> pa.Table:
+                             delta: float = 200.0,
+                             driver_threshold: int = 2_000_000) -> pa.Table:
     """Approximate distributed percentiles for UNBOUNDED value domains —
     the scale companion to percentiles_by_key (whose exact cent histogram
     assumes a bounded discrete domain). Per-batch per-key t-digests
@@ -395,7 +396,12 @@ def tdigest_quantiles_by_key(ds, key: str = "event_type",
     cardinality; digests are mergeable, so one tiny driver fold
     compresses per key and reads the quantiles out. Rank error is
     O(q(1−q)/δ): tight at the tails, the p99-monitoring sweet spot.
-    Shuffle volume: centroid partials only — the raw values never move."""
+    Shuffle volume: centroid partials only — the raw values never move.
+    Below `driver_threshold` centroid rows the fold runs on the driver;
+    above (many blocks × keys at 100 TB), a key-partitioned map_groups
+    merge-compresses each key's centroids distributed (digest merging is
+    associative) and only the O(keys·δ) merged digests reach the
+    driver readout."""
     def partial(batch: pa.Table) -> pa.Table:
         vals = pc.cast(batch[value_col], pa.float64())
         if isinstance(vals, pa.ChunkedArray):
@@ -423,9 +429,22 @@ def tdigest_quantiles_by_key(ds, key: str = "event_type",
                          "mean": pa.array(out_m, pa.float64()),
                          "weight": pa.array(out_w, pa.float64())})
 
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    if partials.count() > driver_threshold:
+        # distributed per-key digest merge: associative, so one
+        # map_groups pass leaves O(δ) centroids per key
+        def merge_key(g):
+            import pandas as pd
+            m, w = _td_compress(g["mean"].to_numpy(),
+                                g["weight"].to_numpy(), delta)
+            return pd.DataFrame({key: [g[key].iloc[0]] * len(m),
+                                 "mean": m, "weight": w})
+        partials = partials.groupby(key).map_groups(
+            merge_key, batch_format="pandas").materialize()
     parts = pa.concat_tables(
-        [b for b in ds.map_batches(partial, batch_format="pyarrow")
-         .iter_batches(batch_size=None, batch_format="pyarrow")])
+        [b for b in partials.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")])
     df = parts.to_pandas()
     out_keys: list = []
     out_cols: dict = {nm: [] for nm in names}

@@ -861,3 +861,27 @@ def test_turn_windows(ray_session):
             .sort_values(["conv_id", "turn_idx"])
         assert list(out["context"]) == [
             "t0", "t0\nt1", "t0\nt1\nt2", "t1\nt2\nt3", "b0", "b0\nb1"]
+
+
+def test_tdigest_distributed_merge_path(ray_session):
+    """driver_threshold=0 forces the per-key distributed digest merge;
+    results stay within the rank-error band of the driver fold."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import tdigest_quantiles_by_key
+
+    rng = np.random.default_rng(13)
+    vals = rng.lognormal(0.0, 1.0, 20_000)
+    keys = np.where(np.arange(len(vals)) % 2 == 0, "a", "b")
+    tbl = pa.table({"event_type": pa.array(keys.astype(object)),
+                    "value": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(tbl).repartition(9)
+    a = tdigest_quantiles_by_key(ds).to_pandas().set_index("event_type")
+    b = tdigest_quantiles_by_key(ds, driver_threshold=0).to_pandas() \
+        .set_index("event_type")
+    for k in ("a", "b"):
+        v = np.sort(vals[keys == k])
+        for q, nm in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            rank = np.searchsorted(v, b.loc[k, nm]) / len(v)
+            assert abs(rank - q) < 0.015, (k, nm, rank)
+    assert np.allclose(a.to_numpy(), b.to_numpy(), rtol=0.1)
