@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": Q.q_token_budget,
         "conv_dedup": Q.q_conv_dedup,
         "jaccard_dedup": Q.q_jaccard_dedup,
+        "neardup_clusters": Q.q_neardup_clusters,
         "suppress_repeats": Q.q_suppress_repeats,
         "neardup_pairs": Q.q_neardup_pairs,
         "cosine_dedup": Q.q_cosine_dedup,

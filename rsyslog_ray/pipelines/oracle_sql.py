@@ -957,6 +957,38 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a
              JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4"""
 
+    q["neardup_clusters"] = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b
+  WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4
+),
+edges AS (SELECT a AS u, b AS v FROM pairs
+          UNION ALL SELECT b, a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"""
+
     q["jaccard_dedup"] = r"""
 WITH toks AS (
   SELECT doc_id,

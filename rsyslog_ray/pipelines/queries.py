@@ -701,6 +701,63 @@ def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     return _to_table(ngram_jaccard_pairs(ds, n=3, threshold=0.4))
 
 
+def q_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup CLUSTER ids, not just drops: exact Jaccard pairs →
+    distributed connected components (Hash-to-Min min-label propagation)
+    → keyed left join back to the corpus; singleton docs keep their own
+    id as cluster_id. The SQL twin closes the same transitive closure
+    with a recursive CTE — a graph operator with an exact oracle."""
+    from ..stages.dedup import connected_components, ngram_jaccard_pairs
+    from ..stages.joins import equi_join
+
+    docs = read_scaled(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4) \
+        .select_columns(["a", "b"]).materialize()
+    ids = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if pairs.count() <= 2_000_000:
+        # near-dup pair sets are a small corpus slice: one driver
+        # union-find + broadcast map beats several component-propagation
+        # join rounds (the distributed path below stays for huge graphs)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in pairs.take_all():
+            ra, rb = find(int(r["a"])), find(int(r["b"]))
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        labels_map = {x: find(x) for x in list(parent)}
+        import ray as _ray
+        ref = _ray.put(labels_map)
+
+        def assign(t: pa.Table) -> pa.Table:
+            lm = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+            d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cid = np.array([lm.get(int(x), int(x)) for x in d],
+                           dtype=np.int64)
+            return pa.table({"doc_id": pa.array(d),
+                             "cluster_id": pa.array(cid)})
+        return _to_table(ids.map_batches(assign, batch_format="pyarrow"))
+
+    labels = connected_components(pairs).map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow")
+    joined = equi_join(ids, labels, key="doc_id", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(pc.cast(t["cluster_id"], pa.int64()),
+                          pc.cast(t["doc_id"], pa.int64()))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "cluster_id": cid})
+    return _to_table(joined.map_batches(finish, batch_format="pyarrow"))
+
+
 def q_jaccard_dedup(sf_dir: str) -> pa.Table:
     """Word-trigram Jaccard dedup: surviving doc_ids after dropping every
     doc with a smaller-id near-dup (j>=0.4) — distributed anti-join."""

@@ -487,3 +487,32 @@ def test_bloom_partition_invariant(ray_session):
     b = bloom_build(rd.from_arrow(vals).repartition(7), "v",
                     m_bits=1 << 14)
     assert (a == b).all()
+
+
+def test_neardup_clusters_query(ray_session):
+    """Cluster-id semantics: every near-dup pair shares a cluster, the
+    cluster id is the component minimum, singletons label themselves."""
+    from rsyslog_ray.pipelines.queries import (q_jaccard_pairs,
+                                               q_neardup_clusters)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = q_jaccard_pairs(sf).to_pandas()
+    clusters = q_neardup_clusters(sf).to_pandas() \
+        .set_index("doc_id")["cluster_id"]
+    # transitive-closure oracle via union-find
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for d, c in clusters.items():
+        assert c == find(int(d)), d
+    assert len(pairs) > 0          # fixture actually has near-dups
+    assert (clusters.index == clusters.values).sum() > 0  # singletons
