@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_vocab": Q.q_bpe_vocab,             # iterative merge loop
         "bpe_tokens": Q.q_bpe_tokens,           # tokenize under bpe_vocab
         "kmeans": Q.q_kmeans,                   # seeded iterative clustering
+        "logreg": Q.q_logreg,                   # iterative GD fit
         "semdedup": Q.q_semdedup,               # k-means + ε-ball drop
         "ivf_cosine": Q.q_ivf_cosine,           # approximate
         "dedup_minhash": Q.q_dedup_minhash,     # minhash

@@ -147,6 +147,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("image_dedup", Q.q_image_dedup, sf_dir)
     timed("turn_windows", Q.q_turn_windows, sf_dir)
     timed("audio_dedup", Q.q_audio_dedup, sf_dir)
+    timed("neardup_clusters", Q.q_neardup_clusters, sf_dir)
+    timed("logreg", Q.q_logreg, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1039,6 +1039,43 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
 
 
+def q_logreg(sf_dir: str) -> pa.Table:
+    """Distributed quality-classifier training: full-batch logistic
+    regression over engineered text features (words, mean word length,
+    digit fraction) predicting a deterministic length label — every
+    iteration one gradient-partial pass, O(d) driver state. Rows-only
+    (iterative fit); exact numpy-oracle pytest pins the math."""
+    from ..stages.clustering import logreg_fit
+
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        digits = pc.count_substring_regex(txt, pattern="[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n_words": pa.array(nw),
+            "mean_wlen": pa.array(np.where(nw > 0, nch / np.maximum(nw, 1),
+                                           0.0)),
+            "digit_frac": pa.array(digits / np.maximum(nch, 1)),
+            "y": pa.array((nch > 280).astype(np.int64)),
+        })
+
+    # materialize the tiny engineered-feature table once: every GD round
+    # re-consumes it, and 4 float columns are ~1% of the corpus bytes
+    fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    return _to_table(logreg_fit(fds, ["n_words", "mean_wlen",
+                                      "digit_frac"], "y", iters=30))
+
+
 def q_image_dedup(sf_dir: str) -> pa.Table:
     """Perceptual image near-dup removal over REAL decoded pixels:
     payloads are per-class gradient PNGs re-encoded with varying filter

@@ -169,3 +169,54 @@ def test_sq8_roundtrip_error_bounded(ray_session):
     got2 = {r["vec_id"]: np.asarray(r["sq8"]) for r in
             sq8_quantize(rd.from_arrow(tbl), bounds=(lo, hi)).take_all()}
     assert all((got[i] == got2[i]).all() for i in range(200))
+
+
+def test_logreg_matches_numpy_oracle_and_batching(ray_session):
+    """Distributed full-batch GD equals a single-machine numpy oracle
+    with identical per-round rounding, under any partitioning; the fit
+    separates a separable fixture."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.clustering import logreg_fit
+
+    rng = np.random.default_rng(21)
+    n, d = 2000, 3
+    x = rng.normal(0, 2.0, (n, d)) + np.array([5.0, -2.0, 0.0])
+    true_w = np.array([1.5, -2.0, 0.5])
+    y = (x @ true_w + 0.5 + rng.normal(0, 0.5, n) > 3.0).astype(np.int64)
+    tbl = pa.table({"f0": x[:, 0], "f1": x[:, 1], "f2": x[:, 2],
+                    "y": pa.array(y)})
+
+    # numpy oracle with the same standardize + rounding schedule
+    ndp, lr, l2, iters = 9, 0.5, 1e-3, 50
+    mu = np.round(x.mean(axis=0), ndp)
+    sd = np.round(np.sqrt(np.maximum(x.var(axis=0), 1e-12)), ndp)
+    xs = (x - mu) / sd
+    w, b = np.zeros(d), 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-np.clip(xs @ w + b, -35, 35)))
+        gw = np.round((xs * (p - y)[:, None]).sum(axis=0) / n + l2 * w, ndp)
+        gb = round(float((p - y).sum()) / n, ndp)
+        w = np.round(w - lr * gw, ndp)
+        b = round(b - lr * gb, ndp)
+    want_w = w / sd
+    want_b = b - float((w * mu / sd).sum())
+
+    prev = None
+    for nblocks in (1, 7):
+        out = logreg_fit(rd.from_arrow(tbl).repartition(nblocks),
+                         ["f0", "f1", "f2"], "y",
+                         lr=lr, iters=iters, l2=l2) \
+            .to_pandas().set_index("feature")["weight"]
+        got = out[["f0", "f1", "f2"]].to_numpy()
+        assert np.allclose(got, np.round(want_w, ndp), atol=1e-6), nblocks
+        assert abs(out["_intercept"] - round(want_b, ndp)) < 1e-6
+        if prev is not None:
+            assert np.array_equal(got, prev)       # bit-stable
+        prev = got
+        # the fit actually separates
+        p = 1.0 / (1.0 + np.exp(-(x @ got + out["_intercept"])))
+        acc = ((p > 0.5).astype(int) == y).mean()
+        assert acc > 0.9, acc
