@@ -323,6 +323,12 @@ class _Parser:
             self.next()
             self.accept("op", ";")
             return [{"name": f"stop_{self.i}", "kind": "stop"}]
+        if k == "word" and v == "continue":
+            # no-op statement (lexer.l CONTINUE → S_NOP): common as an
+            # empty else-branch
+            self.next()
+            self.accept("op", ";")
+            return []
         if k == "word" and v == "set":
             # set $!a!b = expr; / set $.local = expr;
             self.next()

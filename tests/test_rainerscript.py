@@ -336,3 +336,16 @@ local0.err /var/log/errs
     })
     routed = route_table(batch, cc.ruleset)
     assert routed["var_log_errs"].num_rows == 1
+
+
+def test_continue_statement():
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    c = parse_rainerscript("""
+if $a == 1 then continue
+else action(name="x")
+continue;
+""")
+    acts = c["ruleset"]["actions"]
+    assert len(acts) == 1
+    assert acts[0]["filter"] == ["not", ["==", ["prop", "a"], 1]]
