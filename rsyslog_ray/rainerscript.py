@@ -450,6 +450,15 @@ class _Parser:
             tpl = self.file_default_template        # omfile path
             if target.startswith("-"):              # '-' async flag
                 name = name.lstrip("-_")
+        # the same target on several selector lines is idiomatic sysklogd
+        # (each matching line writes); sink dirs are per-action, so later
+        # lines get a numbered sibling instead of a name collision
+        if not hasattr(self, "_legacy_names"):
+            self._legacy_names: dict[str, int] = {}
+        seen = self._legacy_names.get(name, 0)
+        self._legacy_names[name] = seen + 1
+        if seen:
+            name = f"{name}_{seen + 1}"
         return {"name": name, "template": tpl, "format": "text"}
 
     def block_or_stmt(self) -> list[dict]:

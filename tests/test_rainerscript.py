@@ -349,3 +349,17 @@ continue;
     acts = c["ruleset"]["actions"]
     assert len(acts) == 1
     assert acts[0]["filter"] == ["not", ["==", ["prop", "a"], 1]]
+
+
+def test_legacy_duplicate_targets_get_sibling_names():
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    cfg = parse_rainerscript("""
+*.info /var/log/messages
+mail.* /var/log/messages
+*.emerg @host
+local0.* @host
+""")
+    names = [a["name"] for a in cfg["ruleset"]["actions"]]
+    assert names == ["var_log_messages", "var_log_messages_2",
+                     "fwd_host", "fwd_host_2"]
