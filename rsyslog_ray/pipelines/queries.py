@@ -1073,7 +1073,7 @@ def q_logreg(sf_dir: str) -> pa.Table:
     # re-consumes it, and 4 float columns are ~1% of the corpus bytes
     fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
     return _to_table(logreg_fit(fds, ["n_words", "mean_wlen",
-                                      "digit_frac"], "y", iters=30))
+                                      "digit_frac"], "y", iters=20))
 
 
 def q_image_dedup(sf_dir: str) -> pa.Table:

@@ -1038,13 +1038,18 @@ def rank_by_key(ds, key: str = "user_id", order_cols: tuple = ("value",),
 
 
 def centroid_by_label(ds, label_col: str = "label",
-                      vec_col: str = "embedding", ndp: int = 6):
+                      vec_col: str = "embedding", ndp: int = 6,
+                      driver_threshold: int = 2_000_000):
     """Per-label embedding centroid (the k-means / IVF building block) in
     long form (label, dim, centroid): per-batch partial (sum, count) per
     (label, dim) — one reshape + np.add.at per batch, no Python loop —
-    then a hash-bucketed merge and one divide. Shuffle volume is
-    O(labels × dims) per batch, independent of row count. Rounded
-    half-away to `ndp` dp to match a SQL avg() oracle."""
+    then a merge and one divide. Shuffle volume is O(labels × dims) per
+    batch, independent of row count. The merge is dual-path: below
+    `driver_threshold` partial rows ONE driver group_by folds the
+    materialized partials (skips the bucket shuffle's multi-second fixed
+    cost — the dup_ngram_fraction pattern), else the hash-bucketed
+    distributed merge. Rounded half-away to `ndp` dp to match a SQL
+    avg() oracle."""
     def partial(t: pa.Table) -> pa.Table:
         emb = t[vec_col]
         if isinstance(emb, pa.ChunkedArray):
@@ -1066,9 +1071,21 @@ def centroid_by_label(ds, label_col: str = "label",
             "n": pa.array(np.repeat(cnts, dims)),
         })
 
-    merged = bucket_merge(
-        ds.map_batches(partial, batch_format="pyarrow"),
-        [label_col, "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    if partials.count() <= driver_threshold:
+        import ray as _ray
+        import ray.data as rd
+        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        folded = tbl.group_by([label_col, "dim"]) \
+            .aggregate([("s", "sum"), ("n", "sum")])
+        merged = rd.from_arrow(pa.table({
+            label_col: folded[label_col], "dim": folded["dim"],
+            "s": folded["s_sum"], "n": folded["n_sum"]}))
+    else:
+        merged = bucket_merge(
+            partials,
+            [label_col, "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
 
     scale = 10.0 ** ndp
 

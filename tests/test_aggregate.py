@@ -885,3 +885,27 @@ def test_tdigest_distributed_merge_path(ray_session):
             rank = np.searchsorted(v, b.loc[k, nm]) / len(v)
             assert abs(rank - q) < 0.015, (k, nm, rank)
     assert np.allclose(a.to_numpy(), b.to_numpy(), rtol=0.1)
+
+
+def test_centroid_by_label_dual_fold(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import centroid_by_label
+
+    rng = np.random.default_rng(17)
+    emb = rng.normal(0, 1, (60, 4))
+    labels = rng.integers(0, 3, 60)
+    tbl = pa.table({"label": pa.array(labels, pa.int64()),
+                    "embedding": pa.array(list(emb))})
+    outs = []
+    for thresh in (2_000_000, 0):   # driver fold vs bucketed merge
+        out = centroid_by_label(rd.from_arrow(tbl).repartition(3),
+                                driver_threshold=thresh).to_pandas() \
+            .sort_values(["label", "dim"]).reset_index(drop=True)
+        outs.append(out)
+        for lb in range(3):
+            want = np.round(emb[labels == lb].mean(axis=0) + 1e-12, 6)
+            got = out[out["label"] == lb].sort_values("dim")["centroid"] \
+                .to_numpy()
+            assert np.allclose(got, want, atol=1e-6), (thresh, lb)
+    assert outs[0].equals(outs[1])
