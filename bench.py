@@ -149,6 +149,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("audio_dedup", Q.q_audio_dedup, sf_dir)
     timed("neardup_clusters", Q.q_neardup_clusters, sf_dir)
     timed("logreg", Q.q_logreg, sf_dir)
+    timed("editdist_pairs", Q.q_editdist_pairs, sf_dir)
 
     out["queries"] = timings
     return out

@@ -957,6 +957,13 @@ FROM inter i JOIN sizes sa ON sa.doc_id = i.a
              JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(i.c AS DOUBLE) / (sa.n + sb.n - i.c) >= 0.4"""
 
+    q["editdist_pairs"] = r"""
+WITH k AS (SELECT doc_id, substr(text, 1, 24) AS key FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1"""
+
     q["neardup_clusters"] = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,

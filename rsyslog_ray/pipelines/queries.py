@@ -701,6 +701,16 @@ def q_jaccard_pairs(sf_dir: str) -> pa.Table:
     return _to_table(ngram_jaccard_pairs(ds, n=3, threshold=0.4))
 
 
+def q_editdist_pairs(sf_dir: str) -> pa.Table:
+    """Levenshtein ≤ 1 near-dup pairs over the documents' 24-char key
+    prefix — FastSS deletion-neighborhood hashing vs DuckDB's
+    levenshtein() self-join oracle."""
+    from ..stages.dedup import editdist_pairs
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(editdist_pairs(ds, prefix_len=24))
+
+
 def q_neardup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup CLUSTER ids, not just drops: exact Jaccard pairs →
     distributed connected components (Hash-to-Min min-label propagation)

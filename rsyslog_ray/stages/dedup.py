@@ -958,3 +958,136 @@ def first_occurrence(ds, text_col: str = "text",
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("_bucket")
             .map_groups(per_bucket, batch_format="pandas"))
+
+
+def _ed_le1(a: str, b: str) -> int | None:
+    """Exact Levenshtein when ≤ 1, else None. O(len) single pass."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return 0
+    if abs(la - lb) > 1:
+        return None
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return 1 if diff == 1 else None
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: one skip allowed in b
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1:] else None
+
+
+def editdist_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                   prefix_len: int = 24,
+                   driver_threshold: int = 5_000_000):
+    """Edit-distance near-dup pairs (Levenshtein ≤ 1) over a derived key
+    (the first `prefix_len` characters — the short-field/title dedup
+    shape), via FastSS deletion-neighborhood hashing (Bocek et al. 2007):
+    every key emits itself plus each 1-deletion variant; two keys within
+    edit distance 1 ALWAYS share a variant (substitution at i → both
+    i-deletions equal; insertion/deletion → one string IS a 1-deletion
+    variant of the other), so grouping by variant yields a complete
+    candidate set, verified with an exact single-pass ed≤1 check.
+    Output (a, b, dist) with a < b, dist ∈ {0, 1}.
+
+    Shape: variant generation is prefix_len vectorized pandas slice
+    passes (no per-row Python); postings (variant, id, key) fold on the
+    driver below `driver_threshold`, else hash-bucket by variant (a
+    variant's postings co-locate, so per-bucket pairing is complete)
+    with a distinct pass de-duplicating pairs found via several shared
+    variants. Shuffle volume O(prefix_len · rows) postings."""
+    import pandas as pd
+
+    def postings(batch: pa.Table) -> pa.Table:
+        keys = pc.utf8_slice_codeunits(
+            pc.cast(batch[text_col], pa.string()), 0, prefix_len)
+        s = pd.Series(keys.to_pylist(), dtype=object).fillna("")
+        ids = pd.Series(pc.cast(batch[id_col], pa.int64())
+                        .to_numpy(zero_copy_only=False))
+        frames = [pd.DataFrame({"v": s, id_col: ids, "k": s})]
+        for d in range(prefix_len):
+            m = s.str.len() > d
+            if not m.any():
+                break
+            v = (s.str.slice(0, d) + s.str.slice(d + 1)).where(m)
+            frames.append(pd.DataFrame({"v": v, id_col: ids, "k": s})
+                          .dropna(subset=["v"]))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def pairs_of(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs within equal-variant runs, ed≤1 verified."""
+        empty = pd.DataFrame({"a": np.array([], np.int64),
+                              "b": np.array([], np.int64),
+                              "dist": np.array([], np.int64)})
+        if len(df) < 2:
+            return empty
+        df = df.drop_duplicates(["v", id_col])
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["v"].to_numpy(dtype=object)))
+        v = df["v"].to_numpy(dtype=object)[order]
+        ids = df[id_col].to_numpy()[order]
+        ks = df["k"].to_numpy(dtype=object)[order]
+        n = len(v)
+        newrun = np.ones(n, dtype=bool)
+        newrun[1:] = v[1:] != v[:-1]
+        run_id = np.cumsum(newrun) - 1
+        counts = np.bincount(run_id)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        seen: set = set()
+        out_a, out_b, out_d = [], [], []
+        for r in np.flatnonzero(counts >= 2):
+            sl = slice(starts[r], starts[r] + counts[r])
+            rid, rk = ids[sl], ks[sl]
+            for i in range(len(rid)):
+                for j in range(i + 1, len(rid)):
+                    a, b = int(rid[i]), int(rid[j])
+                    if a == b:
+                        continue
+                    if a > b:
+                        a, b = b, a
+                    if (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    dist = _ed_le1(rk[i], rk[j])
+                    if dist is not None:
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_d.append(dist)
+        return pd.DataFrame({"a": np.array(out_a, np.int64),
+                             "b": np.array(out_b, np.int64),
+                             "dist": np.array(out_d, np.int64)})
+
+    posts, n_posts = _materialize_nonempty(
+        ds.map_batches(postings, batch_format="pyarrow"),
+        [("v", pa.string()), (id_col, pa.int64()), ("k", pa.string())])
+    if n_posts <= driver_threshold:
+        import ray as _ray
+        tbl = pa.concat_tables(_ray.get(posts.to_arrow_refs()))
+        out = pairs_of(tbl.to_pandas())
+        return rd_from_pandas_pairs(out)
+    from ..cluster import cluster_buckets
+    nb = cluster_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = (pd.util.hash_array(
+            np.asarray(t["v"].to_pylist(), dtype=object),
+            categorize=False).astype(np.uint64) % np.uint64(nb)) \
+            .astype(np.int64)
+        return t.append_column("_bucket", pa.array(h))
+
+    pairs = (posts.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("_bucket").map_groups(
+                 lambda g: pairs_of(g.drop(columns=["_bucket"])),
+                 batch_format="pandas"))
+    # a pair can surface in two buckets via different shared variants
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def rd_from_pandas_pairs(df):
+    import ray.data as rd
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))

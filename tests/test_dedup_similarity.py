@@ -516,3 +516,42 @@ def test_neardup_clusters_query(ray_session):
         assert c == find(int(d)), d
     assert len(pairs) > 0          # fixture actually has near-dups
     assert (clusters.index == clusters.values).sum() > 0  # singletons
+
+
+def test_editdist_pairs_fastss(ray_session):
+    """FastSS recall is complete for ed<=1 (substitution / insertion /
+    deletion each found), precision exact, both fold paths agree."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.dedup import _ed_le1, editdist_pairs
+
+    texts = ["hello world", "hellx world",      # substitution
+             "hello worl",                       # deletion
+             "hello worlds",                     # insertion (of the del)
+             "completely different",
+             "hello world",                      # exact dup of 0
+             "xy", "x", ""]                      # short/empty edges
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": texts})
+
+    def oracle():
+        out = set()
+        for (i, a), (j, b) in itertools.combinations(
+                enumerate(t[:24] for t in texts), 2):
+            d = _ed_le1(a, b)
+            if d is not None:
+                out.add((i, j, d))
+        return out
+
+    want = oracle()
+    for thresh in (5_000_000, 0):
+        got = {(int(r["a"]), int(r["b"]), int(r["dist"]))
+               for r in editdist_pairs(rd.from_arrow(tbl).repartition(3),
+                                       prefix_len=24,
+                                       driver_threshold=thresh).take_all()}
+        assert got == want, (thresh, got ^ want)
+    assert any(d == 0 for _, _, d in want)      # exact dup present
+    assert any(d == 1 for _, _, d in want)
