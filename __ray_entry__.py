@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": Q.q_sample_by_source,
         "neardup_clusters": Q.q_neardup_clusters,
         "editdist_pairs": Q.q_editdist_pairs,
+        "editdist_dedup": Q.q_editdist_dedup,
         "jaccard_dedup": Q.q_jaccard_dedup,
         "keyword_search": Q.q_keyword_search,
         "nfc_normalize": Q.q_nfc_normalize,

@@ -964,6 +964,13 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 1"""
 
+    q["editdist_dedup"] = r"""
+WITH k AS (SELECT doc_id, substr(text, 1, 24) AS key FROM documents)
+SELECT d.doc_id FROM k d
+WHERE NOT EXISTS (
+  SELECT 1 FROM k o
+  WHERE o.doc_id < d.doc_id AND levenshtein(o.key, d.key) <= 1)"""
+
     q["neardup_clusters"] = r"""
 WITH RECURSIVE toks AS (
   SELECT doc_id,

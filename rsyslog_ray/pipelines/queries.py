@@ -711,6 +711,15 @@ def q_editdist_pairs(sf_dir: str) -> pa.Table:
     return _to_table(editdist_pairs(ds, prefix_len=24))
 
 
+def q_editdist_dedup(sf_dir: str) -> pa.Table:
+    """Edit-distance dedup: surviving doc_ids after dropping every doc
+    whose 24-char key has a smaller-id Levenshtein<=1 partner."""
+    from ..stages.dedup import editdist_dedup
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(editdist_dedup(ds).select_columns(["doc_id"]))
+
+
 def q_neardup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup CLUSTER ids, not just drops: exact Jaccard pairs →
     distributed connected components (Hash-to-Min min-label propagation)

@@ -1091,3 +1091,15 @@ def editdist_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def rd_from_pandas_pairs(df):
     import ray.data as rd
     return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def editdist_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                   prefix_len: int = 24,
+                   driver_threshold: int = 5_000_000):
+    """Edit-distance dedup: drop every doc with a SMALLER-id key within
+    Levenshtein ≤ 1 (editdist_pairs → drop_pair_partners anti-join —
+    the NOT-EXISTS rule, same as ngram_jaccard_dedup)."""
+    pairs = editdist_pairs(ds, text_col=text_col, id_col=id_col,
+                           prefix_len=prefix_len,
+                           driver_threshold=driver_threshold)
+    return drop_pair_partners(ds.select_columns([id_col]), pairs, id_col)

@@ -555,3 +555,17 @@ def test_editdist_pairs_fastss(ray_session):
         assert got == want, (thresh, got ^ want)
     assert any(d == 0 for _, _, d in want)      # exact dup present
     assert any(d == 1 for _, _, d in want)
+
+
+def test_editdist_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.dedup import editdist_dedup
+
+    texts = ["hello world", "hellx world", "goodbye", "hello world"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": texts})
+    out = editdist_dedup(rd.from_arrow(tbl)).to_pandas()["doc_id"] \
+        .sort_values().tolist()
+    assert out == [0, 2]    # 1 (ed=1 to 0) and 3 (ed=0 to 0) dropped
