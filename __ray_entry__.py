@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": Q.q_neardup_clusters,
         "editdist_pairs": Q.q_editdist_pairs,
         "editdist_dedup": Q.q_editdist_dedup,
+        "feature_corr": Q.q_feature_corr,
         "jaccard_dedup": Q.q_jaccard_dedup,
         "keyword_search": Q.q_keyword_search,
         "nfc_normalize": Q.q_nfc_normalize,

@@ -964,6 +964,22 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 1"""
 
+    q["feature_corr"] = r"""
+WITH f AS (
+  SELECT CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+           AS n_words,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+           AS n_digits
+  FROM documents
+)
+SELECT 'n_chars' AS feature_a, 'n_words' AS feature_b,
+       round(corr(n_chars, n_words), 6) AS corr FROM f
+UNION ALL
+SELECT 'n_chars', 'n_digits', round(corr(n_chars, n_digits), 6) FROM f
+UNION ALL
+SELECT 'n_words', 'n_digits', round(corr(n_words, n_digits), 6) FROM f"""
+
     q["editdist_dedup"] = r"""
 WITH k AS (SELECT doc_id, substr(text, 1, 24) AS key FROM documents)
 SELECT d.doc_id FROM k d

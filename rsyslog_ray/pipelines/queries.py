@@ -1058,6 +1058,34 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
 
 
+def q_feature_corr(sf_dir: str) -> pa.Table:
+    """One-pass Pearson correlation matrix over engineered text features
+    — SQL corr() twin (normalization cancels, so population moments
+    equal the sample statistic exactly)."""
+    from ..stages.aggregate import corr_matrix
+
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        digits = pc.count_substring_regex(txt, pattern="[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"n_chars": pa.array(nch),
+                         "n_words": pa.array(nw),
+                         "n_digits": pa.array(digits)})
+
+    fds = ds.map_batches(feats, batch_format="pyarrow")
+    return _to_table(corr_matrix(fds, ["n_chars", "n_words", "n_digits"]))
+
+
 def q_logreg(sf_dir: str) -> pa.Table:
     """Distributed quality-classifier training: full-batch logistic
     regression over engineered text features (words, mean word length,

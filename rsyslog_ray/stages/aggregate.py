@@ -1266,3 +1266,50 @@ def ewma_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
         return g
 
     return _per_bucket(ds, fold, key=key)
+
+
+def corr_matrix(ds, cols: list[str], ndp: int = 6) -> pa.Table:
+    """Pairwise Pearson correlation over numeric columns in ONE pass —
+    the feature-audit readout before classifier training: per-block
+    moment partials (n, Σx, ΣxᵀX — O(d²) doubles, independent of rows)
+    fold on the driver; corr = cov/(σa·σb). Sample-vs-population
+    normalization cancels, so the result equals SQL corr() exactly.
+    Output long form (feature_a, feature_b, corr) for a < b, rounded
+    half-away to `ndp` dp (DuckDB round() semantics). Null rows are the
+    caller's concern (moments assume dense columns)."""
+    d = len(cols)
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = np.stack([pc.cast(t[c], pa.float64())
+                      .to_numpy(zero_copy_only=False) for c in cols],
+                     axis=1)
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "s": pa.array([x.sum(axis=0).tolist()]),
+            "xx": pa.array([(x.T @ x).ravel().tolist()]),
+        })
+
+    n_tot, s, xx = 0.0, np.zeros(d), np.zeros(d * d)
+    for b in ds.map_batches(moments, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        n_tot += float(np.sum(b["n"].to_numpy(zero_copy_only=False)))
+        s += np.sum(np.asarray(b["s"].to_pylist(), np.float64), axis=0)
+        xx += np.sum(np.asarray(b["xx"].to_pylist(), np.float64), axis=0)
+    xx = xx.reshape(d, d)
+    mean = s / max(n_tot, 1.0)
+    cov = xx / max(n_tot, 1.0) - np.outer(mean, mean)
+    sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    scale = 10.0 ** ndp
+    a_out, b_out, c_out = [], [], []
+    for i in range(d):
+        for j in range(i + 1, d):
+            denom = sd[i] * sd[j]
+            c = cov[i, j] / denom if denom > 0 else float("nan")
+            c = float(np.copysign(np.floor(abs(c) * scale + 0.5) / scale,
+                                  c))
+            a_out.append(cols[i])
+            b_out.append(cols[j])
+            c_out.append(c)
+    return pa.table({"feature_a": pa.array(a_out, pa.string()),
+                     "feature_b": pa.array(b_out, pa.string()),
+                     "corr": pa.array(c_out, pa.float64())})

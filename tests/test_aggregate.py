@@ -909,3 +909,27 @@ def test_centroid_by_label_dual_fold(ray_session):
                 .to_numpy()
             assert np.allclose(got, want, atol=1e-6), (thresh, lb)
     assert outs[0].equals(outs[1])
+
+
+def test_corr_matrix_matches_numpy(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import corr_matrix
+
+    rng = np.random.default_rng(29)
+    x = rng.normal(0, 1, (3000, 3))
+    x[:, 1] = 0.6 * x[:, 0] + 0.4 * x[:, 1]
+    tbl = pa.table({"a": x[:, 0], "b": x[:, 1], "c": x[:, 2]})
+    ref = np.corrcoef(x.T)
+    prev = None
+    for nblocks in (1, 5):
+        out = corr_matrix(rd.from_arrow(tbl).repartition(nblocks),
+                          ["a", "b", "c"]).to_pandas()
+        got = {(r["feature_a"], r["feature_b"]): r["corr"]
+               for _, r in out.iterrows()}
+        for (fa, fb), v in got.items():
+            i, j = "abc".index(fa), "abc".index(fb)
+            assert abs(v - ref[i, j]) < 1e-5, (fa, fb)
+        if prev is not None:
+            assert got == prev     # partition-invariant at 6 dp
+        prev = got
