@@ -403,6 +403,24 @@ class _Parser:
             return out
         raise ParseError(f"unexpected statement start {v!r}")
 
+    def _include(self, pattern: str | None, optional: bool = False) -> None:
+        """Splice the token stream of every file matching `pattern` (glob,
+        sorted) into the current position — include(file=) and
+        $IncludeConfig both route here. Templates/rulesets/directives in
+        included files behave exactly as if inlined."""
+        import glob as _glob
+        if not pattern:
+            raise ParseError("include needs file=")
+        files = sorted(_glob.glob(pattern))
+        if not files and not optional:
+            raise ParseError(f"include: no file matches {pattern!r}")
+        toks: list = []
+        for f in files:
+            with open(f, encoding="utf-8") as fh:
+                t = _tokenize(fh.read())
+            toks.extend(t[:-1])                 # drop the eof marker
+        self.toks[self.i:self.i] = toks
+
     def _legacy_directive(self, name: str) -> None:
         """Legacy `$Directive` lines (runtime/conf.c cfsysline):
         $ModLoad (mm*/pm* stages load, wire transports ignored — the
@@ -428,8 +446,10 @@ class _Parser:
         elif name == "$ActionFileDefaultTemplate":
             self.file_default_template = self.next()[1]
         elif name == "$IncludeConfig":
-            raise ParseError(
-                "$IncludeConfig is not in the subset — inline the file")
+            # legacy include: one path/glob argument; missing matches are
+            # ignored (the reference warns and continues)
+            k, v = self.next()
+            self._include(v, optional=True)
         elif self.peek()[0] != "eof":
             self.next()                            # one-arg ignore
 
@@ -495,7 +515,21 @@ class _Parser:
             elif k == "word" and v == "module":
                 self.next()
                 p = self.params()
-                self.modifiers.append(p["load"])
+                load = p.pop("load")
+                # module parameters pass through to the stage callable
+                # (module(load="mmnormalize" rulebase="...") etc.);
+                # loads without params keep the plain-string form
+                self.modifiers.append(
+                    {"name": load, "args": p} if p else load)
+            elif k == "word" and v == "include":
+                # modern include(file="...") (rsyslog 8.33+): splice the
+                # included file's tokens into the stream at this point —
+                # glob patterns expand in sorted order, missing files
+                # raise unless mode="optional"
+                self.next()
+                p = self.params()
+                self._include(p.get("file"),
+                              optional=p.get("mode") == "optional")
             elif k == "prop" and not v.startswith(("$!", "$.")):
                 # a top-level `$name` line can only be a legacy cfsysline
                 # directive — statements never begin with a property

@@ -363,3 +363,44 @@ local0.* @host
     names = [a["name"] for a in cfg["ruleset"]["actions"]]
     assert names == ["var_log_messages", "var_log_messages_2",
                      "fwd_host", "fwd_host_2"]
+
+
+def test_module_params_and_includes(ray_session, tmp_path):
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import (ParseError, load_rainerscript,
+                                          parse_rainerscript)
+
+    # module params pass through to the stage callable
+    cfg = parse_rainerscript(
+        'module(load="mmfields" separator=";")\naction(name="a")')
+    assert cfg["modifiers"] == [{"name": "mmfields",
+                                 "args": {"separator": ";"}}]
+
+    # modern include() and legacy $IncludeConfig splice files in place
+    inc1 = tmp_path / "10-templates.conf"
+    inc1.write_text('template(name="t" type="string" string="%msg%")\n')
+    inc2 = tmp_path / "20-rules.conf"
+    inc2.write_text('action(name="from_include" template="t")\n')
+    src = f"""
+include(file="{tmp_path}/10-*.conf")
+$IncludeConfig {tmp_path}/20-*.conf
+action(name="main_act" template="t")
+"""
+    cfg = parse_rainerscript(src)
+    assert cfg["templates"]["t"] == "%msg%"
+    assert [a["name"] for a in cfg["ruleset"]["actions"]] == \
+        ["from_include", "main_act"]
+
+    # compiled end-to-end
+    cc = load_rainerscript(src)
+    from rsyslog_ray.stages.route import route_table
+    routed = route_table(pa.table({"msg": ["x"]}), cc.ruleset)
+    assert routed["from_include"]["rendered"].to_pylist() == ["x"]
+
+    # missing includes: modern raises, optional/legacy ignores
+    with pytest.raises(ParseError):
+        parse_rainerscript(f'include(file="{tmp_path}/nope-*.conf")')
+    parse_rainerscript(
+        f'include(file="{tmp_path}/nope-*.conf" mode="optional")')
+    parse_rainerscript(f"$IncludeConfig {tmp_path}/nope-*.conf")
