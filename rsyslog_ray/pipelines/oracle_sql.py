@@ -964,6 +964,16 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 1"""
 
+    q["winsorize"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, least(greatest(e.value, b.lo), b.hi) AS clipped
+FROM events e JOIN b USING (event_type)"""
+
     q["feature_corr"] = r"""
 WITH f AS (
   SELECT CAST(length(text) AS DOUBLE) AS n_chars,

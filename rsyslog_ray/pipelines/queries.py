@@ -1058,6 +1058,16 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
 
 
+def q_winsorize(sf_dir: str) -> pa.Table:
+    """Per-event-type winsorization of value to [p05, p95] —
+    quantile_disc-bounded clip, broadcast bounds, zero corpus shuffle."""
+    from ..stages.aggregate import winsorize_by_key
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "event_type", "value"])
+    return _to_table(winsorize_by_key(ds)
+                     .select_columns(["event_id", "clipped"]))
+
+
 def q_feature_corr(sf_dir: str) -> pa.Table:
     """One-pass Pearson correlation matrix over engineered text features
     — SQL corr() twin (normalization cancels, so population moments

@@ -1313,3 +1313,32 @@ def corr_matrix(ds, cols: list[str], ndp: int = 6) -> pa.Table:
     return pa.table({"feature_a": pa.array(a_out, pa.string()),
                      "feature_b": pa.array(b_out, pa.string()),
                      "corr": pa.array(c_out, pa.float64())})
+
+
+def winsorize_by_key(ds, key: str = "event_type", value_col: str = "value",
+                     p_lo: float = 0.05, p_hi: float = 0.95,
+                     out_col: str = "clipped"):
+    """Per-key winsorization — clip every value to its key's
+    [p_lo, p_hi] quantiles (quantile_disc rank semantics), the standard
+    outlier-capping feature step. The bounds come from ONE
+    percentiles_by_key fold (O(keys) driver state), broadcast once
+    (ray.put), then a single vectorized clip pass — the corpus never
+    shuffles."""
+    import ray as _ray
+
+    bounds = percentiles_by_key(ds, key=key, value_col=value_col,
+                                qs=(p_lo, p_hi), names=("lo", "hi"))
+    bmap = {r[key]: (r["lo"], r["hi"]) for r in bounds.to_pylist()}
+    ref = _ray.put(bmap)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        bm = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        v = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        lo = np.array([bm.get(k, (-np.inf, np.inf))[0] for k in keys])
+        hi = np.array([bm.get(k, (-np.inf, np.inf))[1] for k in keys])
+        return batch.append_column(
+            out_col, pa.array(np.minimum(np.maximum(v, lo), hi)))
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -933,3 +933,25 @@ def test_corr_matrix_matches_numpy(ray_session):
         if prev is not None:
             assert got == prev     # partition-invariant at 6 dp
         prev = got
+
+
+def test_winsorize_by_key(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import winsorize_by_key
+
+    rng = np.random.RandomState(33)
+    keys = rng.choice(["a", "b"], 400)
+    vals = np.round(rng.uniform(0, 100, 400), 2)
+    tbl = pa.table({"event_type": pa.array(keys),
+                    "value": pa.array(vals, pa.float64())})
+    out = winsorize_by_key(rd.from_arrow(tbl).repartition(3),
+                           p_lo=0.1, p_hi=0.9).to_pandas()
+    for k in ("a", "b"):
+        v = np.sort(vals[keys == k])
+        lo = v[int(np.ceil(0.1 * len(v))) - 1]
+        hi = v[int(np.ceil(0.9 * len(v))) - 1]
+        got = out[out["event_type"] == k]
+        assert np.allclose(got["clipped"],
+                           np.clip(got["value"], lo, hi))
+        assert got["clipped"].min() == lo and got["clipped"].max() == hi
