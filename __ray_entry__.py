@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": Q.q_editdist_pairs,
         "editdist_dedup": Q.q_editdist_dedup,
         "feature_corr": Q.q_feature_corr,
+        "dict_encode": Q.q_dict_encode,
         "winsorize": Q.q_winsorize,
         "jaccard_dedup": Q.q_jaccard_dedup,
         "keyword_search": Q.q_keyword_search,

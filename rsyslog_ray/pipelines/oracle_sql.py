@@ -964,6 +964,16 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM k a JOIN k b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 1"""
 
+    q["dict_encode"] = """
+WITH v AS (
+  SELECT event_type,
+         dense_rank() OVER (ORDER BY event_type) AS event_type_id
+  FROM (SELECT DISTINCT event_type FROM events)
+)
+SELECT e.event_id, e.event_type, CAST(v.event_type_id AS BIGINT)
+  AS event_type_id
+FROM events e JOIN v USING (event_type)"""
+
     q["winsorize"] = """
 WITH b AS (
   SELECT event_type,

@@ -1058,6 +1058,15 @@ def q_grok_parse(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(stage, batch_format="pyarrow"))
 
 
+def q_dict_encode(sf_dir: str) -> pa.Table:
+    """Deterministic label encoding of event_type: dense 1-based rank in
+    sorted vocabulary order (dense_rank join twin)."""
+    from ..stages.sampling import dictionary_encode
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "event_type"])
+    return _to_table(dictionary_encode(ds, col="event_type"))
+
+
 def q_winsorize(sf_dir: str) -> pa.Table:
     """Per-event-type winsorization of value to [p05, p95] —
     quantile_disc-bounded clip, broadcast bounds, zero corpus shuffle."""

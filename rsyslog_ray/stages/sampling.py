@@ -879,3 +879,47 @@ def decontaminate_frac(ds, eval_ds, n: int = 5, frac: float = 0.1,
         ratio = np.where(total > 0, hits / np.maximum(total, 1), 0.0)
         return batch.filter(pa.array(ratio < frac))
     return ds.map_batches(keep_clean, batch_format="pyarrow")
+
+
+def dictionary_encode(ds, col: str = "source", out_col: str | None = None,
+                      max_categories: int = 1_000_000):
+    """Categorical feature encoding: map each distinct value of `col` to
+    its dense 1-based rank in sorted order (the deterministic label
+    encoder — same ids on every run and any partitioning). Per-batch
+    distinct partials (the combiner) fold into a global sorted vocabulary
+    on the driver — categorical columns are bounded by assumption, and
+    `max_categories` makes the assumption explicit (a high-cardinality
+    column raises instead of silently building a huge broadcast); the
+    mapping broadcasts once and ONE vectorized dictionary lookup encodes
+    every batch. SQL twin: join against dense_rank() over the distinct
+    values."""
+    import ray as _ray
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(
+            pc.cast(batch[col], pa.string()).combine_chunks()
+            if isinstance(batch[col], pa.ChunkedArray)
+            else pc.cast(batch[col], pa.string()))})
+
+    parts = ds.map_batches(distinct, batch_format="pyarrow")
+    vocab = pc.unique(pa.concat_tables(
+        [b for b in parts.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")])[col]
+        .combine_chunks())
+    if len(vocab) > max_categories:
+        raise ValueError(
+            f"{col!r} has {len(vocab)} categories > max_categories="
+            f"{max_categories} — not a categorical column")
+    svals = sorted(v for v in vocab.to_pylist() if v is not None)
+    mapping = {v: i + 1 for i, v in enumerate(svals)}
+    ref = _ray.put(mapping)
+    out_col = out_col or f"{col}_id"
+
+    def encode(batch: pa.Table) -> pa.Table:
+        mp = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        vals = pc.cast(batch[col], pa.string()).to_pylist()
+        ids = np.array([mp.get(v, 0) if v is not None else 0
+                        for v in vals], dtype=np.int64)
+        return batch.append_column(out_col, pa.array(ids))
+
+    return ds.map_batches(encode, batch_format="pyarrow")

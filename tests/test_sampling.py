@@ -412,3 +412,22 @@ def test_remove_dup_spans_python_oracle_and_batching(ray_session):
         if prev is not None:
             assert list(out["cleaned"]) == prev
         prev = list(out["cleaned"])
+
+
+def test_dictionary_encode(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.sampling import dictionary_encode
+
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "source": ["web", "book", "web", "code", None, "book"]})
+    for nblocks in (1, 3):
+        out = dictionary_encode(rd.from_arrow(tbl).repartition(nblocks),
+                                col="source").to_pandas() \
+            .sort_values("doc_id")
+        # sorted vocab: book=1, code=2, web=3; null -> 0
+        assert list(out["source_id"]) == [3, 1, 3, 2, 0, 1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dictionary_encode(rd.from_arrow(tbl), col="source",
+                          max_categories=2)
