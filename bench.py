@@ -150,6 +150,10 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("neardup_clusters", Q.q_neardup_clusters, sf_dir)
     timed("logreg", Q.q_logreg, sf_dir)
     timed("editdist_pairs", Q.q_editdist_pairs, sf_dir)
+    timed("editdist_dedup", Q.q_editdist_dedup, sf_dir)
+    timed("feature_corr", Q.q_feature_corr, sf_dir)
+    timed("winsorize", Q.q_winsorize, sf_dir)
+    timed("dict_encode", Q.q_dict_encode, sf_dir)
 
     out["queries"] = timings
     return out

@@ -199,6 +199,26 @@ def main() -> None:
         ds(), budgets={f"src{i}": 50_000 for i in range(10)},
         default_budget=20_000).count())
 
+    # second-continuation ops
+    from rsyslog_ray.stages.aggregate import profile_columns
+    from rsyslog_ray.stages.dedup import editdist_dedup, editdist_pairs
+    from rsyslog_ray.stages.sampling import remove_dup_spans
+
+    timed("dedup_spans", lambda: remove_dup_spans(ds()).count())
+    timed("editdist_pairs",
+          lambda: editdist_pairs(ds(), prefix_len=24).count())
+    # force the variant-bucketed distributed pairing path
+    timed("editdist_pairs_dist",
+          lambda: editdist_pairs(ds(), prefix_len=24,
+                                 driver_threshold=0).count())
+    timed("editdist_dedup", lambda: editdist_dedup(ds()).count())
+    timed("profile",
+          lambda: profile_columns(ds(),
+                                  ["doc_id", "text", "source"]).num_rows)
+    timed("profile_dist",
+          lambda: profile_columns(ds(), ["doc_id", "text", "source"],
+                                  driver_threshold=0).num_rows)
+
     # embeddings ops: synthetic (n, 64) float32 with planted near-dups
     emb_path = os.path.join("/tmp/rsyslog_ray_scale", f"emb_{n}.parquet")
     if not os.path.exists(emb_path):
