@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": Q.q_distinct_users,
         "blocklist": Q.q_blocklist,
         "asof_join": Q.q_asof_join,
+        "asof_tolerance": Q.q_asof_tolerance,
         "hash_split": Q.q_hash_split,
         "quality": Q.q_quality,
         "sample_n_per_source": Q.q_sample_n_per_source,

@@ -416,6 +416,18 @@ FROM events e ASOF JOIN
      (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
   ON e.user_id = s.user_id AND e.ts >= s.ts"""
 
+    q["asof_tolerance"] = """
+SELECT e.event_id, e.user_id, e.ts,
+  (SELECT max(s.ts) FROM events s
+   WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+     AND s.ts <= e.ts
+     AND s.ts >= e.ts - INTERVAL 7 DAY) AS ts_r
+FROM events e
+WHERE (SELECT max(s.ts) FROM events s
+       WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+         AND s.ts <= e.ts
+         AND s.ts >= e.ts - INTERVAL 7 DAY) IS NOT NULL"""
+
     q["events_props"] = """
 SELECT event_type, count(*) AS "rows",
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -339,6 +339,22 @@ def q_asof_join(sf_dir: str) -> pa.Table:
                      )
 
 
+def q_asof_tolerance(sf_dir: str) -> pa.Table:
+    """As-of join with a staleness bound: matches older than 7 days count
+    as unmatched (merge_asof tolerance semantics) — the freshness guard
+    on versioned-dimension enrichment; correlated-subquery oracle."""
+    from ..stages.joins import asof_join
+    base = read_scaled(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type"])
+    left = base.select_columns(["event_id", "user_id", "ts"])
+    right = (base.filter(expr="event_type == 'signup'")
+             .select_columns(["user_id", "ts"]))
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    tolerance_s=7 * 86400)
+    return _to_table(out.select_columns(["event_id", "user_id", "ts",
+                                         "ts_r"]))
+
+
 def q_events_props(sf_dir: str) -> pa.Table:
     """JSON property extraction over the events side-table: parse
     props ($!k analogue) → exact int sum + count per event_type

@@ -182,17 +182,23 @@ def asof_join(left, right, key: str = "user_id", ts_col: str = "ts",
               right_ts: str = "ts", rsuffix: str = "_r",
               inner: bool = True, n_buckets: int | None = None,
               driver_threshold: int = 2_000_000,
-              materialize_right: bool = True):
+              materialize_right: bool = True,
+              tolerance_s: float | None = None):
     """As-of join of two Datasets on `key`, matching the greatest
     right[right_ts] <= left[ts_col]. Overlapping right column names get
     `rsuffix`. inner=True drops unmatched left rows (DuckDB ASOF JOIN
-    default); False keeps them with nulls. Output columns carry the
-    inputs' exact Arrow types on every path."""
+    default); False keeps them with nulls. `tolerance_s` bounds the
+    match's staleness (right_ts >= ts − tolerance — pandas merge_asof
+    tolerance semantics; matches older than the window count as
+    unmatched), the freshness guard on versioned-dimension enrichment.
+    Output columns carry the inputs' exact Arrow types on every path."""
     both, lcols, rcols, ren, allcols, types = _cobucket(
         left, right, key, rsuffix, n_buckets,
         materialize_right=materialize_right)
     rts2 = ren[right_ts]
     schema = _out_schema(types, allcols)
+    tol = (pd.Timedelta(seconds=tolerance_s)
+           if tolerance_s is not None else None)
 
     def per_group(df: pd.DataFrame) -> pa.Table:
         ldf = (df[df["_side"] == 0][lcols]
@@ -200,7 +206,7 @@ def asof_join(left, right, key: str = "user_id", ts_col: str = "ts",
         rdf = (df[df["_side"] == 1][[key] + [c for c in rcols if c != key]]
                .sort_values(rts2, kind="mergesort"))
         out = pd.merge_asof(ldf, rdf, left_on=ts_col, right_on=rts2,
-                            by=key, direction="backward")
+                            by=key, direction="backward", tolerance=tol)
         if inner:
             out = out[out[rts2].notna()]
         return _from_pandas(out, schema)

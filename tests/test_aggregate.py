@@ -955,3 +955,29 @@ def test_winsorize_by_key(ray_session):
         assert np.allclose(got["clipped"],
                            np.clip(got["value"], lo, hi))
         assert got["clipped"].min() == lo and got["clipped"].max() == hi
+
+
+def test_asof_join_tolerance(ray_session):
+    """Matches older than the tolerance window count as unmatched
+    (inclusive boundary, pandas merge_asof semantics)."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.joins import asof_join
+
+    ts = np.array(["2024-01-10T00:00:00", "2024-01-20T00:00:00"],
+                  dtype="datetime64[us]")
+    rts = np.array(["2024-01-08T00:00:00"], dtype="datetime64[us]")
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array(ts)}))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([7], pa.int64()),
+        "ts": pa.array(rts)}))
+    # 2-day-stale match survives a 2-day window (inclusive); the
+    # 12-day-stale one does not
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    tolerance_s=2 * 86400).to_pandas()
+    assert list(out["event_id"]) == [1]
+    out2 = asof_join(left, right, key="user_id", ts_col="ts").to_pandas()
+    assert sorted(out2["event_id"]) == [1, 2]
