@@ -17,6 +17,9 @@ templates / lookup_tables / modifier chain / rulesets of filtered actions
            "filter": ["==", ["prop", "syslogseverity"], 7]},
           {"name": "errors", "filter": ["<=", ["prop", "syslogseverity"], 3],
            "template": "RSYSLOG_ForwardFormat"},
+          {"name": "s1", "kind": "set", "var": "$!note",
+           "value": ["call", "tolower", ["prop", "msg"]]},
+          {"name": "u1", "kind": "unset", "var": "$.tmp"},
           {"name": "sub", "kind": "call", "ruleset": {...}}]}
     }
 
