@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": Q.q_funnel,
         "strfun": Q.q_strfun,
         "agg_fac_sev": Q.q_agg_fac_sev,
+        "rollup": Q.q_rollup,
         "pack_sequences": Q.q_pack_sequences,
         "mmfields": Q.q_mmfields,
         "profile": Q.q_profile,

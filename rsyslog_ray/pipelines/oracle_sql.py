@@ -428,6 +428,10 @@ WHERE (SELECT max(s.ts) FROM events s
          AND s.ts <= e.ts
          AND s.ts >= e.ts - INTERVAL 7 DAY) IS NOT NULL"""
 
+    q["rollup"] = pc_ + "," + _CEE + "," + _ALIVE + """
+SELECT facility, severity, count(*) AS "rows" FROM alive
+GROUP BY ROLLUP (facility, severity)"""
+
     q["events_props"] = """
 SELECT event_type, count(*) AS "rows",
        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

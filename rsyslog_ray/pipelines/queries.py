@@ -1083,6 +1083,14 @@ def q_dict_encode(sf_dir: str) -> pa.Table:
     return _to_table(dictionary_encode(ds, col="event_type"))
 
 
+def q_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(facility, severity) over the parsed+routed rows —
+    hierarchical totals folded from one finest-level pass."""
+    from ..stages.aggregate import rollup_counts
+    ds = apply_stops(_parsed(sf_dir), CANONICAL_RULESET)
+    return _to_table(rollup_counts(ds, ["facility", "severity"]))
+
+
 def q_winsorize(sf_dir: str) -> pa.Table:
     """Per-event-type winsorization of value to [p05, p95] —
     quantile_disc-bounded clip, broadcast bounds, zero corpus shuffle."""

@@ -1342,3 +1342,40 @@ def winsorize_by_key(ds, key: str = "event_type", value_col: str = "value",
             out_col, pa.array(np.minimum(np.maximum(v, lo), hi)))
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def rollup_counts(ds, cols: list[str], n_buckets: int | None = None):
+    """Hierarchical totals — SQL GROUP BY ROLLUP(cols...): one row per
+    prefix level (full key, each shorter prefix, grand total) with the
+    unused trailing columns null. Computed from ONE pass of full-key
+    partials (the count_by combiner); every coarser level folds from the
+    finest counts on the driver — O(distinct full keys), no second scan,
+    no extra shuffle."""
+    fine = count_by(ds, cols)
+    if isinstance(fine, pa.Table):
+        tbl = fine
+    else:
+        tbl = pa.concat_tables(
+            [b for b in fine.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")])
+    import pandas as pd
+    df = tbl.to_pandas()
+    frames = [df.assign(_lvl=len(cols))]
+    for lvl in range(len(cols) - 1, -1, -1):
+        keep = cols[:lvl]
+        g = (df.groupby(keep, sort=False, as_index=False)["rows"].sum()
+             if keep else
+             pd.DataFrame({"rows": [df["rows"].sum()]}))
+        for c in cols[lvl:]:
+            g[c] = None
+        frames.append(g.assign(_lvl=lvl))
+    out = pd.concat(frames, ignore_index=True)[cols + ["rows"]]
+    fields = []
+    for c in cols:
+        t = tbl.schema.field(c).type
+        fields.append((c, t))
+    cols_out = {c: pa.array(out[c].astype(object).where(out[c].notna(),
+                                                        None),
+                            type=t) for c, t in fields}
+    cols_out["rows"] = pa.array(out["rows"].to_numpy(np.int64))
+    return pa.table(cols_out)

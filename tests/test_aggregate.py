@@ -981,3 +981,32 @@ def test_asof_join_tolerance(ray_session):
     assert list(out["event_id"]) == [1]
     out2 = asof_join(left, right, key="user_id", ts_col="ts").to_pandas()
     assert sorted(out2["event_id"]) == [1, 2]
+
+
+def test_rollup_counts(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import rollup_counts
+
+    tbl = pa.table({
+        "f": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "s": pa.array([0, 0, 1, 0, 1], pa.int64()),
+    })
+    out = rollup_counts(rd.from_arrow(tbl), ["f", "s"]).to_pandas()
+    rows = {(r["f"], r["s"]): r["rows"]
+            for _, r in out.iterrows()}
+
+    def key(f, s):
+        return (f if f is not None else None,
+                s if s is not None else None)
+    assert rows[(1, 0)] == 2 and rows[(1, 1)] == 1
+    assert rows[(2, 0)] == 1 and rows[(2, 1)] == 1
+    # subtotals per f (s null) and grand total (both null)
+    import pandas as pd
+    sub = {k: v for k, v in rows.items() if pd.isna(k[1])
+           and not pd.isna(k[0])}
+    assert {int(k[0]): v for k, v in sub.items()} == {1: 3, 2: 2}
+    grand = [v for k, v in rows.items()
+             if pd.isna(k[0]) and pd.isna(k[1])]
+    assert grand == [5]
+    assert len(out) == 7
