@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strfun": Q.q_strfun,
         "agg_fac_sev": Q.q_agg_fac_sev,
         "rollup": Q.q_rollup,
+        "log_templates": Q.q_log_templates,
         "pack_sequences": Q.q_pack_sequences,
         "mmfields": Q.q_mmfields,
         "profile": Q.q_profile,

@@ -428,6 +428,10 @@ WHERE (SELECT max(s.ts) FROM events s
          AND s.ts <= e.ts
          AND s.ts >= e.ts - INTERVAL 7 DAY) IS NOT NULL"""
 
+    q["log_templates"] = pc_ + "," + _CEE + "," + _ALIVE + """
+SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(msg, '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<uuid>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ip>', 'g'), '\\b0x[0-9a-fA-F]+\\b', '<hex>', 'g'), '\\d+', '<n>', 'g') AS template, count(*) AS "rows" FROM alive
+GROUP BY 1"""
+
     q["rollup"] = pc_ + "," + _CEE + "," + _ALIVE + """
 SELECT facility, severity, count(*) AS "rows" FROM alive
 GROUP BY ROLLUP (facility, severity)"""

@@ -1083,6 +1083,15 @@ def q_dict_encode(sf_dir: str) -> pa.Table:
     return _to_table(dictionary_encode(ds, col="event_type"))
 
 
+def q_log_templates(sf_dir: str) -> pa.Table:
+    """Log template mining over parsed msg: mask uuid/ip/hex/number runs,
+    count per residual shape (Drain-family readout; nested
+    regexp_replace twin)."""
+    from ..stages.textstats import mine_templates
+    ds = apply_stops(_parsed(sf_dir), CANONICAL_RULESET)
+    return _to_table(mine_templates(ds, col="msg"))
+
+
 def q_rollup(sf_dir: str) -> pa.Table:
     """GROUP BY ROLLUP(facility, severity) over the parsed+routed rows —
     hierarchical totals folded from one finest-level pass."""

@@ -596,3 +596,41 @@ def blocklist_sql(words: list[str], text_col: str = "text",
                     for w in sorted({w.lower() for w in words}))
     return (f"NOT list_has_any(regexp_extract_all(lower({text_col}), "
             f"'\\S+'), [{lst}])")
+
+
+#: (pattern, replacement) masking rules applied IN ORDER by
+#: mine_templates and its DuckDB twin (nested regexp_replace 'g') — both
+#: engines are RE2. Order matters: specific shapes (uuid/ip/hex) mask
+#: before bare digit runs.
+TEMPLATE_MASKS = [
+    (r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+     r"[0-9a-fA-F]{12}", "<uuid>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<ip>"),
+    (r"\b0x[0-9a-fA-F]+\b", "<hex>"),
+    (r"\d+", "<n>"),
+]
+
+
+def mine_templates(ds, col: str = "msg", min_count: int = 1):
+    """Log template mining (the Drain-family readout, deterministic
+    variant): mask variable fields (uuid/ip/hex/number runs, in that
+    order) and count occurrences per residual template — the 'what
+    message shapes does this corpus contain' operator behind log
+    dashboards. One vectorized regexp_replace chain per batch + the
+    count_by partial fold; the template cardinality is the corpus's
+    shape count, orders of magnitude below rows."""
+    from .aggregate import count_by
+
+    def mask(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[col], pa.string())
+        for pat, rep in TEMPLATE_MASKS:
+            s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+        return pa.table({"template": s})
+
+    out = count_by(ds.map_batches(mask, batch_format="pyarrow"),
+                   ["template"])
+    if min_count > 1:
+        if isinstance(out, pa.Table):
+            return out.filter(pc.greater_equal(out["rows"], min_count))
+        return out.filter(expr=f"rows >= {min_count}")
+    return out

@@ -389,3 +389,24 @@ def test_audio_dedup_planted_groups(ray_session):
     out = audio_dedup(rd.from_arrow(tbl).repartition(2)) \
         .to_pandas()["doc_id"].sort_values().tolist()
     assert out == [0, 1, 2]
+
+
+def test_mine_templates(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.textstats import mine_templates
+
+    msgs = ["connect from 10.0.0.1 port 2222",
+            "connect from 192.168.7.9 port 80",
+            "session 0xDEADBEEF opened for id 42",
+            "session 0x1f opened for id 7",
+            "job 550e8400-e29b-41d4-a716-446655440000 done",
+            "unique message"]
+    ds = rd.from_arrow(pa.table({"msg": msgs}))
+    out = {r["template"]: r["rows"]
+           for r in mine_templates(ds).take_all()}
+    assert out["connect from <ip> port <n>"] == 2
+    assert out["session <hex> opened for id <n>"] == 2
+    assert out["job <uuid> done"] == 1
+    assert out["unique message"] == 1
