@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_vars": Q.q_set_vars,
         "events_window": Q.q_events_window,
         "zscore": Q.q_zscore,
+        "mad_outliers": Q.q_mad_outliers,
         "sev_bucket": Q.q_sev_bucket,
         "decontaminate_frac": Q.q_decontaminate_frac,
         "tfidf": Q.q_tfidf,

@@ -432,6 +432,20 @@ WHERE (SELECT max(s.ts) FROM events s
 SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(msg, '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}', '<uuid>', 'g'), '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<ip>', 'g'), '\\b0x[0-9a-fA-F]+\\b', '<hex>', 'g'), '\\d+', '<n>', 'g') AS template, count(*) AS "rows" FROM alive
 GROUP BY 1"""
 
+    q["mad_outliers"] = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_disc(round(abs(e.value - m.med), 2), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE abs(e.value - med.med) > 3.0 * mad.mad"""
+
     q["rollup"] = pc_ + "," + _CEE + "," + _ALIVE + """
 SELECT facility, severity, count(*) AS "rows" FROM alive
 GROUP BY ROLLUP (facility, severity)"""

@@ -1083,6 +1083,15 @@ def q_dict_encode(sf_dir: str) -> pa.Table:
     return _to_table(dictionary_encode(ds, col="event_type"))
 
 
+def q_mad_outliers(sf_dir: str) -> pa.Table:
+    """Robust MAD outliers per event_type: |v - median| > 3 * MAD
+    (quantile_disc twins for both folds)."""
+    from ..stages.aggregate import mad_outliers
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "event_type", "value"])
+    return _to_table(mad_outliers(ds))
+
+
 def q_log_templates(sf_dir: str) -> pa.Table:
     """Log template mining over parsed msg: mask uuid/ip/hex/number runs,
     count per residual shape (Drain-family readout; nested

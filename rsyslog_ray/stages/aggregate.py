@@ -1379,3 +1379,53 @@ def rollup_counts(ds, cols: list[str], n_buckets: int | None = None):
                             type=t) for c, t in fields}
     cols_out["rows"] = pa.array(out["rows"].to_numpy(np.int64))
     return pa.table(cols_out)
+
+
+def mad_outliers(ds, key: str = "event_type", value_col: str = "value",
+                 id_cols: tuple = ("event_id",), k: float = 3.0):
+    """Robust per-key outlier detection via the median absolute
+    deviation: emit rows with |value − median(key)| > k · MAD(key)
+    (MAD = median of |value − median|) — immune to the heavy tails that
+    inflate zscore_outliers' stddev. Two bounded-histogram quantile
+    folds (median, then MAD over the residuals — both quantile_disc rank
+    semantics over the 2-dp cent domain, O(keys × distinct values)
+    driver state) + one broadcast filter pass; the corpus never
+    shuffles. Exact quantile_disc SQL twin."""
+    import ray as _ray
+
+    med_t = percentiles_by_key(ds, key=key, value_col=value_col,
+                               qs=(0.5,), names=("med",))
+    med = {r[key]: r["med"] for r in med_t.to_pylist()}
+    mref = _ray.put(med)
+
+    def resid(batch: pa.Table) -> pa.Table:
+        mm = _ray.get(mref) if isinstance(mref, _ray.ObjectRef) else mref
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        v = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.array([mm.get(kk, np.nan) for kk in keys])
+        # residuals stay on the 2-dp cent grid, so the second
+        # bounded-histogram quantile fold stays exact
+        return pa.table({key: batch[key],
+                         value_col: pa.array(np.round(np.abs(v - m), 2))})
+
+    mad_t = percentiles_by_key(ds.map_batches(resid,
+                                              batch_format="pyarrow"),
+                               key=key, value_col=value_col,
+                               qs=(0.5,), names=("mad",))
+    mad = {r[key]: r["mad"] for r in mad_t.to_pylist()}
+    bref = _ray.put({kk: (med[kk], mad[kk]) for kk in med})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bm = _ray.get(bref) if isinstance(bref, _ray.ObjectRef) else bref
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        v = pc.cast(batch[value_col], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        m = np.array([bm.get(kk, (np.nan, np.nan))[0] for kk in keys])
+        d = np.array([bm.get(kk, (np.nan, np.nan))[1] for kk in keys])
+        mask = np.abs(v - m) > k * d
+        out = batch.select([*id_cols, key, value_col]) \
+            .filter(pa.array(mask))
+        return out
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -1010,3 +1010,28 @@ def test_rollup_counts(ray_session):
              if pd.isna(k[0]) and pd.isna(k[1])]
     assert grand == [5]
     assert len(out) == 7
+
+
+def test_mad_outliers(ray_session):
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.aggregate import mad_outliers
+
+    # tight cluster + two gross outliers per key
+    vals = np.concatenate([np.round(np.linspace(9.9, 10.1, 50), 2),
+                           [100.0, -50.0]])
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "event_type": pa.array(["a"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+    })
+    out = mad_outliers(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    assert sorted(out["event_id"]) == [50, 51]
+    # python oracle
+    med = np.median(np.sort(vals)[np.ceil(0.5 * len(vals)).astype(int)
+                                  - 1: np.ceil(0.5 * len(vals))
+                                  .astype(int)])
+    resid = np.round(np.abs(vals - med), 2)
+    mad = np.sort(resid)[int(np.ceil(0.5 * len(resid))) - 1]
+    want = np.flatnonzero(np.abs(vals - med) > 3 * mad)
+    assert sorted(out["event_id"]) == sorted(want.tolist())
