@@ -154,6 +154,10 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("feature_corr", Q.q_feature_corr, sf_dir)
     timed("winsorize", Q.q_winsorize, sf_dir)
     timed("dict_encode", Q.q_dict_encode, sf_dir)
+    timed("asof_tolerance", Q.q_asof_tolerance, sf_dir)
+    timed("rollup", Q.q_rollup, sf_dir)
+    timed("log_templates", Q.q_log_templates, sf_dir)
+    timed("mad_outliers", Q.q_mad_outliers, sf_dir)
 
     out["queries"] = timings
     return out
