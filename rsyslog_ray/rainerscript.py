@@ -116,7 +116,11 @@ class _Parser:
 
     def next(self):
         t = self.toks[self.i]
-        self.i += 1
+        # never advance past the eof sentinel: a truncated input (e.g.
+        # 'call' as the last token) keeps returning eof instead of
+        # walking off the token list
+        if self.i < len(self.toks) - 1:
+            self.i += 1
         return t
 
     def expect(self, kind, val=None):

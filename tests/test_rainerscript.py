@@ -404,3 +404,42 @@ action(name="main_act" template="t")
     parse_rainerscript(
         f'include(file="{tmp_path}/nope-*.conf" mode="optional")')
     parse_rainerscript(f"$IncludeConfig {tmp_path}/nope-*.conf")
+
+
+def test_parser_never_crashes_on_garbage():
+    """Stability fuzz: any input either parses or raises ParseError —
+    never an unrelated exception (the config loader's error contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rsyslog_ray.rainerscript import ParseError, parse_rainerscript
+
+    tokens = st.sampled_from([
+        "if", "then", "else", "stop", "call", "set", "unset", "action",
+        "template", "ruleset", "module", "continue", "and", "or", "not",
+        "$msg", "$!a!b", "$.x", "'str'", '"str"', "42", "1.5", "==",
+        "!=", "<=", "&", "+", "(", ")", "{", "}", "[", "]", ",", ";",
+        "~", "*.info", "local0.err", ":msg, contains, \"x\"",
+        "/var/log/x", "@host", "name=\"v\"", "prifilt('a.b')",
+        "tolower($msg)", "=",
+    ])
+
+    @given(st.lists(tokens, min_size=0, max_size=12).map(" ".join))
+    @settings(max_examples=300, deadline=None)
+    def run(src):
+        try:
+            parse_rainerscript(src)
+        except ParseError:
+            pass
+
+    run()
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def run_raw(src):
+        try:
+            parse_rainerscript(src)
+        except ParseError:
+            pass
+
+    run_raw()
