@@ -155,3 +155,42 @@ def test_jsonf_and_jsonr_options():
     b = _batch(['va"l'])
     assert Template("%msg:::jsonf%").render(b)[0].as_py() == '"msg":"va\\"l"'
     assert Template("%msg:::jsonr%").render(b)[0].as_py() == 'va"l'
+
+
+def test_template_compiler_never_crashes_on_garbage(ray_session):
+    """Stability fuzz: any template spec either compiles+renders or
+    raises ValueError/KeyError (the config loader's error contract) —
+    never an unrelated exception."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rsyslog_ray.templates import Template
+
+    pieces = st.sampled_from([
+        "%msg%", "%msg:1:5%", "%msg:::uppercase%", "%timestamp%",
+        "%timereported:::date-rfc3339%", "%$!a!b%", "%$.x%", "%",
+        "plain ", ":::", "%msg:R,ERE,0,DFLT:x--end%", "%HOSTNAME%",
+        "\\n", "%syslogtag:1:32%", "%msg:F,58:2%", "%unknownprop%",
+    ])
+    import numpy as np
+    tsv = np.array(["2024-01-01T00:00:00", "2024-01-02T03:04:05"],
+                   dtype="datetime64[us]")
+    batch = pa.table({
+        "msg": ["hello", "x"],
+        "hostname": ["h", "h2"],
+        "ts": pa.array(tsv),
+        "ts_reported": pa.array(tsv),
+        "tag": ["t", "u"],
+        "appname": ["a", "b"],
+    })
+
+    @given(st.lists(pieces, min_size=0, max_size=6).map("".join))
+    @settings(max_examples=200, deadline=None)
+    def run(spec):
+        try:
+            Template(spec, name="fuzz").render(batch)
+        except (ValueError, KeyError):
+            pass
+
+    run()
