@@ -128,7 +128,14 @@ class PropertyRegistry:
             # MsgGetProp returns the empty string for unknown vars)
             col = "$." + stripped[1:]
             if col in self.table.column_names:
-                return self._col(col)
+                c = self._col(col)
+                # rows nulled by `unset` must read back as "" like a
+                # never-set variable (msg.c MsgGetProp empty-string
+                # fallback), so filters/concat see "" not null
+                if c.null_count and (pa.types.is_string(c.type)
+                                     or pa.types.is_large_string(c.type)):
+                    return pc.fill_null(c, "")
+                return c
             n = self.table.num_rows
             return pa.array([""] * n, pa.string())
         name_l = name.lower().lstrip("$")

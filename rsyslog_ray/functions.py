@@ -630,9 +630,12 @@ def _json_set_fast(arr, key: str, values) -> pa.Array | None:
             sval = pc.cast(v, pa.string())          # matches json.dumps(int)
         elif pa.types.is_string(v.type) or pa.types.is_large_string(v.type):
             v = pc.cast(v, pa.string())
-            # bail to the slow path if any value needs \uXXXX escaping
+            # bail to the slow path if any value needs \uXXXX escaping —
+            # including non-ASCII, which json.dumps (ensure_ascii=True on
+            # the slow path) renders as \uXXXX; the fast path must agree
+            # byte-for-byte or cee_json output becomes batch-dependent
             if pc.any(pc.fill_null(pc.match_substring_regex(
-                    v, r"[\x00-\x1f]"), False)).as_py():
+                    v, r"[^\x20-\x7e]"), False)).as_py():
                 return None
             esc = pc.replace_substring(v, pattern="\\", replacement="\\\\")
             esc = pc.replace_substring(esc, pattern='"', replacement='\\"')

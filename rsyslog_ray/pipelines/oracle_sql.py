@@ -745,7 +745,7 @@ SELECT doc_id, "group", n_tokens,
   COALESCE(SUM(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
     AS seq_idx
-FROM t"""
+FROM t ORDER BY doc_id"""
 
     from ..stages.sampling import SAMPLE_N_PRIME  # noqa: PLC0415
     q["sample_n_per_source"] = f"""

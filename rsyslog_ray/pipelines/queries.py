@@ -919,7 +919,10 @@ def q_pack_sequences(sf_dir: str) -> pa.Table:
     from ..stages.sampling import pack_sequences
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "source", "text"])
-    return _to_table(pack_sequences(ds, max_tokens=2048))
+    # sort for a deterministic output row order — the grouped shuffle's
+    # block order is nondeterministic and the driver hashes row order
+    return _to_table(pack_sequences(ds, max_tokens=2048)) \
+        .sort_by("doc_id")
 
 
 def q_decontaminate(sf_dir: str) -> pa.Table:
@@ -1658,8 +1661,10 @@ def q_token_budget(sf_dir: str) -> pa.Table:
     from ..stages.sampling import token_budget_sample
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "source", "text"])
+    # sort for a deterministic output row order (driver hashes row order)
     return _to_table(token_budget_sample(
-        ds, budgets={"src0": 3000, "src1": 1500}, default_budget=800))
+        ds, budgets={"src0": 3000, "src1": 1500},
+        default_budget=800)).sort_by("doc_id")
 
 
 def q_sample_global(sf_dir: str) -> pa.Table:

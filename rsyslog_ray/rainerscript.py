@@ -30,7 +30,9 @@ Supported subset (documented; the rest raises ParseError):
   legacy $-directives: $ModLoad (mm*/pm* stages; wire transports are
       native and ignored), $template name,"fmt", and
       $ActionFileDefaultTemplate; other one-argument $Directives are
-      accepted and ignored; $IncludeConfig raises (inline the file)
+      accepted and ignored; $IncludeConfig path (and the modern
+      include(file=...) object) inlines the referenced file(s), glob
+      patterns included — see _include
   Param names may be dotted (queue.type="..."); unknown action/ruleset
   params are accepted and ignored (the reference warns on unused params).
   expressions: $properties (incl. $!json!paths and $.locals),

@@ -1405,9 +1405,13 @@ def mad_outliers(ds, key: str = "event_type", value_col: str = "value",
             .to_numpy(zero_copy_only=False)
         m = np.array([mm.get(kk, np.nan) for kk in keys])
         # residuals stay on the 2-dp cent grid, so the second
-        # bounded-histogram quantile fold stays exact
-        return pa.table({key: batch[key],
-                         value_col: pa.array(np.round(np.abs(v - m), 2))})
+        # bounded-histogram quantile fold stays exact; drop null values
+        # and keys with no median (NaN residual would crash the cent
+        # cast downstream)
+        r = np.round(np.abs(v - m), 2)
+        ok = ~np.isnan(r)
+        return pa.table({key: batch[key].filter(pa.array(ok)),
+                         value_col: pa.array(r[ok])})
 
     mad_t = percentiles_by_key(ds.map_batches(resid,
                                               batch_format="pyarrow"),

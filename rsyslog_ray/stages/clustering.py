@@ -38,6 +38,16 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
+def _project_materialize(ds, cols: list[str]):
+    """Project to the iteration's working columns and materialize ONCE:
+    every Lloyd/GD round then re-reads cached blocks from the object
+    store instead of re-executing the whole upstream lineage per round
+    (the round-3 scale-killer for iterative fits). The projection is
+    tiny relative to the corpus (d floats ≪ text); spilling covers the
+    rest at 100 TB."""
+    return ds.select_columns(cols).materialize()
+
+
 def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
                seed: int = 37, init_sample: int = 4096,
                ndp: int = 7, fold: str = "driver") -> np.ndarray:
@@ -55,9 +65,17 @@ def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
     Centroids are rounded to `ndp` dp each round so the result is
     bit-stable under any batch split / fold order (float addition is
     order-sensitive; an ulp of jitter must not flip an assignment).
+    The embedding projection materializes once up front, so the upstream
+    lineage executes exactly once regardless of `iters`.
     Returns (k, dim) unit-norm float64."""
+    ds = _project_materialize(ds, [col])
     sample = ds.limit(init_sample).take_all()
     sm = _unit_rows(np.asarray([r[col] for r in sample], dtype=np.float64))
+    # lexicographically sort the sample before the seeded choice: block
+    # arrival order (streaming/materialize completion order) is
+    # nondeterministic and must not leak into the init (bit-stability
+    # contract) — sorting makes init a pure function of the sample SET
+    sm = sm[np.lexsort(sm.T[::-1])]
     rng = np.random.RandomState(seed)
     cents = sm[rng.choice(len(sm), size=min(k, len(sm)), replace=False)]
     cents = np.round(cents, ndp)
@@ -309,7 +327,10 @@ def logreg_fit(ds, feature_cols: list[str], label_col: str,
 
     At 100 TB: driver traffic per round is O(n_blocks × d) doubles; for
     huge d switch the fold to bucket_merge like kmeans_fit (not needed
-    for engineered quality features, d ≈ dozens)."""
+    for engineered quality features, d ≈ dozens). The feature projection
+    materializes once up front, so the upstream lineage executes exactly
+    once regardless of `iters`."""
+    ds = _project_materialize(ds, [*feature_cols, label_col])
     d = len(feature_cols)
 
     def matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -222,14 +222,19 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """MinHash-LSH near-dup removal. Returns the surviving (id) rows.
 
     shingle→minhash per batch (actor pool) → explode to (band, band_hash,
-    id) → groupby band buckets → candidate clusters → per-cluster exact
-    verify via signature similarity → global keep-set = ids NOT dominated by
-    a smaller id in any verified cluster. Below `driver_threshold` band
-    rows, the pair fold + union-find run on the driver (bounded, fast at
-    small scale); above it, BOTH pairing and the drop computation are fully
-    distributed (cluster-width hash buckets → connected components over the
-    pairs dataset → anti-join keep filter) — no take_all(), no broadcast
-    drop set."""
+    id) → groupby band buckets → candidate pairs → per-pair verify: the
+    signature agreement fraction (mean over the num_perm permutations of
+    sig_a[i]==sig_b[i], the unbiased MinHash estimate of Jaccard) must be
+    ≥ `jaccard_threshold`, so a single-band collision between genuinely
+    dissimilar docs is NOT dropped → global keep-set = ids NOT dominated
+    by a smaller id in any verified pair's component. Below
+    `driver_threshold` band rows, the pair fold + verify + union-find run
+    on the driver (bounded, fast at small scale); above it, pairing,
+    verification (two hash joins of the deduped pairs against the
+    materialized signature table) and the drop computation are fully
+    distributed (cluster-width hash buckets → connected components over
+    the verified pairs → anti-join keep filter) — no take_all(), no
+    broadcast drop set."""
     rows_per_band = num_perm // bands
     sig_ds = ds.map_batches(MinHashStage(num_perm, 5, text_col),
                             batch_format="pyarrow")
@@ -252,7 +257,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "band_hash": pa.array(np.concatenate(out_hash)),
         })
 
-    buckets = sig_ds.map_batches(explode, batch_format="pyarrow")
+    # materialize the (id, minhash) projection ONCE: the band explode,
+    # the count, AND the pair verification all read it without re-running
+    # the signature stage. ~(8 + num_perm·8) bytes/doc — smaller than the
+    # corpus text it derives from.
+    sig_proj = sig_ds.select_columns([id_col, "minhash"]).materialize()
+    buckets = sig_proj.map_batches(explode, batch_format="pyarrow")
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """All (anchor=min id, other) pairs per (band, band_hash) —
@@ -264,19 +274,45 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         return pd.DataFrame({"a": anchor[mask].to_numpy(),
                              "b": g[id_col][mask].to_numpy()})
 
+    def _agreement(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+        """Per-pair MinHash Jaccard estimate: fraction of agreeing
+        permutations between two (n, num_perm) signature matrices."""
+        return (sig_a == sig_b).mean(axis=1)
+
     # Candidate pairing: the bands table is n_docs × bands rows of 3 ints.
     # Below ~5M such rows the driver folds it directly (one vectorized
     # pandas pass — Ray's sort-shuffle has a ~10s fixed cost that dwarfs
     # the work at this size); above, hash-bucketed distributed pairing
     # (bucket count derived from cluster width, not a constant 64).
-    # the bands projection is the all-to-all input either way; materialize
-    # it once so count + pairing don't re-run the signature stage
-    buckets = buckets.materialize()
-    n_band_rows = buckets.count()
+    n_band_rows = sig_proj.count() * bands
     if n_band_rows <= driver_threshold:
         import ray as _ray
         tbl = pa.concat_tables(_ray.get(buckets.to_arrow_refs()))
-        pair_rows = pairs_bucket(tbl.to_pandas())
+        pair_rows = pairs_bucket(tbl.to_pandas()).drop_duplicates()
+        if len(pair_rows):
+            # verify: fetch signatures for candidate ids only (candidates
+            # ≪ corpus; the sig table is already materialized) and keep
+            # pairs whose estimated Jaccard clears the threshold
+            cand = np.unique(np.concatenate(
+                [pair_rows["a"].to_numpy(), pair_rows["b"].to_numpy()]))
+            cand_arr = pa.array(cand.astype(np.int64))
+
+            def pick(t: pa.Table) -> pa.Table:
+                m = pc.is_in(pc.cast(t[id_col], pa.int64()),
+                             value_set=cand_arr)
+                return t.filter(m)
+            st = pa.concat_tables(_ray.get(
+                sig_proj.map_batches(pick, batch_format="pyarrow")
+                .to_arrow_refs()))
+            sids = st[id_col].to_numpy(zero_copy_only=False)
+            smat = np.asarray(st["minhash"].combine_chunks().flatten()
+                              .to_numpy(zero_copy_only=False)) \
+                .reshape(len(sids), num_perm)
+            pos = {int(i): k for k, i in enumerate(sids)}
+            ia = np.array([pos[int(x)] for x in pair_rows["a"]], np.int64)
+            ib = np.array([pos[int(x)] for x in pair_rows["b"]], np.int64)
+            ok = _agreement(smat[ia], smat[ib]) >= jaccard_threshold
+            pair_rows = pair_rows[ok]
         drop = _driver_drop_set(pair_rows["a"].to_numpy(),
                                 pair_rows["b"].to_numpy())
         return _broadcast_keep(ds, drop, id_col)
@@ -291,10 +327,64 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
              .groupby("_bucket").map_groups(
                  lambda g: pairs_bucket(g.drop(columns=["_bucket"])),
                  batch_format="pandas"))
-    # fully-distributed drop path: connected components over the pairs
-    # dataset + hash-partitioned anti-join — no take_all(), no is_in
+    # dedupe (a band-collision pair can repeat across ≤`bands` bands) so
+    # the verify joins don't multiply rows, then verify distributed: two
+    # hash joins of the pairs against the materialized signature table —
+    # shuffle volume = pairs + 2× the sig table, no driver fold
+    pairs = pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    # drop empty blocks (stale schemas break the per-partition hash join)
+    pairs, n_pairs = _materialize_nonempty(
+        pairs, [("a", pa.int64()), ("b", pa.int64())])
+    if n_pairs == 0:
+        return ds
+    nparts = max(8, nb // 8)
+
+    sig_w = num_perm * 8
+
+    def _ren(name):
+        # acero hash joins reject list payloads: carry the signature as a
+        # fixed_size_binary blob (zero-copy view of the int64 matrix)
+        def f(t: pa.Table) -> pa.Table:
+            mh = t["minhash"].combine_chunks()
+            flat = np.asarray(mh.flatten().to_numpy(zero_copy_only=False),
+                              dtype=np.int64)
+            blob = pa.Array.from_buffers(
+                pa.binary(sig_w), t.num_rows,
+                [None, pa.py_buffer(flat.tobytes())])
+            return pa.table({name: pc.cast(t[id_col], pa.int64()),
+                             "sig_" + name: blob})
+        return f
+    sig_a = sig_proj.map_batches(_ren("a"), batch_format="pyarrow")
+    sig_b = sig_proj.map_batches(_ren("b"), batch_format="pyarrow")
+    half = pairs.join(sig_a, "inner", nparts, on=("a",), right_on=("a",))
+    # the first join's own empty output partitions also carry stale
+    # schemas — rebuild from non-empty blocks before the second join
+    half, n_half = _materialize_nonempty(
+        half, [("a", pa.int64()), ("b", pa.int64()),
+               ("sig_a", pa.binary(sig_w))])
+    if n_half == 0:
+        return ds
+    withsig = half.join(sig_b, "inner", nparts, on=("b",), right_on=("b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        def _mat(col):
+            arr = col.combine_chunks()
+            raw = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+            lo = arr.offset * num_perm
+            return raw[lo:lo + len(arr) * num_perm] \
+                .reshape(len(arr), num_perm)
+        sa, sb = _mat(t["sig_a"]), _mat(t["sig_b"])
+        ok = _agreement(sa, sb) >= jaccard_threshold
+        return t.select(["a", "b"]).filter(pa.array(ok))
+    verified = withsig.map_batches(verify, batch_format="pyarrow")
+    # fully-distributed drop path: connected components over the verified
+    # pairs + hash-partitioned anti-join — no take_all(), no is_in
     # broadcast of a potentially-billion-row drop set
-    return drop_by_components(ds, pairs, id_col)
+    return drop_by_components(ds, verified, id_col)
 
 
 def _driver_drop_set(a: np.ndarray, b: np.ndarray) -> set[int]:

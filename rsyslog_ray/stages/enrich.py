@@ -637,11 +637,13 @@ def mmsnmptrapd_table(batch: pa.Table, tag_name: str = "snmptrapd",
         if sev_col in out.column_names and sev_map:
             codes = np.array([sev_map.get(s, -1) for s in sev_s],
                              dtype=np.int64)
-            sv = pc.cast(_col(sev_col), pa.int64()) \
-                .to_numpy(zero_copy_only=False).copy()
             upd = mask & (codes >= 0)
-            sv[upd] = codes[upd]
+            # validity-aware Arrow if_else (no numpy round-trip): rows
+            # not updated keep their original value INCLUDING nulls —
+            # a NaN-from-null would otherwise crash the int cast
+            col = _col(sev_col)
+            new = pc.if_else(pa.array(upd),
+                             pc.cast(pa.array(codes), col.type), col)
             out = out.set_column(out.schema.get_field_index(sev_col),
-                                 sev_col,
-                                 pc.cast(pa.array(sv), out[sev_col].type))
+                                 sev_col, new)
     return out

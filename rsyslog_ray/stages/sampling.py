@@ -747,7 +747,8 @@ WITH tb_base AS (
   FROM tb_base
 )
 SELECT {id_col}, {key_col}, n_tokens, cum_tokens FROM tb_cum
-WHERE cum_tokens <= CASE {key_col} {whens} ELSE {default_budget} END"""
+WHERE cum_tokens <= CASE {key_col} {whens} ELSE {default_budget} END
+ORDER BY {id_col}"""
 
 
 #: fifth independent odd multiplier — global uniform sampling order
@@ -911,15 +912,16 @@ def dictionary_encode(ds, col: str = "source", out_col: str | None = None,
             f"{col!r} has {len(vocab)} categories > max_categories="
             f"{max_categories} — not a categorical column")
     svals = sorted(v for v in vocab.to_pylist() if v is not None)
-    mapping = {v: i + 1 for i, v in enumerate(svals)}
-    ref = _ray.put(mapping)
+    # broadcast the sorted vocab as an Arrow array: encode is then ONE
+    # pc.index_in kernel per batch (rank = index + 1, miss/null → 0) —
+    # no per-row Python (round-4 perf fix)
+    ref = _ray.put(pa.array(svals, pa.string()))
     out_col = out_col or f"{col}_id"
 
     def encode(batch: pa.Table) -> pa.Table:
-        mp = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
-        vals = pc.cast(batch[col], pa.string()).to_pylist()
-        ids = np.array([mp.get(v, 0) if v is not None else 0
-                        for v in vals], dtype=np.int64)
-        return batch.append_column(out_col, pa.array(ids))
+        vs = _ray.get(ref) if isinstance(ref, _ray.ObjectRef) else ref
+        idx = pc.index_in(pc.cast(batch[col], pa.string()), value_set=vs)
+        ids = pc.fill_null(pc.add(pc.cast(idx, pa.int64()), 1), 0)
+        return batch.append_column(out_col, ids)
 
     return ds.map_batches(encode, batch_format="pyarrow")

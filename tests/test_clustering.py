@@ -26,11 +26,13 @@ def _vecs(n=240, dim=12, seed=11, n_dups=6):
 
 
 def _py_kmeans(m, k, iters, seed, ndp=7):
-    """Oracle: same algorithm, single process (init from the first 4096
-    rows = whole fixture; full-data Lloyd; same per-round rounding)."""
+    """Oracle: same algorithm, single process (init from the ≤4096-row
+    sample = whole fixture, lexsorted like kmeans_fit so block arrival
+    order can't leak in; full-data Lloyd; same per-round rounding)."""
     mu = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    srt = mu[np.lexsort(mu.T[::-1])]
     rng = np.random.RandomState(seed)
-    cents = np.round(mu[rng.choice(len(mu), size=k, replace=False)], ndp)
+    cents = np.round(srt[rng.choice(len(srt), size=k, replace=False)], ndp)
     for _ in range(iters):
         assign = np.argmax(mu @ cents.T, axis=1)
         new = cents.copy()
@@ -220,3 +222,53 @@ def test_logreg_matches_numpy_oracle_and_batching(ray_session):
         p = 1.0 / (1.0 + np.exp(-(x @ got + out["_intercept"])))
         acc = ((p > 0.5).astype(int) == y).mean()
         assert acc > 0.9, acc
+
+
+def test_iterative_fits_execute_upstream_once(ray_session):
+    """Round-4 fix: kmeans_fit / logreg_fit must materialize the projected
+    features ONCE — the upstream lineage (here a counting map_batches tap)
+    must not re-execute per Lloyd/GD round."""
+    from rsyslog_ray.stages.clustering import logreg_fit
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    tbl, _ = _vecs()
+
+    def run_kmeans(iters):
+        c = Counter.remote()
+
+        def tap(t: pa.Table) -> pa.Table:
+            ray.get(c.inc.remote())
+            return t
+        ds = rd.from_arrow(tbl).map_batches(tap, batch_format="pyarrow")
+        kmeans_fit(ds, k=3, iters=iters)
+        return ray.get(c.get.remote())
+
+    assert run_kmeans(5) == run_kmeans(1)  # tap count independent of iters
+
+    lr_tbl = pa.table({
+        "x1": pa.array(np.linspace(-2, 2, 200)),
+        "x2": pa.array(np.linspace(1, -1, 200)),
+        "label": pa.array((np.linspace(-2, 2, 200) > 0).astype(np.int64)),
+    })
+
+    def run_logreg(iters):
+        c = Counter.remote()
+
+        def tap(t: pa.Table) -> pa.Table:
+            ray.get(c.inc.remote())
+            return t
+        ds = rd.from_arrow(lr_tbl).map_batches(tap, batch_format="pyarrow")
+        logreg_fit(ds, ["x1", "x2"], "label", iters=iters)
+        return ray.get(c.get.remote())
+
+    assert run_logreg(8) == run_logreg(1)

