@@ -124,6 +124,12 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
         target = None
         if a.get("kind") == "call":
             target = _compile_ruleset(a["ruleset"], templates)
+        elif a.get("kind") == "foreach":
+            # loop body compiles like a nested ruleset (grammar.y S_FOREACH
+            # block); `value` is the iterable expr, `var` the loop variable
+            target = _compile_ruleset(
+                {"name": f"{a['name']}_body", "actions": a.get("body", [])},
+                templates)
         actions.append(Action(
             name=a["name"],
             filter=_to_expr(a["filter"]) if a.get("filter") else None,

@@ -83,6 +83,11 @@ class PropertyRegistry:
         # call evaluated against this batch; persists across statements
         # when one registry walks a whole ruleset (route_table)
         self.script_errno = None  # lazily: np.int64[n], 0 = RS_SCRIPT_EOK
+        # previous_action_suspended() state (action.c bCurrentlySuspended
+        # of the most recently walked write action; grammar/
+        # rainerscript.c:3762): updated by the ruleset executor after each
+        # write statement from the writer's cross-batch suspend map
+        self.prev_action_suspended = False
 
     def rebind(self, table: pa.Table) -> None:
         """Point the registry at an updated batch (after a `set`/`unset`
@@ -495,6 +500,14 @@ def compile_expr(expr, props: PropertyRegistry):
         # script_error() (grammar/rainerscript.c:2792 doFunct_ScriptError):
         # per-row errno of the most recent errno-setting function call
         return props.get_errno()
+    if op == "previous_action_suspended":
+        # previous_action_suspended() (grammar/rainerscript.c:3762
+        # doFunct_PrevActSuspended): TRUE iff the most recently walked
+        # write action is currently suspended (delivery-failure state
+        # carried across batches by the RouteWriter)
+        import numpy as np
+        return pa.array(np.full(props.table.num_rows,
+                                bool(props.prev_action_suspended)))
     raise ValueError(f"unknown expression op {op!r}")
 
 

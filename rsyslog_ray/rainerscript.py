@@ -43,8 +43,15 @@ Supported subset (documented; the rest raises ParseError):
       field/format_time/..., functions.REGISTRY), arithmetic + - *,
       string concat &
 Nested `if` compounds filters with `and`; `else` negates. Statements may
-end with `;` (optional, as in the reference grammar). input()/global()
-directives are not in the subset (the object model covers them via JSON).
+end with `;` (optional, as in the reference grammar).
+  foreach ($.x in <expr>) do { ... }   # grammar.y S_FOREACH →
+      stages/route.py _exec_foreach (explode / per-element body)
+  template types: "string" (string="%...%"), "list" with a
+      { constant(...) property(...) } body, and "subtree"
+      (template.c:1226/:1926) — all compile to templates.Template
+  input() / global() / main_queue() / timezone() / parser() objects are
+      accepted and ignored (wire inputs and queue tuning are native to
+      the Ray engine), so stock distro rsyslog.conf files load.
 
 Reference: grammar/grammar.y (cfline/script statements), lexer.l tokens.
 """
@@ -260,6 +267,13 @@ class _Parser:
             p = self.expect("prop")
             self.expect("op", ")")
             return ["exists", p]
+        if k == "word" and v in ("script_error",
+                                 "previous_action_suspended"):
+            # zero-arg execution-state functions (grammar/rainerscript.c
+            # :2792 / :3762) — dedicated expr ops, not REGISTRY kernels
+            self.expect("op", "(")
+            self.expect("op", ")")
+            return [v]
         if k == "word" and v == "lookup":
             # lookup("table", key-expr) (grammar doFunct_Lookup)
             self.expect("op", "(")
@@ -335,6 +349,26 @@ class _Parser:
             self.next()
             self.accept("op", ";")
             return []
+        if k == "word" and v == "foreach":
+            # foreach ($.x in <expr>) do { body } (grammar/grammar.y
+            # S_FOREACH; runtime/ruleset.c:323-417 execForeach) — compiles
+            # to a kind="foreach" statement whose body is a nested
+            # statement list (stages/route.py _exec_foreach explodes the
+            # iterable per stages/foreach.py semantics)
+            self.next()
+            self.expect("op", "(")
+            kk, var = self.next()
+            if kk != "prop" or not var.startswith(("$.", "$!")):
+                raise ParseError(
+                    f"foreach iterator must be a $./$! variable, got {var!r}")
+            self.expect("word", "in")
+            it = self.expr()
+            self.expect("op", ")")
+            self.accept("word", "do")
+            body = self.block_or_stmt()
+            self._auto += 1
+            return [{"name": f"foreach_{self._auto}", "kind": "foreach",
+                     "var": var, "value": it, "body": body}]
         if k == "word" and v == "set":
             # set $!a!b = expr; / set $.local = expr;
             self.next()
@@ -514,10 +548,38 @@ class _Parser:
             if k == "word" and v == "template":
                 self.next()
                 p = self.params()
-                if p.get("type", "string") != "string":
-                    raise ParseError("only type=\"string\" templates in "
-                                     "the subset")
-                self.templates[p["name"]] = p["string"]
+                ttype = p.get("type", "string")
+                if ttype == "string":
+                    self.templates[p["name"]] = p["string"]
+                elif ttype == "list":
+                    # template(type="list") { constant(...) property(...) }
+                    # (template.c:1226 list path) → entry-dict spec that
+                    # templates.Template compiles onto the TplEntry chain
+                    entries = []
+                    self.expect("op", "{")
+                    while not self.accept("op", "}"):
+                        kk, vv = self.next()
+                        if kk == "op" and vv == ";":
+                            continue
+                        if kk != "word" or vv not in ("constant",
+                                                      "property"):
+                            raise ParseError(
+                                f"unexpected {vv!r} in list template body")
+                        ep = self.params()
+                        ep["kind"] = vv
+                        entries.append(ep)
+                    self.templates[p["name"]] = {
+                        "type": "list", "name": p["name"],
+                        "entries": entries}
+                elif ttype == "subtree":
+                    # template(type="subtree" subtree="$!...") —
+                    # template.c:1926
+                    self.templates[p["name"]] = {
+                        "type": "subtree", "name": p["name"],
+                        "subtree": p.get("subtree", "$!")}
+                else:
+                    raise ParseError(
+                        f"unsupported template type {ttype!r}")
             elif k == "word" and v == "module":
                 self.next()
                 p = self.params()
@@ -527,6 +589,14 @@ class _Parser:
                 # loads without params keep the plain-string form
                 self.modifiers.append(
                     {"name": load, "args": p} if p else load)
+            elif k == "word" and v in ("input", "global", "main_queue",
+                                       "timezone", "parser"):
+                # accepted and ignored (grammar.y obj types,
+                # rainerscript.h:35-49): wire inputs, global tuning and
+                # queue parameters are native to the Ray engine — parsing
+                # them keeps stock distro rsyslog.conf files loadable
+                self.next()
+                self.params()
             elif k == "word" and v == "include":
                 # modern include(file="...") (rsyslog 8.33+): splice the
                 # included file's tokens into the stream at this point —

@@ -127,16 +127,53 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
             .groupby("_bucket").map_groups(merge, batch_format="pandas"))
 
 
-def dyn_inc(ds, bucket: str, key_col: str, max_cardinality: int = 2000):
+def dyn_inc(ds, bucket: str, key_col: str, max_cardinality: int = 2000,
+            unused_metric_life_s: int | None = None,
+            ts_col: str = "ts"):
     """dynstats bucket counter (grammar/rainerscript.c:2531, dynstats.c).
 
     Batch semantics: full counts per key; if cardinality exceeds
     max_cardinality we keep the top-N by count and emit an overflow row
     (the reference drops NEW keys past the cap and counts ops_overflow —
     arrival order is meaningless in a parallel batch engine, documented
-    deviation)."""
-    counts = count_by(ds, [key_col], fold_driver=True)  # ≤ maxCardinality+ε
-    counts = counts.rename_columns(["key", "rows"])
+    deviation).
+
+    unused_metric_life_s = the unusedMetricLife TTL (dynstats.c:35-46
+    survivor-table sweeper, default 3600 s wall-clock in the reference):
+    here the deterministic event-time analogue — a key whose LAST
+    increment is older than the TTL before the stream's max timestamp is
+    expired from the emitted counter set (it did not survive the final
+    sweep cycle). Partials carry per-key max(ts), so the fold stays
+    O(#batches × |keys|)."""
+    if unused_metric_life_s is not None:
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by([key_col]).aggregate(
+                [([], "count_all"), (ts_col, "max")])
+            return g.rename_columns(["key", "rows", "last_ts"])
+        acc: dict = {}
+        hi = None
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+            ks = b["key"].to_pylist()
+            ns = b["rows"].to_pylist()
+            ls = b["last_ts"].to_pylist()
+            for k, n, lt in zip(ks, ns, ls):
+                n0, l0 = acc.get(k, (0, None))
+                acc[k] = (n0 + n, lt if l0 is None or lt > l0 else l0)
+                if lt is not None and (hi is None or lt > hi):
+                    hi = lt
+        import datetime as _dt
+        cut = (hi - _dt.timedelta(seconds=unused_metric_life_s)
+               if hi is not None else None)
+        items = sorted((k, v[0]) for k, v in acc.items()
+                       if cut is None or (v[1] is not None and v[1] >= cut))
+        counts = pa.table({
+            "key": pa.array([i[0] for i in items]),
+            "rows": pa.array([i[1] for i in items], pa.int64())})
+    else:
+        counts = count_by(ds, [key_col],
+                          fold_driver=True)  # ≤ maxCardinality+ε
+        counts = counts.rename_columns(["key", "rows"])
     if counts.num_rows > max_cardinality:
         order = pc.sort_indices(
             counts, sort_keys=[("rows", "descending"), ("key", "ascending")])

@@ -22,6 +22,7 @@ Execution shapes:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 from dataclasses import dataclass, field as dfield
 
@@ -84,16 +85,17 @@ class Ruleset:
         for a in self.actions:
             if a.template:
                 out[a.name] = Template(a.template, name=a.name)
-            if a.kind == "call" and a.target is not None:
+            if a.kind in ("call", "foreach") and a.target is not None:
                 out.update(a.target.compiled_templates())
         return out
 
     def all_actions(self) -> list[Action]:
-        """Flattened statement list incl. call targets (for sink setup)."""
+        """Flattened statement list incl. call/foreach targets (for sink
+        setup)."""
         out = []
         for a in self.actions:
             out.append(a)
-            if a.kind == "call" and a.target is not None:
+            if a.kind in ("call", "foreach") and a.target is not None:
                 out.extend(a.target.all_actions())
         return out
 
@@ -198,6 +200,124 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
         f"reference)")
 
 
+def _exec_foreach(batch: pa.Table, act: Action, mask: np.ndarray,
+                  alive: np.ndarray, templates: dict, out: dict,
+                  props: PropertyRegistry) -> pa.Table:
+    """`foreach (<var> in <expr>) do { body }` (grammar/grammar.y S_FOREACH,
+    runtime/ruleset.c:323-417 execForeach): bind each element of the
+    iterable to the loop variable and run the body once per element.
+
+    Ray-native shape: explode the masked rows (one sub-row per element,
+    parent columns repeated — stages/foreach.py's explode idea applied
+    inside the ruleset walk), run the body statement list over the
+    exploded sub-batch in ONE vectorized pass per statement, then write
+    back per-message state: a `$.`/cee_json column the body modified takes
+    the LAST element's value per parent (the reference mutates one message
+    per iteration — final state is the last iteration's), and a parent
+    whose sub-row was stopped is discarded (DISCARDMSG propagates out of
+    the loop). Arrays iterate by element (foreachCallArray); objects by
+    {key,value} pair bound as a JSON object (foreachCallObject); scalar /
+    invalid / absent iterables run zero iterations."""
+    from ..expr import compile_expr
+    from ..functions import loads_fast
+
+    vals = compile_expr(act.value, props)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    idx = np.flatnonzero(mask)
+    if not len(idx):
+        return batch
+    parents: list[int] = []
+    elems: list[str] = []
+    if isinstance(vals, pa.Array) and (pa.types.is_list(vals.type)
+                                       or pa.types.is_large_list(vals.type)
+                                       or pa.types.is_fixed_size_list(
+                                           vals.type)):
+        lv = vals.take(pa.array(idx))
+        for i, sub in zip(idx.tolist(), lv.to_pylist()):
+            for el in sub or []:
+                parents.append(i)
+                elems.append(el if isinstance(el, str)
+                             else json.dumps(el, separators=(",", ":")))
+    else:
+        sv = pc.fill_null(pc.cast(vals, pa.string()), "").to_pylist()
+        for i in idx.tolist():
+            raw = sv[i]
+            try:
+                obj = loads_fast(raw) if raw else None
+            except (ValueError, TypeError):
+                continue
+            if isinstance(obj, list):
+                items = obj
+            elif isinstance(obj, dict):
+                # foreachCallObject binds {"key": k, "value": v} pairs
+                items = [{"key": k, "value": v} for k, v in obj.items()]
+            else:
+                continue
+            for el in items:
+                parents.append(i)
+                elems.append(el if isinstance(el, str)
+                             else json.dumps(el, separators=(",", ":"),
+                                             sort_keys=True))
+    if not parents:
+        return batch
+    pidx = np.asarray(parents, dtype=np.int64)
+    sub = batch.take(pa.array(pidx))
+    var_col = act.var if act.var.startswith("$.") \
+        else "$." + act.var.lstrip("$").lstrip(".")
+    elem_arr = pa.array(elems, pa.string())
+    if var_col in sub.column_names:
+        sub = sub.set_column(sub.column_names.index(var_col), var_col,
+                             pc.cast(elem_arr, pa.string()))
+    else:
+        sub = sub.append_column(var_col, elem_arr)
+    pre = sub
+    sub_alive = np.ones(len(parents), dtype=bool)
+    sub_props = PropertyRegistry(sub, tables=props.tables)
+    sub = _exec_actions(sub, act.target.actions, sub_alive, templates, out,
+                        props=sub_props)
+    # DISCARDMSG propagates: a parent stopped in any iteration dies
+    if not sub_alive.all():
+        alive[np.unique(pidx[~sub_alive])] = False
+    # per-message variable write-back: last iteration's value per parent
+    last_of: dict[int, int] = {}
+    for j, pi in enumerate(parents):
+        last_of[pi] = j
+    lp = sorted(last_of)
+    take_last = pa.array([last_of[p] for p in lp], pa.int64())
+    dst_idx = np.asarray(lp, dtype=np.int64)
+    for c in sub.column_names:
+        if not (c.startswith("$.") or c == "cee_json"):
+            continue
+        newc = sub[c].combine_chunks() if isinstance(sub[c], pa.ChunkedArray) \
+            else sub[c]
+        # the loop variable is an ordinary message-scoped variable: it
+        # keeps the LAST element after the loop (rsyslog var semantics),
+        # so it always writes back; other columns only when the body
+        # changed them
+        if c != var_col and c in pre.column_names:
+            oldc = pre[c].combine_chunks() \
+                if isinstance(pre[c], pa.ChunkedArray) else pre[c]
+            if newc.equals(oldc):
+                continue
+        lastv = pc.cast(newc.take(take_last), pa.string())
+        if c in batch.column_names:
+            base = batch[c]
+            base = base.combine_chunks() \
+                if isinstance(base, pa.ChunkedArray) else base
+            base = pc.cast(base, pa.string())
+        else:
+            base = pa.nulls(batch.num_rows, pa.string())
+        buf = base.to_numpy(zero_copy_only=False).astype(object)
+        buf[dst_idx] = np.asarray(lastv.to_pylist(), dtype=object)
+        col = pa.array(buf, pa.string())
+        if c in batch.column_names:
+            batch = batch.set_column(batch.column_names.index(c), c, col)
+        else:
+            batch = batch.append_column(c, col)
+    return batch
+
+
 def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
                   templates: dict[str, Template], out: dict,
                   gate: np.ndarray | None = None,
@@ -230,6 +350,11 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
             batch = _apply_setvar(batch, act, m, props)
             props.rebind(batch)
             continue
+        if act.kind == "foreach" and act.target is not None:
+            batch = _exec_foreach(batch, act, m, alive, templates, out,
+                                  props)
+            props.rebind(batch)
+            continue
         if act.kind == "call" and act.target is not None:
             # callee shares the caller's alive mask (stop propagates) AND
             # the caller's variable state (vars are per-message, msg.c);
@@ -246,22 +371,32 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
         if act.keep_columns:
             sub = sub.select([c for c in act.keep_columns if c in sub.column_names])
         out[act.name] = sub
+        # previous_action_suspended() sees THIS action's current suspend
+        # state (delivery-failure flag carried across batches) from the
+        # next statement on (action.c bCurrentlySuspended walk order)
+        props.prev_action_suspended = getattr(
+            props, "action_suspended_map", {}).get(act.name, False)
     return batch
 
 
 def route_table(batch: pa.Table, ruleset: Ruleset,
-                templates: dict[str, Template] | None = None
+                templates: dict[str, Template] | None = None,
+                action_suspended: dict[str, bool] | None = None
                 ) -> dict[str, pa.Table]:
     """Run the ruleset over one batch → {action_name: routed sub-table}.
 
     Mirrors scriptExec: an alive-mask walks the statement list; `stop`
     clears bits; `write` actions select alive∧filter rows and attach the
-    rendered template column; `call` executes a target ruleset in place."""
+    rendered template column; `call` executes a target ruleset in place.
+    `action_suspended` is the writer's cross-batch per-action suspend map
+    feeding previous_action_suspended()."""
     templates = templates or ruleset.compiled_templates()
     alive = np.ones(batch.num_rows, dtype=bool)
     out: dict[str, pa.Table] = {}
+    props = PropertyRegistry(batch, tables=ruleset.tables)
+    props.action_suspended_map = action_suspended or {}
     _exec_actions(batch, ruleset.actions, alive, templates, out,
-                  tables=ruleset.tables)
+                  props=props)
     return out
 
 
@@ -382,7 +517,9 @@ class RouteWriter:
         return next(a for a in self.ruleset.all_actions() if a.name == name)
 
     def _emit(self, batch: pa.Table, shard=None) -> tuple[list, list]:
-        routed = route_table(batch, self.ruleset, self.templates)
+        routed = route_table(batch, self.ruleset, self.templates,
+                             action_suspended=getattr(
+                                 self, "action_suspended", None))
         names, counts = [], []
         prev_suspended = False
         for act_name, sub in routed.items():
@@ -416,6 +553,12 @@ class RouteWriter:
             names.append(act_name)
             counts.append(0 if suspended else sub.num_rows)
             prev_suspended = suspended
+            # cross-batch suspend map: the NEXT batch's
+            # previous_action_suspended() filter evaluation sees this
+            # delivery outcome (action.c bCurrentlySuspended persistence)
+            if not hasattr(self, "action_suspended"):
+                self.action_suspended = {}
+            self.action_suspended[act_name] = suspended
         names.append("_input")
         counts.append(batch.num_rows)
         return names, counts

@@ -24,6 +24,7 @@ Built-in templates mirror runtime/rsconf.c:86-110,1246-1277.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field as dfield
 
@@ -58,6 +59,7 @@ class TplEntry:
     kind: str                      # "const" | "prop"
     text: str = ""                 # for const
     prop: str = ""                 # for prop
+    outname: str | None = None     # jsonf field name (template.c fieldName)
     frompos: int | None = None     # 1-based inclusive
     topos: int | None = None
     field_delim: str | None = None
@@ -367,9 +369,11 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
             pass  # raw JSON value, no escaping (template.h bJSONr)
         elif o == "jsonf":
             # JSON name/value pair field (template.h bJSONf): emit
-            # "prop":"escaped-value"
+            # "outname":"escaped-value" — outname defaults to the
+            # property name with any $! prefix dropped (template.c:1717)
+            fname = e.outname or e.prop.removeprefix("$!").removeprefix("!")
             val = pc.binary_join_element_wise(
-                pa.scalar(f'"{e.prop}":"'), _json_escape(val),
+                pa.scalar(f'"{fname}":"'), _json_escape(val),
                 pa.scalar('"'), "")
         elif o == "csv":
             val = _csv_quote(val)
@@ -378,21 +382,133 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
     return val
 
 
+def _entry_from_property(p: dict) -> TplEntry:
+    """template(type="list") { property(name=... ...) } → TplEntry.
+    Param set mirrors template.c createPropertyTpe (:1449-1812); param
+    names are case-insensitive like the reference's nvlst handling."""
+    p = {k.lower(): v for k, v in p.items()}
+    name = str(p.get("name", ""))
+    e = TplEntry("prop", prop=(name if name.lstrip("$").startswith("!")
+                               else name.lower()))
+    if "outname" in p:
+        e.outname = str(p["outname"])
+    # position window (template.c:1725 sanity defaults)
+    if "position.from" in p or "position.to" in p:
+        e.frompos = int(p.get("position.from", 0)) or 1
+        if "position.to" in p:
+            e.topos = int(p["position.to"])
+    if _onoff(p.get("position.relativetoend")):
+        e.options.append("pos-end-relative")
+    if _onoff(p.get("fixedwidth")):
+        e.options.append("fixed-width")
+    if "field.number" in p:
+        e.field_n = int(p["field.number"])
+        e.field_delim = chr(int(p.get("field.delimiter", 9)))
+    if "regex.expression" in p:
+        e.re_pattern = str(p["regex.expression"])
+        e.re_type = str(p.get("regex.type", "BRE")).upper()
+        e.re_submatch = int(p.get("regex.submatch", 0))
+        e.re_match = int(p.get("regex.match", 0))
+        e.re_nomatch = str(p.get("regex.nomatchmode", "DFLT")).upper()
+    fmt = str(p.get("format", "")).lower()
+    if fmt in ("csv", "json", "jsonf", "jsonr"):
+        e.options.append(fmt)
+    cc = str(p.get("controlcharacters", "")).lower()
+    if cc in ("escape", "space", "drop"):
+        e.options.append({"escape": "escape-cc", "space": "space-cc",
+                          "drop": "drop-cc"}[cc])
+    sp = str(p.get("securepath", "")).lower()
+    if sp in ("drop", "replace"):
+        e.options.append(f"secpath-{sp}")
+    cs = str(p.get("caseconversion", "")).lower()
+    if cs in ("lower", "upper"):
+        e.options.append({"lower": "lowercase", "upper": "uppercase"}[cs])
+    if _onoff(p.get("compressspace")):
+        e.options.append("compressspace")
+    if _onoff(p.get("droplastlf")):
+        e.options.append("drop-last-lf")
+    if _onoff(p.get("spifno1stsp")):
+        e.options.append("sp-if-no-1st-sp")
+    if "dateformat" in p:
+        e.options.append(f"date-{str(p['dateformat']).lower()}")
+    return e
+
+
+def _onoff(v) -> bool:
+    return str(v).lower() in ("on", "1", "true", "yes")
+
+
+def entries_from_list(items: list[dict]) -> list[TplEntry]:
+    """Compile a list-template body (template.c:1226 tplAddLine list path:
+    constant(...) / property(...) objects) onto the same TplEntry chain
+    the %...% string compiler produces — both template types render
+    through one code path."""
+    out: list[TplEntry] = []
+    for it in items:
+        kind = it.get("kind", "property")
+        if kind in ("constant", "const"):
+            p = {k.lower(): v for k, v in it.items()}
+            txt = str(p.get("value", ""))
+            if str(p.get("format", "")).lower() == "jsonf":
+                # constant jsonf requires outname (template.c:1411)
+                if not p.get("outname"):
+                    raise ValueError(
+                        "constant with format=jsonf needs outname=")
+                txt = (f'"{p["outname"]}":'
+                       + json.dumps(txt, ensure_ascii=True))
+            out.append(TplEntry("const", text=txt))
+        else:
+            out.append(_entry_from_property(it))
+    return out
+
+
 class Template:
     """A compiled template; call .render(batch) → large_string column.
+
+    `spec` is either a %...% format string (string templates, incl. the
+    RSYSLOG_* builtins), or a dict for the modern object forms:
+      {"type": "list", "entries": [{"kind": "constant"|"property", ...}]}
+      {"type": "subtree", "subtree": "$!path"}   (template.c:1926)
+    Both compile onto the same TplEntry chain / render path.
 
     `escape` = template-level option.sql / option.stdsql / option.json
     (template.h optFormatEscape, applied per field by tplToString:215)."""
 
-    def __init__(self, spec: str, name: str = "", escape: str | None = None):
-        self.name = name or spec
-        self.spec = BUILTIN_TEMPLATES.get(spec, spec)
-        self.entries = parse_template(self.spec)
+    def __init__(self, spec, name: str = "", escape: str | None = None):
+        self.subtree: str | None = None
+        if isinstance(spec, dict):
+            self.name = name or spec.get("name", "")
+            self.spec = spec
+            ttype = spec.get("type", "list")
+            if ttype == "subtree":
+                st = spec.get("subtree", "$!")
+                self.subtree = st.removeprefix("$!").removeprefix("!")
+                self.entries = []
+            elif ttype == "list":
+                self.entries = entries_from_list(spec.get("entries", []))
+            else:
+                raise ValueError(f"unsupported template type {ttype!r}")
+        else:
+            self.name = name or spec
+            self.spec = BUILTIN_TEMPLATES.get(spec, spec)
+            self.entries = parse_template(self.spec)
         self.escape = escape
 
     def render(self, batch: pa.Table) -> pa.Array:
         props = PropertyRegistry(batch)
         n = batch.num_rows
+        if self.subtree is not None:
+            # type="subtree": render the (normalized) JSON subtree text
+            # (template.c:288 jsonFind; missing subtree → empty string)
+            col = next((c for c in ("cee_json", "json_tree")
+                        if c in batch.column_names), None)
+            if col is None:
+                return pa.nulls(n, pa.large_string())
+            tree = pc.cast(batch[col], pa.string())
+            if self.subtree:
+                from .functions import json_get
+                tree = json_get(tree, self.subtree)
+            return pc.cast(pc.fill_null(tree, ""), pa.large_string())
         parts = [_render_entry(e, props, n, self.escape)
                  for e in self.entries]
         arrays = []

@@ -1035,3 +1035,32 @@ def test_mad_outliers(ray_session):
     mad = np.sort(resid)[int(np.ceil(0.5 * len(resid))) - 1]
     want = np.flatnonzero(np.abs(vals - med) > 3 * mad)
     assert sorted(out["event_id"]) == sorted(want.tolist())
+
+
+def test_dyn_inc_unused_metric_life_ttl(ray_session):
+    """unusedMetricLife (dynstats.c:35-46): keys whose LAST increment is
+    older than the TTL before the stream's max timestamp are expired from
+    the emitted counters; fresh keys keep their FULL count."""
+    import datetime as dt
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import dyn_inc
+    t0 = dt.datetime(2026, 1, 1)
+    rows = (
+        [("stale", t0)] * 3
+        + [("fresh", t0), ("fresh", t0 + dt.timedelta(seconds=7000))]
+        + [("late", t0 + dt.timedelta(seconds=7000))] * 2
+    )
+    tbl = pa.table({
+        "tool": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })
+    got = dyn_inc(rd.from_arrow(tbl), "b", "tool",
+                  unused_metric_life_s=3600)
+    d = dict(zip(got["key"].to_pylist(), got["rows"].to_pylist()))
+    assert d == {"fresh": 2, "late": 2}   # 'stale' expired by the sweep
+    # TTL off → all keys
+    full = dyn_inc(rd.from_arrow(tbl), "b", "tool")
+    assert dict(zip(full["key"].to_pylist(),
+                    full["rows"].to_pylist())) == {
+        "fresh": 2, "late": 2, "stale": 3}

@@ -443,3 +443,88 @@ def test_parser_never_crashes_on_garbage():
             pass
 
     run_raw()
+
+
+def test_foreach_statement_compiles_and_runs():
+    """foreach ($.x in $!arr) do { ... } (grammar.y S_FOREACH,
+    ruleset.c:323-417): body runs once per element with the loop var
+    bound; per-message vars keep the LAST iteration's value after the
+    loop; zero-iteration rows are untouched."""
+    import pyarrow as pa
+    from rsyslog_ray.config import CompiledConfig
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = '''
+    template(name="t" type="string" string="%hostname% x=%$.x% s=%$.seen%")
+    foreach ($.x in $!arr) do {
+        set $.seen = $.x & "!";
+        action(type="omfile" name="items" template="t")
+    }
+    action(type="omfile" name="after" template="t")
+    '''
+    cfg = CompiledConfig(parse_rainerscript(src))
+    batch = pa.table({
+        "hostname": ["h1", "h2", "h3"],
+        "msg": ["a", "b", "c"],
+        "cee_json": ['{"arr":["p","q"]}', '{"arr":[1]}', '{}'],
+    })
+    out = route_table(batch, cfg.ruleset)
+    assert out["items"]["rendered"].to_pylist() == [
+        "h1 x=p s=p!", "h1 x=q s=q!", "h2 x=1 s=1!"]
+    assert out["after"]["rendered"].to_pylist() == [
+        "h1 x=q s=q!", "h2 x=1 s=1!", "h3 x= s="]
+
+
+def test_foreach_object_iteration_and_stop():
+    """Object iterables bind {key,value} pairs (foreachCallObject); a stop
+    inside the body discards the parent message (DISCARDMSG propagates)."""
+    import pyarrow as pa
+    from rsyslog_ray.config import CompiledConfig
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = '''
+    template(name="kv" type="string" string="%$.p%")
+    foreach ($.p in $!obj) do {
+        action(type="omfile" name="pairs" template="kv")
+        if $.p contains "drop" then stop
+    }
+    action(type="omfile" name="rest" template="kv")
+    '''
+    cfg = CompiledConfig(parse_rainerscript(src))
+    batch = pa.table({
+        "hostname": ["h1", "h2"],
+        "msg": ["a", "b"],
+        "cee_json": ['{"obj":{"k1":"v1","k2":"drop-me"}}',
+                     '{"obj":{"k3":"v3"}}'],
+    })
+    out = route_table(batch, cfg.ruleset)
+    rendered = out["pairs"]["rendered"].to_pylist()
+    assert '{"key":"k1","value":"v1"}' in rendered
+    assert '{"key":"k3","value":"v3"}' in rendered
+    # h1 was stopped inside the loop → only h2 reaches `rest`
+    assert out["rest"].num_rows == 1
+
+
+def test_stock_distro_conf_loads():
+    """A stock-distro-shaped rsyslog.conf — module/input/global/main_queue
+    objects, legacy directives, classic selectors — loads without error
+    (the round-3 gap: input()/global()/main_queue() used to raise)."""
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    src = '''
+    module(load="imuxsock")
+    input(type="imfile" File="/var/log/app.log" Tag="app:"
+          Severity="info" Facility="local7")
+    global(workDirectory="/var/spool/rsyslog" maxMessageSize="64k")
+    main_queue(queue.filename="main" queue.maxdiskspace="1g"
+               queue.saveonshutdown="on")
+    timezone(id="UTC" offset="+00:00")
+    $ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
+    *.info;mail.none /var/log/messages
+    local7.* /var/log/boot.log
+    '''
+    cfg = parse_rainerscript(src)
+    names = [a["name"] for a in cfg["ruleset"]["actions"]]
+    assert len(names) == 2            # the two classic file actions

@@ -66,3 +66,23 @@ def test_permanent_failure_writes_error_rows_and_triggers_fallback(tmp_path):
     assert sum(pq.read_table(f).num_rows for f in err) == 10  # rows not lost
     fb = glob.glob(os.path.join(out, "fallback", "*.parquet"))
     assert sum(pq.read_table(f).num_rows for f in fb) == 10
+
+
+def test_previous_action_suspended_expression(tmp_path):
+    """previous_action_suspended() (grammar/rainerscript.c:3762) as a
+    filter expression: the writer's cross-batch suspend map feeds the
+    NEXT batch's evaluation — batch 1 sees False (nothing suspended yet),
+    batch 2 sees True after 'all' suspended on batch 1."""
+    out = str(tmp_path / "out")
+    rs = Ruleset("r", [
+        Action("all", filter=None),
+        Action("mirror", filter=("previous_action_suspended",)),
+    ])
+    rw = RouteWriter(rs, out, fail_injector=FlakyInjector("all", 99),
+                     max_retries=1, retry_backoff_s=0.001)
+    m1 = rw(_batch())
+    d1 = dict(zip(m1["action"].to_pylist(), m1["rows"].to_pylist()))
+    assert d1["mirror"] == 0          # evaluated before any suspend known
+    m2 = rw(_batch())
+    d2 = dict(zip(m2["action"].to_pylist(), m2["rows"].to_pylist()))
+    assert d2["mirror"] == 10         # sees 'all' suspended from batch 1

@@ -194,3 +194,96 @@ def test_template_compiler_never_crashes_on_garbage(ray_session):
             pass
 
     run()
+
+
+def test_list_template_byte_equal_to_string_template():
+    """template(type="list") compiles onto the same TplEntry chain as the
+    %...% string form (template.c:1226 list path) — byte-equal output."""
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+    batch = pa.table({
+        "hostname": ["h1", "h2"],
+        "msg": [" hello", "world\n"],
+    })
+    s = Template("%hostname% %msg:::drop-last-lf%\n")
+    lst = Template({"type": "list", "entries": [
+        {"kind": "property", "name": "hostname"},
+        {"kind": "constant", "value": " "},
+        {"kind": "property", "name": "msg", "droplastlf": "on"},
+        {"kind": "constant", "value": "\n"},
+    ]})
+    assert lst.render(batch).to_pylist() == s.render(batch).to_pylist()
+
+
+def test_list_template_jsonf_golden():
+    """jsonf fields use outname (default: property name sans $!); values
+    JSON-escape; constants may be jsonf pairs too (outname mandatory,
+    template.c:1411)."""
+    import pyarrow as pa
+    import pytest
+    from rsyslog_ray.templates import Template
+    batch = pa.table({
+        "hostname": ['h"1'],
+        "severity": pa.array([3], pa.int64()),
+        "cee_json": ['{"user":"u1"}'],
+    })
+    t = Template({"type": "list", "entries": [
+        {"kind": "constant", "value": "{"},
+        {"kind": "constant", "value": "v1", "outname": "ver",
+         "format": "jsonf"},
+        {"kind": "constant", "value": ","},
+        {"kind": "property", "name": "hostname", "outname": "host",
+         "format": "jsonf"},
+        {"kind": "constant", "value": ","},
+        {"kind": "property", "name": "$!user", "format": "jsonf"},
+        {"kind": "constant", "value": "}"},
+    ]})
+    assert t.render(batch).to_pylist() == [
+        '{"ver":"v1","host":"h\\"1","user":"u1"}']
+    import json
+    assert json.loads(t.render(batch).to_pylist()[0]) == {
+        "ver": "v1", "host": 'h"1', "user": "u1"}
+    with pytest.raises(ValueError):
+        Template({"type": "list", "entries": [
+            {"kind": "constant", "value": "x", "format": "jsonf"}]})
+
+
+def test_subtree_template():
+    """type="subtree" renders the normalized JSON subtree (template.c:1926);
+    whole-tree "$!", nested path, and missing-subtree → empty string."""
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+    batch = pa.table({
+        "cee_json": ['{"a":{"b":"x"},"n":1}', None, '{"n":2}'],
+    })
+    whole = Template({"type": "subtree", "subtree": "$!"})
+    assert whole.render(batch).to_pylist() == [
+        '{"a":{"b":"x"},"n":1}', "", '{"n":2}']
+    sub = Template({"type": "subtree", "subtree": "$!a"})
+    assert sub.render(batch).to_pylist() == ['{"b":"x"}', "", ""]
+
+
+def test_list_template_property_options_parity():
+    """Every list-property option maps onto the same kernel as its
+    string-form spelling: position window, field mode, regex, case."""
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+    batch = pa.table({"msg": ["alpha,beta,gamma Error42 here"]})
+    pairs = [
+        ("%msg:2:5%",
+         {"kind": "property", "name": "msg",
+          "position.from": 2, "position.to": 5}),
+        ("%msg:F,44:2%",
+         {"kind": "property", "name": "msg",
+          "field.delimiter": 44, "field.number": 2}),
+        ("%msg:R,ERE,0,DFLT:Error[0-9]+--end%",
+         {"kind": "property", "name": "msg",
+          "regex.expression": "Error[0-9]+", "regex.type": "ERE"}),
+        ("%msg:::uppercase%",
+         {"kind": "property", "name": "msg", "caseconversion": "upper"}),
+    ]
+    for spec, entry in pairs:
+        s = Template(spec).render(batch).to_pylist()
+        l = Template({"type": "list",
+                      "entries": [entry]}).render(batch).to_pylist()
+        assert l == s, (spec, l, s)
