@@ -38,14 +38,26 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-12)
 
 
-def _project_materialize(ds, cols: list[str]):
+def _project_materialize(ds, cols: list[str], rows_per_block: int = 65536):
     """Project to the iteration's working columns and materialize ONCE:
     every Lloyd/GD round then re-reads cached blocks from the object
     store instead of re-executing the whole upstream lineage per round
     (the round-3 scale-killer for iterative fits). The projection is
     tiny relative to the corpus (d floats ≪ text); spilling covers the
-    rest at 100 TB."""
-    return ds.select_columns(cols).materialize()
+    rest at 100 TB.
+
+    The projection inherits the upstream block count, which for a small
+    feature table means many near-empty blocks — and each iteration pays
+    one task per block, so 20 rounds × 64 tiny blocks is pure scheduler
+    overhead. Coalesce to ≈rows_per_block rows per block first (a no-op
+    at scale, where blocks are already ≥ that)."""
+    mat = ds.select_columns(cols).materialize()
+    n = mat.count()
+    nb = mat.num_blocks()
+    target = max(1, -(-n // rows_per_block))
+    if target < nb // 2:
+        mat = mat.repartition(target).materialize()
+    return mat
 
 
 def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
