@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entries with no CORRECTNESS row yet. Future rounds: move
         # freshly-checked entries to the tail and promote any that
         # remain unchecked.
+        "boilerplate": Q.q_boilerplate,   # new in r4 — never checked
         "centroids": Q.q_centroids,
         "median_filter": Q.q_median_filter,
         "top_ngrams": Q.q_top_ngrams,

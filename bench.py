@@ -158,6 +158,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("rollup", Q.q_rollup, sf_dir)
     timed("log_templates", Q.q_log_templates, sf_dir)
     timed("mad_outliers", Q.q_mad_outliers, sf_dir)
+    # round-4: corpus-wide boilerplate-line removal (drop ALL occurrences)
+    timed("boilerplate", Q.q_boilerplate, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1130,6 +1130,12 @@ SELECT vec_id, round(score, 6) AS score FROM (
 SELECT conv_id, turn_idx, {redact_sql('text')} AS text
 FROM read_parquet('{src}')"""
 
+    q["boilerplate"] = f"""
+SELECT conv_id, turn_idx FROM read_parquet('{src}')
+WHERE text IN (
+  SELECT text FROM read_parquet('{src}')
+  GROUP BY text HAVING count(DISTINCT conv_id) < 2)"""
+
     q["dedup_lines_global"] = f"""
 SELECT conv_id, turn_idx FROM (
   SELECT conv_id, turn_idx,

@@ -1291,6 +1291,19 @@ def q_redact(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(redact_table, batch_format="pyarrow"))
 
 
+def q_boilerplate(sf_dir: str) -> pa.Table:
+    """Boilerplate-line removal (C4 / RefinedWeb line rule): drop EVERY
+    occurrence of a line whose text appears in ≥2 distinct conversations
+    (nav-bar/banner analogue); unlike dedup_lines_global no first copy
+    survives. Exact distinct-doc counting (pair-dedup across batches) →
+    Zipf-bounded hot-line broadcast → vectorized is_in filter."""
+    from ..stages.dedup import boilerplate_filter
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    out = boilerplate_filter(ds, doc_col="conv_id", min_docs=2)
+    return _to_table(out.select_columns(["conv_id", "turn_idx"]))
+
+
 def q_dedup_lines_global(sf_dir: str) -> pa.Table:
     """Corpus-level exact line dedup (MassiveText "remove lines duplicated
     across documents"): each transcript turn is a line; keep only the

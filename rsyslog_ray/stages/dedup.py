@@ -1050,6 +1050,93 @@ def first_occurrence(ds, text_col: str = "text",
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def boilerplate_filter(ds, text_col: str = "text",
+                       doc_col: str = "conv_id", min_docs: int = 10,
+                       broadcast_threshold: int = 5_000_000,
+                       n_buckets: int | None = None):
+    """Boilerplate-line removal (the C4 / RefinedWeb line-level rule,
+    complementary to first_occurrence's keep-first dedup): drop EVERY
+    occurrence of any line whose text appears in ≥ min_docs distinct
+    documents — nav bars, cookie banners, license footers. Rows whose
+    text stays under the document-frequency bar pass through unchanged.
+
+    Shape: pass 1 emits per-batch DISTINCT (text, doc) pairs (one row per
+    pair per batch — a document MAY span batches, so pairs are re-deduped
+    at the fold before counting; the count is exact, not a sum of batch
+    partials). Dual fold: ≤ broadcast_threshold pair rows → one driver
+    pyarrow pass (dedup pairs, value_counts on text); above it, pairs
+    co-locate by a text-hash bucket (bounded group count) and each bucket
+    counts its own distinct docs. The hot-line set is Zipf-bounded —
+    ≤ n_pairs/min_docs by pigeonhole and tiny in practice — broadcasts
+    via ray.put once, and pass 2 filters each batch with one vectorized
+    is_in; when even the hot set tops the threshold, the fallback is a
+    hash-partitioned ANTI join on the text key (no broadcast). Exact
+    string matching throughout, so the DuckDB GROUP BY/HAVING oracle
+    matches bit-for-bit."""
+    from ..cluster import cluster_buckets
+    if n_buckets is None:
+        n_buckets = cluster_buckets()
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "_t": pc.cast(batch[text_col], pa.string()),
+            "_d": pc.cast(batch[doc_col], pa.string()),
+        })
+        df = t.to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials, n_pairs = _materialize_nonempty(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        [("_t", pa.string()), ("_d", pa.string())])
+
+    if n_pairs <= broadcast_threshold:
+        tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+        df = tbl.to_pandas().drop_duplicates()
+        vc = df.groupby("_t", sort=False).size()
+        hot = pa.array(vc.index[vc.to_numpy() >= min_docs].to_numpy(object),
+                       pa.string())
+        n_hot, hot_ds = len(hot), None
+    else:
+        from ..functions import hash64mod
+
+        def bucketed(t: pa.Table) -> pa.Table:
+            return t.append_column("_bucket", hash64mod(t["_t"], n_buckets))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.drop(columns=["_bucket"]).drop_duplicates()
+            vc = g.groupby("_t", sort=False).size()
+            return pd.DataFrame({"_t": vc.index[vc.to_numpy() >= min_docs]})
+
+        hot_ds, n_hot = _materialize_nonempty(
+            partials.map_batches(bucketed, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket,
+                                           batch_format="pandas"),
+            [("_t", pa.string())])
+        hot = None
+
+    if n_hot <= broadcast_threshold:
+        if hot is None:
+            hot = pa.concat_tables(
+                ray.get(hot_ds.to_arrow_refs()))["_t"].combine_chunks()
+        ref = ray.put(hot)
+
+        def drop_hot(batch: pa.Table) -> pa.Table:
+            hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            if len(hs) == 0:
+                return batch
+            m = pc.is_in(pc.cast(batch[text_col], pa.string()),
+                         value_set=hs)
+            return batch.filter(pc.invert(m))
+        return ds.map_batches(drop_hot, batch_format="pyarrow")
+
+    # scale fallback: nothing reaches the driver — anti-join the corpus
+    # against the hot-line table on the text key (hash-partitioned).
+    from .joins import equi_join
+    return equi_join(ds, hot_ds.map_batches(
+        lambda t: t.rename_columns([text_col]), batch_format="pyarrow"),
+        key=text_col, how="anti")
+
+
 def _ed_le1(a: str, b: str) -> int | None:
     """Exact Levenshtein when ≤ 1, else None. O(len) single pass."""
     la, lb = len(a), len(b)

@@ -461,6 +461,46 @@ def test_first_occurrence_global_line_dedup(ray_session):
     assert got == want
 
 
+def test_boilerplate_filter_drops_all_occurrences(ray_session):
+    from rsyslog_ray.stages.dedup import boilerplate_filter
+    # "banner" appears in 3 docs, "dup" in 2, "uniq"/"only" in 1 each.
+    t = pa.table({
+        "conv_id": ["c1", "c1", "c2", "c2", "c3", "c3", "c1", "c2"],
+        "turn_idx": [0, 1, 0, 1, 0, 1, 2, 2],
+        "text": ["banner", "dup", "banner", "dup",
+                 "banner", "uniq", "only", "uniq"],
+    })
+    # min_docs=3 drops only "banner" (every occurrence; "uniq" is in 2
+    # docs? no — c3 and c2 → 2 docs, under the bar). min_docs=2 drops
+    # banner+dup+uniq, keeping just the singleton "only".
+    ds = rd.from_arrow(t).repartition(4)  # docs span batches
+    got3 = sorted((r["conv_id"], r["turn_idx"]) for r in
+                  boilerplate_filter(ds, min_docs=3).take_all())
+    assert got3 == [("c1", 1), ("c1", 2), ("c2", 1),
+                    ("c2", 2), ("c3", 1)]
+    got2 = sorted((r["conv_id"], r["turn_idx"]) for r in
+                  boilerplate_filter(ds, min_docs=2).take_all())
+    assert got2 == [("c1", 2)]
+    # exact distinct-doc counting: the same (text, doc) pair in two
+    # batches must count ONCE — "twice" is in 2 rows of ONE doc, so it
+    # survives min_docs=2 even when those rows land in different blocks
+    t2 = pa.table({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": [0, 1, 0],
+        "text": ["twice", "twice", "x"],
+    })
+    got = sorted((r["conv_id"], r["turn_idx"]) for r in
+                 boilerplate_filter(rd.from_arrow(t2).repartition(3),
+                                    min_docs=2).take_all())
+    assert got == [("a", 0), ("a", 1), ("b", 0)]
+    # distributed fold + anti-join fallback path (threshold forced to 0)
+    got_dist = sorted((r["conv_id"], r["turn_idx"]) for r in
+                      boilerplate_filter(ds, min_docs=3,
+                                         broadcast_threshold=0)
+                      .take_all())
+    assert got_dist == got3
+
+
 def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
     from rsyslog_ray.stages.bloom import bloom_build, bloom_filter_rows
     ref_vals = [f"seen-{i}" for i in range(2000)]
