@@ -159,7 +159,9 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("log_templates", Q.q_log_templates, sf_dir)
     timed("mad_outliers", Q.q_mad_outliers, sf_dir)
     # round-4: corpus-wide boilerplate-line removal (drop ALL occurrences)
+    # and end-to-end model-based quality filtering (fit + broadcast apply)
     timed("boilerplate", Q.q_boilerplate, sf_dir)
+    timed("classifier_filter", Q.q_classifier_filter, sf_dir)
 
     out["queries"] = timings
     return out

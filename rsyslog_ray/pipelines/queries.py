@@ -1187,6 +1187,53 @@ def q_logreg(sf_dir: str) -> pa.Table:
                                       "digit_frac"], "y", iters=20))
 
 
+def _quality_feature_table(batch: pa.Table) -> pa.Table:
+    """Engineered quality features (words, mean word length, digit
+    fraction) + the deterministic length label, doc_id preserved —
+    shared by the classifier-filter pipeline."""
+    txt = pc.cast(batch["text"], pa.string())
+    nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    digits = pc.count_substring_regex(txt, pattern="[0-9]") \
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_words": pa.array(nw),
+        "mean_wlen": pa.array(np.where(nw > 0, nch / np.maximum(nw, 1),
+                                       0.0)),
+        "digit_frac": pa.array(digits / np.maximum(nch, 1)),
+        "y": pa.array((nch > 280).astype(np.int64)),
+    })
+
+
+def q_classifier_filter(sf_dir: str) -> pa.Table:
+    """End-to-end model-based quality filtering (the GPT-3/CCNet corpus
+    stage): train the distributed logistic quality classifier, broadcast
+    its weights once, score every document with one vectorized sigmoid
+    per batch, and keep docs with p ≥ 0.5. Rows-only (iterative fit);
+    the fit math and the apply kernel are numpy-oracle pytest-pinned."""
+    from ..stages.clustering import logreg_apply, logreg_fit
+
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    fcols = ["n_words", "mean_wlen", "digit_frac"]
+    fds = ds.map_batches(_quality_feature_table,
+                         batch_format="pyarrow").materialize()
+    w = logreg_fit(fds, fcols, "y", iters=20)
+    kept = logreg_apply(fds.select_columns(["doc_id", *fcols]), w, fcols,
+                        threshold=0.5)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "score"])
+    return _to_table(kept.map_batches(proj, batch_format="pyarrow")) \
+        .sort_by("doc_id")
+
+
 def q_image_dedup(sf_dir: str) -> pa.Table:
     """Perceptual image near-dup removal over REAL decoded pixels:
     payloads are per-class gradient PNGs re-encoded with varying filter

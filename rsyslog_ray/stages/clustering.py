@@ -414,3 +414,37 @@ def logreg_fit(ds, feature_cols: list[str], label_col: str,
         "weight": pa.array(np.round(np.append(w_raw, b_raw), ndp),
                            pa.float64()),
     })
+
+
+def logreg_apply(ds, weights: pa.Table, feature_cols: list[str],
+                 threshold: float = 0.5, score_col: str = "score",
+                 keep: bool | None = True, ndp: int = 6):
+    """Model-based corpus filtering — the apply half of the GPT-3 /
+    CCNet quality-classifier stage (logreg_fit trains, this scores and
+    filters): the (feature, weight) table broadcasts via ray.put ONCE
+    (read per task, never re-shipped); each batch is one vectorized
+    sigmoid over the raw feature matrix. keep=True keeps rows with
+    score ≥ threshold, keep=False the complement (inspection of the
+    rejects), keep=None skips filtering and just appends `score_col`.
+    Scores round to ndp dp so results are batch-split invariant. No
+    shuffle — embarrassingly parallel over blocks at any scale."""
+    wmap = dict(zip(weights["feature"].to_pylist(),
+                    weights["weight"].to_pylist()))
+    w = np.array([wmap[c] for c in feature_cols], np.float64)
+    b = float(wmap.get("_intercept", 0.0))
+    ref = ray.put((w, b))
+
+    def score(t: pa.Table) -> pa.Table:
+        ww, bb = ray.get(ref) if isinstance(ref, ray.ObjectRef) \
+            else (w, b)
+        x = np.stack([pc.cast(t[c], pa.float64())
+                      .to_numpy(zero_copy_only=False)
+                      for c in feature_cols], axis=1)
+        z = x @ ww + bb
+        p = np.round(1.0 / (1.0 + np.exp(-np.clip(z, -35, 35))), ndp)
+        out = t.append_column(score_col, pa.array(p, pa.float64()))
+        if keep is None:
+            return out
+        m = p >= threshold if keep else p < threshold
+        return out.filter(pa.array(m))
+    return ds.map_batches(score, batch_format="pyarrow")

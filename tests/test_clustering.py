@@ -272,3 +272,41 @@ def test_iterative_fits_execute_upstream_once(ray_session):
         return ray.get(c.get.remote())
 
     assert run_logreg(8) == run_logreg(1)
+
+
+def test_logreg_apply_scores_and_filters(ray_session):
+    """Broadcast-apply equals the numpy sigmoid oracle, filters by
+    threshold on both sides, and is batch-split invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.clustering import logreg_apply
+
+    rng = np.random.default_rng(7)
+    n = 500
+    x = rng.normal(0, 1.5, (n, 2))
+    w = np.array([1.25, -0.75])
+    b = 0.3
+    weights = pa.table({"feature": ["f0", "f1", "_intercept"],
+                        "weight": [1.25, -0.75, 0.3]})
+    tbl = pa.table({"doc_id": pa.array(np.arange(n)),
+                    "f0": x[:, 0], "f1": x[:, 1]})
+    p = np.round(1.0 / (1.0 + np.exp(-np.clip(x @ w + b, -35, 35))), 6)
+
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = logreg_apply(ds, weights, ["f0", "f1"], keep=None) \
+        .to_pandas().sort_values("doc_id")
+    assert np.array_equal(got["score"].to_numpy(), p)
+
+    kept = logreg_apply(ds, weights, ["f0", "f1"], threshold=0.5) \
+        .to_pandas()
+    assert set(kept["doc_id"]) == set(np.arange(n)[p >= 0.5])
+    rej = logreg_apply(ds, weights, ["f0", "f1"], threshold=0.5,
+                       keep=False).to_pandas()
+    assert set(rej["doc_id"]) == set(np.arange(n)[p < 0.5])
+    # batch-split invariance
+    one = logreg_apply(rd.from_arrow(tbl), weights, ["f0", "f1"],
+                       keep=None).to_pandas().sort_values("doc_id")
+    assert np.array_equal(one["score"].to_numpy(),
+                          got["score"].to_numpy())
