@@ -162,6 +162,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     # and end-to-end model-based quality filtering (fit + broadcast apply)
     timed("boilerplate", Q.q_boilerplate, sf_dir)
     timed("classifier_filter", Q.q_classifier_filter, sf_dir)
+    timed("cluster_sample", Q.q_cluster_sample, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1655,6 +1655,25 @@ def q_kmeans(sf_dir: str) -> pa.Table:
     return _to_table(kmeans_cluster_stats(ds, k=8, iters=4))
 
 
+def q_cluster_sample(sf_dir: str) -> pa.Table:
+    """Cluster-balanced sampling (topic-diversity curation, the DoReMi /
+    cluster-stratified shape): spherical k-means over the embeddings,
+    assign every vector via the broadcast-centroid actor stage, then a
+    fixed-N per-cluster sample ranked by a bijective id hash — equal
+    representation per topic regardless of cluster skew. Rows-only
+    (iterative fit); each piece is numpy-oracle pytest-pinned."""
+    from ..stages.clustering import assign_clusters, kmeans_fit
+    from ..stages.sampling import sample_n_per_key
+    ds = read_scaled(f"{sf_dir}/embeddings.parquet",
+                     columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, iters=4)
+    assigned = assign_clusters(ds, cents).select_columns(
+        ["vec_id", "cluster"])
+    out = sample_n_per_key(assigned, key_col="cluster", id_col="vec_id",
+                           n=25)
+    return _to_table(out).sort_by("vec_id")
+
+
 def q_semdedup(sf_dir: str) -> pa.Table:
     """SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, drop
     every vector with a smaller-id ε-near partner (cosine ≥ 1-eps) in its

@@ -310,3 +310,43 @@ def test_logreg_apply_scores_and_filters(ray_session):
                        keep=None).to_pandas().sort_values("doc_id")
     assert np.array_equal(one["score"].to_numpy(),
                           got["score"].to_numpy())
+
+
+def test_cluster_balanced_sample(ray_session):
+    """Fixed-N per-cluster sample: exactly min(n, cluster size) rows per
+    cluster, deterministic across partitionings."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.clustering import assign_clusters, kmeans_fit
+    from rsyslog_ray.stages.sampling import sample_n_per_key
+
+    rng = np.random.default_rng(3)
+    # two well-separated blobs on the unit sphere
+    a = rng.normal(0, 0.05, (60, 4)) + np.array([1, 0, 0, 0])
+    b = rng.normal(0, 0.05, (40, 4)) + np.array([0, 1, 0, 0])
+    emb = np.vstack([a, b])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    tbl = pa.table({"vec_id": pa.array(np.arange(100)),
+                    "embedding": pa.array(emb.tolist())})
+
+    def run(nparts):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        cents = kmeans_fit(ds, k=2, iters=3)
+        assigned = assign_clusters(ds, cents).select_columns(
+            ["vec_id", "cluster"])
+        out = sample_n_per_key(assigned, key_col="cluster",
+                               id_col="vec_id", n=10).to_pandas()
+        return out.sort_values("vec_id")
+
+    got = run(5)
+    counts = got.groupby("cluster").size()
+    assert sorted(counts.to_list()) == [10, 10]
+    # the sample is cluster-pure: ids <60 are blob a, >=60 blob b
+    by_cl = got.groupby("cluster")["vec_id"].apply(
+        lambda s: set(int(v) >= 60 for v in s))
+    assert all(len(v) == 1 for v in by_cl)
+    # partitioning-invariant
+    again = run(2)
+    assert got["vec_id"].to_list() == again["vec_id"].to_list()
