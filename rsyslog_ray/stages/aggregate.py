@@ -30,17 +30,23 @@ def _partial_counts(batch: pa.Table, keys: list[str]) -> pa.Table:
 
 
 def count_by(ds, keys: list[str], batch_size: int = 65536,
-             fold_driver: bool = False):
+             fold_driver: bool = False, fold: str = "bucket"):
     """groupby(keys).count() with per-batch partials (dyn_inc analogue).
 
     fold_driver=True streams the partials back and merges on the driver
     (returns a pa.Table) — ONLY for bounded-cardinality keys (facility ×
     severity = 192, dynstats maxCardinality ≤ 2000): the partial stream is
     O(#batches × |keys|) tiny rows and skips the Aggregate shuffle's fixed
-    cost (~1-2 s) entirely. Unbounded keys keep the distributed groupby."""
+    cost (~1-2 s) entirely. Unbounded keys stay distributed: fold='bucket'
+    (default) merges partials with the hash-bucketed vectorized
+    bucket_merge (one pandas groupby per bucket — measured ~2 s under
+    Ray's sort-based Aggregate at sf0.1, same shuffle volume);
+    fold='sort' keeps the sort-based groupby().aggregate(Sum)."""
     partials = ds.map_batches(lambda t: _partial_counts(t, keys),
                               batch_format="pyarrow", batch_size=batch_size)
     if not fold_driver:
+        if fold == "bucket":
+            return bucket_merge(partials, keys, {"rows": ("rows", "sum")})
         return partials.groupby(keys).aggregate(Sum("rows", alias_name="rows"))
     acc: dict[tuple, int] = {}
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -107,8 +113,14 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
     import pandas as pd
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        key0 = t[keys[0]]
-        h = pd.util.hash_array(np.asarray(key0.to_pandas(), dtype=object))
+        # combine every key column into the bucket hash: bucketing on
+        # keys[0] alone collapses to |distinct key0| buckets when the
+        # leading key is low-cardinality (role, event_type, ...)
+        h = pd.util.hash_array(
+            np.asarray(t[keys[0]].to_pandas(), dtype=object))
+        for k in keys[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
+                np.asarray(t[k].to_pandas(), dtype=object))
         return t.append_column("_bucket",
                                pa.array((h % n_buckets).astype(np.int64)))
 
