@@ -665,33 +665,38 @@ def concat_group_text(ds, key: str = "conv_id", order_col: str = "turn_idx",
     Scale note: a group's whole text lands in one worker (inherent to
     the operator — the output row IS the group); per-key size is bounded
     by conversation length, not corpus size."""
-    import pandas as pd
-    from .ratelimit import _per_bucket
+    from .ratelimit import _with_bucket
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({key: pd.Series([], dtype=object),
-                                 "doc": pd.Series([], dtype=object),
-                                 "n_turns": pd.Series([], dtype="int64"),
-                                 "n_chars": pd.Series([], dtype="int64")})
-        g = g.sort_values([key, order_col], kind="mergesort")
-        keys = g[key].to_numpy()
-        n = len(g)
-        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    empty = pa.schema([(key, pa.string()), ("doc", pa.large_string()),
+                       ("n_turns", pa.int64()), ("n_chars", pa.int64())])
+
+    def fn(g: pa.Table) -> pa.Table:
+        # pure-Arrow per-bucket pass: the text payload never round-trips
+        # through pandas object arrays (measured ~30% of the stage on
+        # long docs)
+        if not g.num_rows:
+            return empty.empty_table()
+        g = g.drop_columns(["_bucket"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending")])
+        keys = pc.cast(g[key], pa.string()).combine_chunks()
+        n = len(keys)
+        changed = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+        starts = np.r_[0, np.flatnonzero(
+            changed.to_numpy(zero_copy_only=False)) + 1]
         offsets = np.r_[starts, n].astype(np.int64)
-        texts = pa.array(g[text_col].fillna("").astype(str).to_numpy(),
-                         pa.large_string())
+        texts = pc.cast(pc.fill_null(g[text_col], ""),
+                        pa.large_string()).combine_chunks()
         lst = pa.LargeListArray.from_arrays(offsets, texts)
         docs = pc.binary_join(lst, pa.scalar(sep, pa.large_string()))
-        return pd.DataFrame({
-            key: keys[starts],
-            "doc": docs.to_pandas().astype(str),
-            "n_turns": np.diff(offsets),
-            "n_chars": pc.utf8_length(docs).to_numpy(zero_copy_only=False)
-                         .astype(np.int64),
+        return pa.table({
+            key: keys.take(pa.array(starts)),
+            "doc": docs,
+            "n_turns": pa.array(np.diff(offsets)),
+            "n_chars": pc.cast(pc.utf8_length(docs), pa.int64()),
         })
 
-    return _per_bucket(ds, fn, n_buckets=n_buckets, key=key)
+    return (_with_bucket(ds, key=key, n_buckets=n_buckets)
+            .groupby("_bucket").map_groups(fn, batch_format="pyarrow"))
 
 
 def global_topn(ds, sort_col: str = "value", n: int = 100,
