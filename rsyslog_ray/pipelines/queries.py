@@ -1775,13 +1775,16 @@ def q_conv_dedup(sf_dir: str) -> pa.Table:
     """Conversation-level exact dedup composite: rebuild each
     conversation's document (ordered turn concat) then keep the min
     conv_id per identical document — two keyed shuffles end-to-end
-    (conv concat, then doc-keyed dedup), no driver materialization."""
+    (conv concat, then doc-keyed dedup), no driver materialization.
+    The dedup shuffles 64-bit doc hashes, not the reconstructed docs
+    (exact_dedup by_hash — the 100 TB path; collision odds ~n²/2⁶⁵)."""
     from ..stages.aggregate import concat_group_text
     from ..stages.dedup import exact_dedup
     tdir = ensure_transcripts(sf_dir)
     ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
     docs = concat_group_text(ds, key="conv_id", order_col="turn_idx")
-    return _to_table(exact_dedup(docs, text_col="doc", id_col="conv_id")
+    return _to_table(exact_dedup(docs, text_col="doc", id_col="conv_id",
+                                 by_hash=True)
                      .select_columns(["conv_id"]))
 
 
