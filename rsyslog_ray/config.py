@@ -157,6 +157,9 @@ class CompiledConfig:
         self.cfg = cfg
         self.templates = dict(cfg.get("templates", {}))
         self.tables = _load_tables(cfg.get("lookup_tables", {}))
+        # dyn_stats bucket declarations (dynstats.c:35-46): kwargs for
+        # stages.aggregate.dyn_inc keyed by bucket name
+        self.dynstats = dict(cfg.get("dynstats", {}))
         self.ruleset = _compile_ruleset(cfg.get("ruleset", {"actions": []}),
                                         self.templates)
         # bind lookup tables for ("lookup", name, key) expressions

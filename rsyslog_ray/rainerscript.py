@@ -52,6 +52,9 @@ end with `;` (optional, as in the reference grammar).
   input() / global() / main_queue() / timezone() / parser() objects are
       accepted and ignored (wire inputs and queue tuning are native to
       the Ray engine), so stock distro rsyslog.conf files load.
+  dyn_stats(name="b" maxCardinality=... unusedMetricLife=...
+      resettable=...) registers bucket params (dynstats.c:35-46) into
+      cfg["dynstats"] → CompiledConfig.dynstats for dyn_inc.
 
 Reference: grammar/grammar.y (cfline/script statements), lexer.l tokens.
 """
@@ -115,6 +118,7 @@ class _Parser:
         self.rulesets: dict[str, dict] = {}
         self.modifiers: list = []
         self.lookup_tables: dict[str, dict] = {}
+        self.dynstats: dict[str, dict] = {}
         # $ActionFileDefaultTemplate (legacy) — template for path actions
         self.file_default_template = "RSYSLOG_TraditionalFileFormat"
         self._auto = 0
@@ -618,6 +622,22 @@ class _Parser:
                 if "file" not in p:
                     raise ParseError("lookup_table needs file=")
                 self.lookup_tables[p["name"]] = {"file": p["file"]}
+            elif k == "word" and v == "dyn_stats":
+                # dyn_stats(name="b" maxCardinality="500"
+                #           unusedMetricLife="600" resettable="on") —
+                # dynstats bucket declaration (runtime/dynstats.c:35-46,
+                # dynstats_newBucket :308); consumed by dyn_inc()
+                self.next()
+                p = self.params()
+                if "name" not in p:
+                    raise ParseError("dyn_stats needs name=")
+                self.dynstats[p["name"]] = {
+                    "max_cardinality": int(p.get("maxCardinality", 2000)),
+                    "unused_metric_life_s":
+                        int(p.get("unusedMetricLife", 3600)),
+                    "resettable": str(p.get("resettable", "on"))
+                        in ("on", "1", "true"),
+                }
             elif k == "word" and v == "ruleset":
                 self.next()
                 p = self.params()
@@ -635,6 +655,8 @@ class _Parser:
             cfg["modifiers"] = self.modifiers
         if self.lookup_tables:
             cfg["lookup_tables"] = self.lookup_tables
+        if self.dynstats:
+            cfg["dynstats"] = self.dynstats
         return cfg
 
 

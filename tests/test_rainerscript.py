@@ -528,3 +528,22 @@ def test_stock_distro_conf_loads():
     cfg = parse_rainerscript(src)
     names = [a["name"] for a in cfg["ruleset"]["actions"]]
     assert len(names) == 2            # the two classic file actions
+
+
+def test_dyn_stats_object_registers_bucket_params():
+    """dyn_stats(name=...) declarations (runtime/dynstats.c:35-46) parse
+    into the config's dynstats registry with dyn_inc-ready kwargs."""
+    from rsyslog_ray.config import load_config
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    cfg = parse_rainerscript('''
+dyn_stats(name="per_host" maxCardinality="500"
+          unusedMetricLife="600" resettable="off")
+dyn_stats(name="per_tool")
+ruleset(name="r"){ action(type="omfile" file="/tmp/x") }
+''')
+    assert cfg["dynstats"]["per_host"] == {
+        "max_cardinality": 500, "unused_metric_life_s": 600,
+        "resettable": False}
+    assert cfg["dynstats"]["per_tool"]["max_cardinality"] == 2000
+    assert cfg["dynstats"]["per_tool"]["resettable"] is True
+    assert load_config(cfg).dynstats["per_host"]["max_cardinality"] == 500
