@@ -347,3 +347,82 @@ def synth_wav_for_id(doc_id: int) -> bytes:
     amp = 0.2 + (doc_id % 7) / 10.0
     t = np.arange(n) / rate
     return make_wav(amp * np.sin(2 * np.pi * freq * t), sample_rate=rate)
+
+
+def dup_png_for_id(doc_id: int) -> bytes:
+    """Near-dup PNG fixture: class = doc_id % 97 fixes the pixel pattern;
+    the encoder filter type and a small brightness shift vary per id, so
+    each class is 'same image, different bytes' — the dHash dedup must
+    collapse it to one survivor."""
+    import numpy as np
+    cls = doc_id % 97
+    rng = np.random.default_rng(cls)
+    px = rng.integers(0, 200, (24, 32), dtype=np.uint8)
+    px = np.clip(px + (doc_id // 97) % 3, 0, 255).astype(np.uint8)
+    return make_png(px, filter_type=doc_id % 5)
+
+
+def dup_wav_for_id(doc_id: int) -> bytes:
+    """Near-dup WAV fixture: class = doc_id % 89 fixes the tone; the gain
+    varies per id (same recording at a new level)."""
+    import numpy as np
+    cls = doc_id % 89
+    rate = 8000
+    n = 1200 + (cls * 37) % 800
+    freq = 100 + (cls * 13) % 900
+    gain = 0.2 + ((doc_id // 89) % 4) / 10.0
+    t = np.arange(n) / rate
+    return make_wav(gain * np.sin(2 * np.pi * freq * t), sample_rate=rate)
+
+
+def media_path(tag: str) -> str:
+    return os.path.join(DATA_ROOT, f"media_{tag}")
+
+
+def ensure_media(sf_dir: str) -> str:
+    """Generate (once, cached) the media-payload parquet for a testdata
+    sf dir: one row per documents.parquet doc_id with REAL binary columns
+    png / wav (per-id fixtures) and png_dup / wav_dup (near-dup class
+    fixtures). The multimodal pipelines then READ opaque binary columns
+    from storage — the shape of a production media pipeline — instead of
+    synthesizing payloads inside the timed stage. Generation itself is a
+    parallel map_batches + write_parquet when Ray is up (a driver loop
+    otherwise, for tiny fixtures)."""
+    import pyarrow.compute as _pc
+
+    tag = sf_tag_of_dir(sf_dir)
+    out_dir = media_path(tag)
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    def gen(batch):
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": _pc.cast(batch["doc_id"], pa.int64()),
+            "png": pa.array([synth_png_for_id(i) for i in ids],
+                            pa.large_binary()),
+            "wav": pa.array([synth_wav_for_id(i) for i in ids],
+                            pa.large_binary()),
+            "png_dup": pa.array([dup_png_for_id(i) for i in ids],
+                                pa.large_binary()),
+            "wav_dup": pa.array([dup_wav_for_id(i) for i in ids],
+                                pa.large_binary()),
+        })
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    import ray as _ray
+    if _ray.is_initialized():
+        import ray.data as _rd
+        (_rd.read_parquet(src, columns=["doc_id"])
+         .map_batches(gen, batch_format="pyarrow", batch_size=2048)
+         .write_parquet(out_dir))
+    else:
+        tbl = pq.read_table(src, columns=["doc_id"])
+        out = gen(tbl)
+        pq.write_table(out, os.path.join(out_dir, "part-00000.parquet"),
+                       row_group_size=4096)
+    with open(done, "w") as fh:
+        fh.write(f"{tag}\n")
+    return out_dir

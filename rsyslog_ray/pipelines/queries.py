@@ -866,21 +866,17 @@ def q_parse_json(sf_dir: str) -> pa.Table:
 
 
 def q_multimodal_audio(sf_dir: str) -> pa.Table:
-    """Audio pipeline over REAL WAV payloads: per-doc deterministic sine
-    fixtures (datagen.synth_wav_for_id) → actor-pool RIFF/PCM16 decode
+    """Audio pipeline over REAL WAV payloads READ from storage (cached
+    media parquet, datagen.ensure_media) → actor-pool RIFF/PCM16 decode
     (multimodal.decode_wav — real sample_rate / channels / duration /
-    rms). Rows-only (payload synthesis isn't SQL) + Python-oracle
+    rms). Rows-only (payload fixtures aren't SQL) + Python-oracle
     pytest."""
-    from ..datagen import synth_wav_for_id
+    from ..datagen import ensure_media
     from ..stages.multimodal import AudioDecodeStub
-    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def to_payload(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        payload = pa.array([synth_wav_for_id(int(i)) for i in ids],
-                           pa.large_binary())
-        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = read_scaled(ensure_media(sf_dir), columns=["doc_id", "wav"])
+    ds = ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "payload"]),
+        batch_format="pyarrow")
     ds = ds.map_batches(AudioDecodeStub, batch_format="pyarrow",
                         batch_size=256, concurrency=2)
 
@@ -1239,79 +1235,48 @@ def q_image_dedup(sf_dir: str) -> pa.Table:
     payloads are per-class gradient PNGs re-encoded with varying filter
     types and uniform brightness shifts (same image, different bytes) —
     dHash lands each class in one Hamming component, the dedup keeps the
-    smallest doc_id per class. Rows-only (payload synthesis isn't SQL) +
-    invariance/planted-group pytest."""
-    import numpy as np
-
-    from ..datagen import make_png
+    smallest doc_id per class. Payloads READ from the cached media
+    parquet (datagen.ensure_media / dup_png_for_id). Rows-only (payload
+    fixtures aren't SQL) + invariance/planted-group pytest."""
+    from ..datagen import ensure_media
     from ..stages.multimodal import image_dedup
 
-    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def to_payload(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        payloads = []
-        for i in ids:
-            cls = int(i) % 97
-            rng = np.random.default_rng(cls)
-            px = rng.integers(0, 200, (24, 32), dtype=np.uint8)
-            px = np.clip(px + (int(i) // 97) % 3, 0, 255) \
-                .astype(np.uint8)                  # brightness shift
-            payloads.append(make_png(px, filter_type=int(i) % 5))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "payload": pa.array(payloads, pa.large_binary())})
-
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = read_scaled(ensure_media(sf_dir), columns=["doc_id", "png_dup"])
+    ds = ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "payload"]),
+        batch_format="pyarrow")
     return _to_table(image_dedup(ds).select_columns(["doc_id"]))
 
 
 def q_audio_dedup(sf_dir: str) -> pa.Table:
     """Audio near-dup removal over REAL decoded PCM: per-class sine
     fixtures at varying gains/encodings collapse to one survivor per
-    class. Rows-only + invariance pytest."""
-    import numpy as np
-
-    from ..datagen import make_wav
+    class. Payloads READ from the cached media parquet
+    (datagen.ensure_media / dup_wav_for_id). Rows-only + invariance
+    pytest."""
+    from ..datagen import ensure_media
     from ..stages.multimodal import audio_dedup
 
-    ds = read_scaled(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-
-    def to_payload(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        payloads = []
-        for i in ids:
-            cls = int(i) % 89
-            rate = 8000
-            n = 1200 + (cls * 37) % 800
-            freq = 100 + (cls * 13) % 900
-            gain = 0.2 + ((int(i) // 89) % 4) / 10.0   # same class, new gain
-            t = np.arange(n) / rate
-            payloads.append(make_wav(gain * np.sin(2 * np.pi * freq * t),
-                                     sample_rate=rate))
-        return pa.table({"doc_id": batch["doc_id"],
-                         "payload": pa.array(payloads, pa.large_binary())})
-
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = read_scaled(ensure_media(sf_dir), columns=["doc_id", "wav_dup"])
+    ds = ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "payload"]),
+        batch_format="pyarrow")
     return _to_table(audio_dedup(ds).select_columns(["doc_id"]))
 
 
 def q_multimodal(sf_dir: str) -> pa.Table:
-    """Multimodal pipeline over REAL image payloads: per-doc deterministic
-    PNG fixtures (datagen.synth_png_for_id — stdlib-zlib encoder) → typed
-    metadata → actor-pool decode (stages/multimodal.decode_png: inflate +
-    scanline unfilter, real width/height/mean_luma) → resize. Rows-only at
-    the driver (payload synthesis isn't SQL) + Python-oracle pytest."""
-    from ..datagen import synth_png_for_id
+    """Multimodal pipeline over REAL image payloads READ from storage:
+    opaque binary column from the cached media parquet
+    (datagen.ensure_media — stdlib-zlib PNG fixtures) → typed metadata →
+    actor-pool decode (stages/multimodal.decode_png: inflate + scanline
+    unfilter, real width/height/mean_luma) → resize. Rows-only at the
+    driver (payload fixtures aren't SQL) + Python-oracle pytest."""
+    from ..datagen import ensure_media
     from ..stages.multimodal import attach_media_meta, image_features
-    ds = read_scaled(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id"])
-
-    def to_payload(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        payload = pa.array([synth_png_for_id(int(i)) for i in ids],
-                           pa.large_binary())
-        return pa.table({"doc_id": batch["doc_id"], "payload": payload})
-    ds = ds.map_batches(to_payload, batch_format="pyarrow")
+    ds = read_scaled(ensure_media(sf_dir), columns=["doc_id", "png"])
+    ds = ds.map_batches(
+        lambda b: b.rename_columns(["doc_id", "payload"]),
+        batch_format="pyarrow")
     ds = ds.map_batches(lambda b: attach_media_meta(b, fmt="png"),
                         batch_format="pyarrow")
     out = image_features(ds)
