@@ -994,36 +994,47 @@ def turn_windows(ds, key: str = "conv_id", order_col: str = "turn_idx",
     ending at it. SQL twin: string_agg(text, sep) OVER (PARTITION BY conv
     ORDER BY turn ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW).
 
-    Shape: hash-bucketed one-pandas-pass-per-bucket; inside the bucket
-    every row's window indices explode once (repeat/cumsum, the same
-    trick as the interval-explode in joins) into ONE Arrow ListArray +
+    Shape: hash-bucketed, ONE pure-Arrow pass per bucket (the text
+    payload never converts to Python objects); inside the bucket every
+    row's window indices explode once (repeat/cumsum, the same trick as
+    the interval-explode in joins) into ONE Arrow LargeListArray +
     binary_join — O(k·rows) flat work, no per-row Python."""
-    from .ratelimit import _per_bucket
+    from .ratelimit import _with_bucket
 
-    def fn(g):
-        g = g.sort_values([key, order_col], kind="mergesort")
-        n = len(g)
-        vals = g[text_col].fillna("").to_numpy(dtype=object)
-        keys_np = g[key].to_numpy()
+    empty = pa.schema([(key, pa.string()), (order_col, pa.int64()),
+                       ("context", pa.large_string())])
+
+    def fn(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty.empty_table()
+        g = g.drop_columns(["_bucket"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending")])
+        keys = pc.cast(g[key], pa.string()).combine_chunks()
+        texts = pc.cast(pc.fill_null(g[text_col], ""),
+                        pa.large_string()).combine_chunks()
+        n = len(keys)
         i = np.arange(n, dtype=np.int64)
         new = np.ones(n, dtype=bool)
-        new[1:] = keys_np[1:] != keys_np[:-1]
+        new[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
         start_idx = np.maximum.accumulate(np.where(new, i, -1))
         length = np.minimum(k, i - start_idx + 1)
         offs = np.concatenate(([0], np.cumsum(length)))
         wstart = i - length + 1
         flat = (wstart.repeat(length)
                 + (np.arange(offs[-1]) - offs[:-1].repeat(length)))
-        lists = pa.ListArray.from_arrays(
-            pa.array(offs, pa.int32()),
-            pa.array(vals[flat] if n else vals, pa.string()))
-        out = g[[key, order_col]].copy()
-        out["context"] = pc.binary_join(lists, sep).to_pylist()
-        return out
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), texts.take(pa.array(flat)))
+        return pa.table({
+            key: keys,
+            order_col: pc.cast(g[order_col], pa.int64()),
+            "context": pc.binary_join(
+                lists, pa.scalar(sep, pa.large_string())),
+        })
 
-    return _per_bucket(
-        ds.select_columns([key, order_col, text_col]),
-        fn, n_buckets=n_buckets, key=key)
+    return (_with_bucket(ds.select_columns([key, order_col, text_col]),
+                         key=key, n_buckets=n_buckets)
+            .groupby("_bucket").map_groups(fn, batch_format="pyarrow"))
 
 
 def cumsum_by_key(ds, key: str = "user_id", order_cols: tuple = ("ts",),
