@@ -954,35 +954,55 @@ def sft_pairs(ds, key: str = "conv_id", order_col: str = "turn_idx",
     dropped. SQL twin: last_value(... IGNORE NULLS) OVER (PARTITION BY
     conv ORDER BY turn ROWS ... 1 PRECEDING) + a role filter.
 
-    Shape: the same hash-bucketed one-pandas-pass-per-bucket layout as
-    lag_by_key — a conversation's rows co-locate once; inside the bucket
-    a groupwise forward-fill resolves every response's prompt in O(rows).
+    Shape: the same hash-bucketed layout as lag_by_key — a
+    conversation's rows co-locate once; inside the bucket a pure-Arrow
+    pass (the text payload never converts to Python objects): the
+    prompt forward-fill is a numpy running-max over ROW INDICES reset at
+    conversation boundaries, and prompts resolve with one Arrow take.
     Shuffle volume is the projected 4 columns once."""
-    import pandas as pd
+    from .ratelimit import _with_bucket
 
-    from .ratelimit import _per_bucket
+    empty = pa.schema([(key, pa.string()),
+                       ("prompt_turn_idx", pa.int64()),
+                       ("response_turn_idx", pa.int64()),
+                       ("prompt", pa.large_string()),
+                       ("response", pa.large_string())])
 
-    def fn(g):
-        g = g.sort_values([key, order_col], kind="mergesort")
-        is_p = g[role_col] == prompt_role
-        grp_keys = g[key]
-        p_idx = g[order_col].where(is_p).groupby(grp_keys, sort=False) \
-            .ffill()
-        p_txt = g[text_col].where(is_p).groupby(grp_keys, sort=False) \
-            .ffill()
-        m = (g[role_col] == response_role) & p_idx.notna()
-        out = pd.DataFrame({
-            key: g.loc[m, key],
-            "prompt_turn_idx": p_idx[m].astype("int64"),
-            "response_turn_idx": g.loc[m, order_col].astype("int64"),
-            "prompt": p_txt[m],
-            "response": g.loc[m, text_col],
+    def fn(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return empty.empty_table()
+        g = g.drop_columns(["_bucket"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending")])
+        keys = pc.cast(g[key], pa.string()).combine_chunks()
+        texts = pc.cast(pc.fill_null(g[text_col], ""),
+                        pa.large_string()).combine_chunks()
+        order = pc.cast(g[order_col], pa.int64()).combine_chunks()
+        n = len(keys)
+        i = np.arange(n, dtype=np.int64)
+        new = np.ones(n, dtype=bool)
+        new[1:] = pc.not_equal(keys.slice(1), keys.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False)
+        conv_start = np.maximum.accumulate(np.where(new, i, -1))
+        is_p = pc.fill_null(pc.equal(g[role_col], prompt_role), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        last_p = np.maximum.accumulate(np.where(is_p, i, -1))
+        is_r = pc.fill_null(pc.equal(g[role_col], response_role), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        m = is_r & (last_p >= conv_start)
+        sel = pa.array(i[m])
+        psel = pa.array(last_p[m])
+        return pa.table({
+            key: keys.take(sel),
+            "prompt_turn_idx": order.take(psel),
+            "response_turn_idx": order.take(sel),
+            "prompt": texts.take(psel),
+            "response": texts.take(sel),
         })
-        return out.reset_index(drop=True)
 
-    return _per_bucket(
+    return (_with_bucket(
         ds.select_columns([key, order_col, role_col, text_col]),
-        fn, n_buckets=n_buckets, key=key)
+        key=key, n_buckets=n_buckets)
+        .groupby("_bucket").map_groups(fn, batch_format="pyarrow"))
 
 
 def turn_windows(ds, key: str = "conv_id", order_col: str = "turn_idx",
