@@ -1130,6 +1130,16 @@ SELECT vec_id, round(score, 6) AS score FROM (
 SELECT conv_id, turn_idx, {redact_sql('text')} AS text
 FROM read_parquet('{src}')"""
 
+    q["immark"] = f"""
+WITH b AS (SELECT epoch(min(ts))::BIGINT AS lo, epoch(max(ts))::BIGINT AS hi
+           FROM read_parquet('{src}')),
+     g AS (SELECT unnest(generate_series(
+               (SELECT (lo // 1200 + 1) * 1200 FROM b),
+               (SELECT hi FROM b), 1200)) AS s)
+SELECT make_timestamp(s * 1000000) AS ts,
+       CAST(46 AS BIGINT) AS pri, 'rsyslogd:' AS tag, '-- MARK --' AS text
+FROM g"""
+
     q["boilerplate"] = f"""
 SELECT conv_id, turn_idx FROM read_parquet('{src}')
 WHERE text IN (

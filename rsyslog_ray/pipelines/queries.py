@@ -1303,6 +1303,18 @@ def q_redact(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(redact_table, batch_format="pyarrow"))
 
 
+def q_immark(sf_dir: str) -> pa.Table:
+    """immark heartbeat analogue (plugins/immark/immark.c:263-286):
+    deterministic event-time marks — one (ts, pri=46, tag='rsyslogd:',
+    '-- MARK --') row per period-aligned epoch boundary inside the
+    stream's [min ts, max ts] (period 1200 s). Bounds fold is O(#batches)
+    partials; exactly SQL generate_series."""
+    from ..sources.marks import immark_table
+    tdir = ensure_transcripts(sf_dir)
+    ds = read_transcripts(tdir, columns=["ts"])
+    return immark_table(ds, period_s=1200)
+
+
 def q_boilerplate(sf_dir: str) -> pa.Table:
     """Boilerplate-line removal (C4 / RefinedWeb line rule): drop EVERY
     occurrence of a line whose text appears in ≥2 distinct conversations

@@ -396,3 +396,46 @@ def test_read_syslog_text_endmsg_regex(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         read_syslog_text(str(f), startmsg_regex="a", endmsg_regex="b")
+
+
+def test_immark_heartbeat_rows(ray_session):
+    """Event-time immark analogue: marks at period multiples strictly
+    inside (min ts, max ts]; with_marks unions parseable raw lines."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.sources.marks import (immark_table, mark_times_us,
+                                           with_marks)
+
+    us = 1_000_000
+    # stream spanning 100..7300 s → marks at 1200..7200 (6 marks)
+    ts = pa.array(np.array([100, 3000, 7300], np.int64) * us,
+                  pa.timestamp("us"))
+    tbl = pa.table({
+        "conv_id": ["a", "a", "b"], "turn_idx": pa.array([0, 1, 0],
+                                                         pa.int32()),
+        "role": ["user"] * 3, "text": ["x", "y", "z"],
+        "tool": ["t"] * 3, "ts": ts,
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    marks = immark_table(ds, period_s=1200)
+    got = [t.value // us for t in marks["ts"]]
+    assert got == [1200 * k for k in range(1, 7)]
+    assert marks["pri"].to_pylist() == [46] * 6
+    assert marks["text"].to_pylist() == ["-- MARK --"] * 6
+    # boundary semantics: lo exactly on a mark is excluded, hi included
+    assert mark_times_us(1200 * us, 2400 * us, 1200).tolist() \
+        == [2400 * us]
+    # stream union keeps schema and parses as <46> syslog lines
+    merged = with_marks(ds, period_s=1200)
+    assert merged.schema().names == ds.schema().names
+    rows = [r for r in merged.take_all() if r["conv_id"] == "_immark"]
+    assert len(rows) == 6
+    assert all(r["text"].startswith("<46>") and
+               r["text"].endswith("rsyslogd: -- MARK --") for r in rows)
+    from rsyslog_ray.stages.parse import parse_dataset
+    parsed = parse_dataset(merged).take_all()
+    mk = [r for r in parsed if r["conv_id"] == "_immark"]
+    assert all(r["facility"] == 5 and r["severity"] == 6 and
+               r["parse_success"] for r in mk)
