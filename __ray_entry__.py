@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_filter": Q.q_classifier_filter,  # new in r4
         "cluster_sample": Q.q_cluster_sample,         # new in r4
         "immark": Q.q_immark,                         # new in r4
+        "epoch_mix": Q.q_epoch_mix,                   # new in r4
         "centroids": Q.q_centroids,
         "median_filter": Q.q_median_filter,
         "top_ngrams": Q.q_top_ngrams,

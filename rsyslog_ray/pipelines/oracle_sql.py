@@ -1130,6 +1130,14 @@ SELECT vec_id, round(score, 6) AS score FROM (
 SELECT conv_id, turn_idx, {redact_sql('text')} AS text
 FROM read_parquet('{src}')"""
 
+    from ..stages.sampling import epoch_mix_sql  # noqa: PLC0415
+    q["epoch_mix"] = f"""
+SELECT doc_id, source, g.epoch FROM (
+  SELECT doc_id, source,
+         {epoch_mix_sql({"src0": 2.3, "src1": 0.5})} AS copies
+  FROM documents) d, range(0, 4) g(epoch)
+WHERE g.epoch < d.copies"""
+
     q["immark"] = f"""
 WITH b AS (SELECT epoch(min(ts))::BIGINT AS lo, epoch(max(ts))::BIGINT AS hi
            FROM read_parquet('{src}')),

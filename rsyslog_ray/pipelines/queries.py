@@ -1303,6 +1303,19 @@ def q_redact(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(redact_table, batch_format="pyarrow"))
 
 
+def q_epoch_mix(sf_dir: str) -> pa.Table:
+    """Epoch-weighted source mixing (LLaMA/Pile sampling proportions):
+    src0 at 2.3 epochs, src1 at 0.5, everything else 1.0 — floor(w)
+    deterministic replicas per doc plus a hash-thresholded fractional
+    one, replica index in `epoch`. Exact DuckDB lateral-range oracle."""
+    from ..stages.sampling import epoch_mix
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source"])
+    out = epoch_mix(ds, {"src0": 2.3, "src1": 0.5})
+    return _to_table(out).sort_by([("doc_id", "ascending"),
+                                   ("epoch", "ascending")])
+
+
 def q_immark(sf_dir: str) -> pa.Table:
     """immark heartbeat analogue (plugins/immark/immark.c:263-286):
     deterministic event-time marks — one (ts, pri=46, tag='rsyslogd:',

@@ -93,6 +93,73 @@ def sample_by_key(ds, weights: dict[str, float], key_col: str = "source",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: fourth independent odd multiplier — epoch-mix fractional replication
+EPOCH_PRIME = 0xA24BAED4963EE407
+
+
+def epoch_mix(ds, weights: dict[str, float], key_col: str = "source",
+              id_col: str = "doc_id", default: float = 1.0,
+              epoch_col: str = "epoch"):
+    """Epoch-weighted source mixing — the LLaMA/Pile sampling-proportions
+    op, the UPSAMPLING counterpart of sample_by_key: a source with weight
+    2.3 contributes every doc twice plus a deterministic 30% of docs a
+    third time. Each row replicates floor(w) times, plus once more iff
+    (id · EPOCH_PRIME) mod 2^64 < frac(w) · 2^64; the replica index lands
+    in `epoch_col` (0-based). Independent hash stream, so mixing composes
+    with hash_split / sample_by_key without correlation. Stateless
+    vectorized map_batches (one Arrow take per batch), no shuffle —
+    output volume is Σ w_source · |source| rows by construction."""
+    floors = {k: int(np.floor(w)) for k, w in weights.items()}
+    fracs = {k: min(_TWO64 - 1, int((w - np.floor(w)) * _TWO64))
+             for k, w in weights.items()}
+    dflt_floor = int(np.floor(default))
+    dflt_frac = min(_TWO64 - 1, int((default - np.floor(default)) * _TWO64))
+    keys = pa.array(list(weights.keys()), pa.string())
+    fl = np.asarray([floors[k.as_py()] for k in keys], dtype=np.int64)
+    fr = np.asarray([fracs[k.as_py()] for k in keys], dtype=np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _u64(batch[id_col], EPOCH_PRIME)
+        idx = pc.fill_null(
+            pc.index_in(pc.cast(batch[key_col], pa.string()),
+                        value_set=keys), -1) \
+            .to_numpy(zero_copy_only=False)
+        hit = idx >= 0
+        safe = np.clip(idx, 0, max(len(fl) - 1, 0))
+        base = np.where(hit, fl[safe] if len(fl) else 0, dflt_floor)
+        thr = np.where(hit, fr[safe] if len(fr) else 0,
+                       np.uint64(dflt_frac))
+        copies = base + (u < thr)
+        total = int(copies.sum())
+        sel = np.repeat(np.arange(batch.num_rows, dtype=np.int64), copies)
+        offs = np.concatenate(([0], np.cumsum(copies)))[:-1]
+        epoch = np.arange(total, dtype=np.int64) - offs.repeat(copies)
+        out = batch.take(pa.array(sel))
+        return out.append_column(epoch_col, pa.array(epoch))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def epoch_mix_sql(weights: dict[str, float], key_col: str = "source",
+                  id_col: str = "doc_id", default: float = 1.0,
+                  epoch_col: str = "epoch") -> str:
+    """Matching DuckDB copies expression + lateral range join fragment:
+    returns the `copies` CASE expression; embed as
+    `FROM (SELECT ..., <expr> AS copies FROM t) d,
+     range(0, <maxc>) g({epoch_col}) WHERE g.{epoch_col} < d.copies`."""
+    u = f"(CAST({id_col} AS HUGEINT) * {EPOCH_PRIME}) % {_TWO64}"
+    fwhens = " ".join(f"WHEN '{k}' THEN {int(np.floor(w))}"
+                      for k, w in weights.items())
+    twhens = " ".join(
+        f"WHEN '{k}' THEN CAST("
+        f"{min(_TWO64 - 1, int((w - np.floor(w)) * _TWO64))} AS HUGEINT)"
+        for k, w in weights.items())
+    dflt_f = int(np.floor(default))
+    dflt_t = min(_TWO64 - 1, int((default - np.floor(default)) * _TWO64))
+    return (f"CASE {key_col} {fwhens} ELSE {dflt_f} END + "
+            f"CASE WHEN {u} < CASE {key_col} {twhens} "
+            f"ELSE CAST({dflt_t} AS HUGEINT) END THEN 1 ELSE 0 END")
+
+
 def sample_threshold_sql(weights: dict[str, float],
                          key_col: str = "source",
                          id_col: str = "doc_id",

@@ -431,3 +431,46 @@ def test_dictionary_encode(ray_session):
     with _pytest.raises(ValueError):
         dictionary_encode(rd.from_arrow(tbl), col="source",
                           max_categories=2)
+
+
+def test_epoch_mix_fractional_upsampling(ray_session):
+    """floor(w) replicas per doc + deterministic fractional extras;
+    epoch indices are 0..copies-1; partitioning-invariant; composes as
+    pure row-local work (no shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rsyslog_ray.stages.sampling import (EPOCH_PRIME, _TWO64, _u64,
+                                             epoch_mix)
+
+    n = 400
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n)),
+        "source": pa.array(["a" if i % 2 == 0 else "b"
+                            for i in range(n)]),
+    })
+    w = {"a": 2.25, "b": 0.5}
+    out = epoch_mix(rd.from_arrow(tbl).repartition(5), w).to_pandas() \
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    # numpy oracle
+    u = _u64(tbl["doc_id"], EPOCH_PRIME)
+    src = np.array(tbl["source"].to_pylist())
+    copies = np.where(src == "a",
+                      2 + (u < np.uint64(int(0.25 * _TWO64))),
+                      0 + (u < np.uint64(int(0.5 * _TWO64))))
+    assert out.groupby("doc_id").size().reindex(
+        range(n), fill_value=0).to_numpy().tolist() == copies.tolist()
+    # epochs are exactly 0..c-1 per doc
+    per = out.groupby("doc_id")["epoch"].agg(["min", "max", "size"])
+    assert (per["min"] == 0).all()
+    assert (per["max"] == per["size"] - 1).all()
+    # a-docs appear 2 or 3 times; b-docs 0 or 1
+    ca = copies[src == "a"]
+    assert set(np.unique(ca)) <= {2, 3} and 2 in ca and 3 in ca
+    cb = copies[src == "b"]
+    assert set(np.unique(cb)) <= {0, 1}
+    # partitioning-invariant
+    again = epoch_mix(rd.from_arrow(tbl), w).to_pandas() \
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    assert out.equals(again)
