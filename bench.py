@@ -163,6 +163,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("boilerplate", Q.q_boilerplate, sf_dir)
     timed("classifier_filter", Q.q_classifier_filter, sf_dir)
     timed("cluster_sample", Q.q_cluster_sample, sf_dir)
+    timed("epoch_mix", Q.q_epoch_mix, sf_dir)
+    timed("immark", Q.q_immark, sf_dir)
 
     out["queries"] = timings
     return out
