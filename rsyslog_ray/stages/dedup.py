@@ -1053,7 +1053,8 @@ def first_occurrence(ds, text_col: str = "text",
 def boilerplate_filter(ds, text_col: str = "text",
                        doc_col: str = "conv_id", min_docs: int = 10,
                        broadcast_threshold: int = 5_000_000,
-                       n_buckets: int | None = None):
+                       n_buckets: int | None = None,
+                       by_hash: bool = False):
     """Boilerplate-line removal (the C4 / RefinedWeb line-level rule,
     complementary to first_occurrence's keep-first dedup): drop EVERY
     occurrence of any line whose text appears in ≥ min_docs distinct
@@ -1071,15 +1072,21 @@ def boilerplate_filter(ds, text_col: str = "text",
     via ray.put once, and pass 2 filters each batch with one vectorized
     is_in; when even the hot set tops the threshold, the fallback is a
     hash-partitioned ANTI join on the text key (no broadcast). Exact
-    string matching throughout, so the DuckDB GROUP BY/HAVING oracle
-    matches bit-for-bit."""
+    string matching by default, so the DuckDB GROUP BY/HAVING oracle
+    matches bit-for-bit; by_hash=True ships a 64-bit text hash instead
+    of the line bytes through the pair shuffle, fold, broadcast set and
+    filter — the 100 TB path, same collision tradeoff as exact_dedup."""
     from ..cluster import cluster_buckets
     if n_buckets is None:
         n_buckets = cluster_buckets()
 
+    from ..functions import hash64
+    ktype = pa.uint64() if by_hash else pa.string()
+
     def pairs(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[text_col], pa.string())
         t = pa.table({
-            "_t": pc.cast(batch[text_col], pa.string()),
+            "_t": hash64(txt) if by_hash else txt,
             "_d": pc.cast(batch[doc_col], pa.string()),
         })
         df = t.to_pandas().drop_duplicates()
@@ -1087,14 +1094,14 @@ def boilerplate_filter(ds, text_col: str = "text",
 
     partials, n_pairs = _materialize_nonempty(
         ds.map_batches(pairs, batch_format="pyarrow"),
-        [("_t", pa.string()), ("_d", pa.string())])
+        [("_t", ktype), ("_d", pa.string())])
 
     if n_pairs <= broadcast_threshold:
         tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
         df = tbl.to_pandas().drop_duplicates()
         vc = df.groupby("_t", sort=False).size()
-        hot = pa.array(vc.index[vc.to_numpy() >= min_docs].to_numpy(object),
-                       pa.string())
+        hot = pa.array(vc.index[vc.to_numpy() >= min_docs].to_numpy(
+            np.uint64 if by_hash else object), ktype)
         n_hot, hot_ds = len(hot), None
     else:
         from ..functions import hash64mod
@@ -1111,7 +1118,7 @@ def boilerplate_filter(ds, text_col: str = "text",
             partials.map_batches(bucketed, batch_format="pyarrow")
             .groupby("_bucket").map_groups(per_bucket,
                                            batch_format="pandas"),
-            [("_t", pa.string())])
+            [("_t", ktype)])
         hot = None
 
     if n_hot <= broadcast_threshold:
@@ -1124,17 +1131,40 @@ def boilerplate_filter(ds, text_col: str = "text",
             hs = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
             if len(hs) == 0:
                 return batch
-            m = pc.is_in(pc.cast(batch[text_col], pa.string()),
-                         value_set=hs)
+            txt = pc.cast(batch[text_col], pa.string())
+            m = pc.is_in(hash64(txt) if by_hash else txt, value_set=hs)
             return batch.filter(pc.invert(m))
         return ds.map_batches(drop_hot, batch_format="pyarrow")
 
     # scale fallback: nothing reaches the driver — anti-join the corpus
     # against the hot-line table on the text key (hash-partitioned).
     from .joins import equi_join
-    return equi_join(ds, hot_ds.map_batches(
-        lambda t: t.rename_columns([text_col]), batch_format="pyarrow"),
-        key=text_col, how="anti")
+    if by_hash:
+        def as_i64(arr) -> pa.Array:
+            # bit-view uint64 → int64 (pc.cast would raise on overflow)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            return pa.array(arr.to_numpy(zero_copy_only=False)
+                            .view(np.int64))
+
+        left = ds.map_batches(
+            lambda t: t.append_column(
+                "_bp_h",
+                as_i64(hash64(pc.cast(t[text_col], pa.string())))),
+            batch_format="pyarrow")
+        right = hot_ds.map_batches(
+            lambda t: pa.table({"_bp_h": as_i64(t["_t"])}),
+            batch_format="pyarrow")
+        joined = equi_join(left, right, key="_bp_h", how="anti")
+        return joined.map_batches(lambda t: t.drop_columns(["_bp_h"]),
+                                  batch_format="pyarrow")
+    ttype = ds.schema().base_schema.field(text_col).type
+
+    def as_left_type(t: pa.Table) -> pa.Table:
+        return pa.table({text_col: pc.cast(t["_t"], ttype)})
+    return equi_join(ds, hot_ds.map_batches(as_left_type,
+                                            batch_format="pyarrow"),
+                     key=text_col, how="anti")
 
 
 def _ed_le1(a: str, b: str) -> int | None:

@@ -260,6 +260,36 @@ def main() -> None:
                                  negate=True).count()
     timed("bloom_decontaminate", _bloom)
 
+    # round-4 ops: boilerplate-line removal (both fold paths) and
+    # epoch-weighted fractional upsampling
+    from rsyslog_ray.stages.dedup import boilerplate_filter
+    from rsyslog_ray.stages.sampling import epoch_mix
+
+    def _boiler_ds():
+        # line-level shape: doc = source bucket, text = the doc text
+        return ds().map_batches(
+            lambda b: pa.table({"conv_id": pc.cast(b["source"],
+                                                   pa.string()),
+                                "text": b["text"]}),
+            batch_format="pyarrow")
+    timed("boilerplate",
+          lambda: boilerplate_filter(_boiler_ds(), min_docs=2).count())
+    timed("boilerplate_dist",
+          lambda: boilerplate_filter(_boiler_ds(), min_docs=2,
+                                     broadcast_threshold=0).count())
+    # the 100 TB mode: 64-bit text hashes through shuffle/fold/filter
+    timed("boilerplate_hash",
+          lambda: boilerplate_filter(_boiler_ds(), min_docs=2,
+                                     by_hash=True).count())
+    timed("boilerplate_hash_dist",
+          lambda: boilerplate_filter(_boiler_ds(), min_docs=2,
+                                     by_hash=True,
+                                     broadcast_threshold=0).count())
+    timed("epoch_mix", lambda: epoch_mix(
+        ds().map_batches(lambda b: b.select(["doc_id", "source"]),
+                         batch_format="pyarrow"),
+        {f"src{i}": 1.0 + i / 4.0 for i in range(5)}).count())
+
     print(json.dumps(results))
     ray.shutdown()
 

@@ -499,6 +499,13 @@ def test_boilerplate_filter_drops_all_occurrences(ray_session):
                                          broadcast_threshold=0)
                       .take_all())
     assert got_dist == got3
+    # by_hash (the 100 TB path): same answers on broadcast AND anti-join
+    for thr in (5_000_000, 0):
+        got_h = sorted((r["conv_id"], r["turn_idx"]) for r in
+                       boilerplate_filter(ds, min_docs=3, by_hash=True,
+                                          broadcast_threshold=thr)
+                       .take_all())
+        assert got_h == got3, thr
 
 
 def test_bloom_no_false_negatives_and_bounded_fpr(ray_session):
