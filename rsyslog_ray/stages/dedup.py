@@ -1089,8 +1089,8 @@ def boilerplate_filter(ds, text_col: str = "text",
             "_t": hash64(txt) if by_hash else txt,
             "_d": pc.cast(batch[doc_col], pa.string()),
         })
-        df = t.to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # distinct pairs without a pandas object round-trip
+        return t.group_by(["_t", "_d"]).aggregate([])
 
     partials, n_pairs = _materialize_nonempty(
         ds.map_batches(pairs, batch_format="pyarrow"),
