@@ -24,3 +24,26 @@ def cluster_buckets(multiplier: int = 4, floor: int = 64,
     the old constant (64) so single-node behavior is unchanged, capped so
     the groupby's per-bucket fixed cost stays amortized."""
     return max(floor, min(cap, multiplier * cluster_cpus()))
+
+
+def fast_hash64(arr) -> "np.ndarray":
+    """Vectorized 64-bit hash of an Arrow array → uint64 numpy, for
+    BUCKET ASSIGNMENT only (values never surface in outputs; ops must be
+    bucket-invariant regardless). polars' SIMD hash measures ~5x pandas'
+    hash_array on 600k strings; falls back to pandas when polars is
+    unavailable. For user-facing hash values (the hash32/hash64 script
+    functions, by_hash dedup keys) keep functions.hash64 — its values
+    are pinned by tests across processes."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    try:
+        import polars as pl
+        return pl.from_arrow(arr).hash().to_numpy().astype(np.uint64,
+                                                           copy=False)
+    except Exception:
+        import pandas as pd
+        return pd.util.hash_array(
+            np.asarray(arr.to_pandas(), dtype=object)).astype(np.uint64)

@@ -116,11 +116,10 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
         # combine every key column into the bucket hash: bucketing on
         # keys[0] alone collapses to |distinct key0| buckets when the
         # leading key is low-cardinality (role, event_type, ...)
-        h = pd.util.hash_array(
-            np.asarray(t[keys[0]].to_pandas(), dtype=object))
+        from ..cluster import fast_hash64
+        h = fast_hash64(t[keys[0]])
         for k in keys[1:]:
-            h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(
-                np.asarray(t[k].to_pandas(), dtype=object))
+            h = h * np.uint64(0x9E3779B97F4A7C15) + fast_hash64(t[k])
         return t.append_column("_bucket",
                                pa.array((h % n_buckets).astype(np.int64)))
 
@@ -129,8 +128,15 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
         # canonical row order before summing: map_groups delivers bucket
         # rows in nondeterministic order and float addition is
         # order-sensitive — an ulp flip at a round() boundary makes
-        # value sums flaky run-to-run without this sort
-        g = g.sort_values(list(g.columns), kind="mergesort")
+        # value sums flaky run-to-run without this sort. Integer sums
+        # and min/max/first-of-sorted-key are order-insensitive, so the
+        # sort is skipped when no SUMMED column is floating-point.
+        import pandas.api.types as pdt
+        needs_sort = any(how == "sum" and pdt.is_float_dtype(g[src])
+                         for _, (src, how) in agg_spec.items()) \
+            or any(how == "first" for _, (_, how) in agg_spec.items())
+        if needs_sort:
+            g = g.sort_values(list(g.columns), kind="mergesort")
         return (g.groupby(keys, sort=False, as_index=False)
                 .agg(**{out: (src, how)
                         for out, (src, how) in agg_spec.items()}))

@@ -38,8 +38,10 @@ def _with_bucket(ds, key: str = "conv_id", n_buckets: int | None = None):
         n_buckets = _default_buckets()
     def add(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
+
+        from ..cluster import fast_hash64
         keys = pc.cast(batch[key], pa.string())
-        h = pd.util.hash_array(np.asarray(keys.to_pandas(), dtype=object))
+        h = fast_hash64(keys)
         return batch.append_column(
             "_bucket", pa.array((h % n_buckets).astype(np.int64)))
     return ds.map_batches(add, batch_format="pyarrow")
