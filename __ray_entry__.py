@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sample": Q.q_cluster_sample,         # new in r4
         "immark": Q.q_immark,                         # new in r4
         "epoch_mix": Q.q_epoch_mix,                   # new in r4
+        "canonical_dedup": Q.q_canonical_dedup,       # new in r4
         "centroids": Q.q_centroids,
         "median_filter": Q.q_median_filter,
         "top_ngrams": Q.q_top_ngrams,

@@ -165,6 +165,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("cluster_sample", Q.q_cluster_sample, sf_dir)
     timed("epoch_mix", Q.q_epoch_mix, sf_dir)
     timed("immark", Q.q_immark, sf_dir)
+    timed("canonical_dedup", Q.q_canonical_dedup, sf_dir)
 
     out["queries"] = timings
     return out

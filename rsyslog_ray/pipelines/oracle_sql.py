@@ -1130,6 +1130,11 @@ SELECT vec_id, round(score, 6) AS score FROM (
 SELECT conv_id, turn_idx, {redact_sql('text')} AS text
 FROM read_parquet('{src}')"""
 
+    q["canonical_dedup"] = """
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g'))"""
+
     from ..stages.sampling import epoch_mix_sql  # noqa: PLC0415
     q["epoch_mix"] = f"""
 SELECT doc_id, source, g.epoch FROM (

@@ -1303,6 +1303,16 @@ def q_redact(sf_dir: str) -> pa.Table:
     return _to_table(ds.map_batches(redact_table, batch_format="pyarrow"))
 
 
+def q_canonical_dedup(sf_dir: str) -> pa.Table:
+    """Fuzzy-exact dedup (Falcon/RefinedWeb canonicalization): keep the
+    min doc_id per lowercase/punct-stripped/whitespace-collapsed text.
+    Exact DuckDB regexp_replace twin."""
+    from ..stages.dedup import canonical_dedup
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(canonical_dedup(ds).select_columns(["doc_id"]))
+
+
 def q_epoch_mix(sf_dir: str) -> pa.Table:
     """Epoch-weighted source mixing (LLaMA/Pile sampling proportions):
     src0 at 2.3 epochs, src1 at 0.5, everything else 1.0 — floor(w)

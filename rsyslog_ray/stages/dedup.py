@@ -1050,6 +1050,41 @@ def first_occurrence(ds, text_col: str = "text",
             .map_groups(per_bucket, batch_format="pandas"))
 
 
+def canonicalize_text(arr) -> pa.Array:
+    """Dedup canonicalization (the Falcon/RefinedWeb fuzzy-exact rule):
+    lowercase → strip non-alphanumerics → collapse whitespace → trim.
+    One RE2 pass per step, all Arrow kernels; byte-identical to the
+    DuckDB twin trim(regexp_replace(regexp_replace(lower(x),
+    '[^a-z0-9\\s]+','','g'),'\\s+',' ','g'))."""
+    s = pc.cast(arr, pa.string())
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(s), pattern=r"[^a-z0-9\s]+",
+                replacement=""),
+            pattern=r"\s+", replacement=" "))
+
+
+def canonical_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                    by_hash: bool = False):
+    """Fuzzy-exact dedup: keep the min-id row per CANONICALIZED text —
+    case, punctuation and whitespace variants of the same content
+    collapse together (strictly more aggressive than exact_dedup,
+    strictly cheaper than MinHash). Row-local canonicalization + the
+    exact_dedup machinery (partial min per batch → keyed shuffle over
+    distinct canon texts; by_hash ships 64-bit canon hashes — the
+    100 TB path)."""
+    def canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_canon",
+                                   canonicalize_text(batch[text_col]))
+
+    out = exact_dedup(ds.map_batches(canon, batch_format="pyarrow"),
+                      text_col="_canon", id_col=id_col, by_hash=by_hash)
+    return out.map_batches(
+        lambda t: t.drop_columns(["_canon"]) if "_canon" in t.column_names
+        else t, batch_format="pyarrow")
+
+
 def boilerplate_filter(ds, text_col: str = "text",
                        doc_col: str = "conv_id", min_docs: int = 10,
                        broadcast_threshold: int = 5_000_000,

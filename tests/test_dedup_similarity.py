@@ -637,3 +637,22 @@ def test_minhash_threshold_gates_candidates(ray_session):
                                     driver_threshold=0)
                   .select_columns(["doc_id"]).take_all())
     assert dist == kept
+
+
+def test_canonical_dedup_collapses_formatting_variants(ray_session):
+    from rsyslog_ray.stages.dedup import canonical_dedup, canonicalize_text
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": ["Hello,  World!", "hello world", "HELLO WORLD.",
+                 "goodbye world", "Good-bye world", "unrelated doc"],
+    })
+    # 0/1/2 collapse (min id 0); 3/4 collapse ("goodbye world" vs
+    # "goodbye world" after hyphen strip → "goodbye world"? no:
+    # "Good-bye" → "goodbye", so 3 and 4 canonicalize identically)
+    for bh in (False, True):
+        kept = sorted(r["doc_id"] for r in
+                      canonical_dedup(rd.from_arrow(t).repartition(3),
+                                      by_hash=bh).take_all())
+        assert kept == [0, 3, 5], bh
+    assert canonicalize_text(pa.array(["  A--B  c "])).to_pylist() \
+        == ["ab c"]
