@@ -395,6 +395,10 @@ def ensure_media(sf_dir: str) -> str:
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
+    # no _DONE marker: a crash mid-write may have left partial fragments
+    # that a retry would duplicate — regenerate from a clean directory
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def gen(batch):

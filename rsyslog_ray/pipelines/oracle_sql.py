@@ -1144,7 +1144,8 @@ SELECT doc_id, source, g.epoch FROM (
 WHERE g.epoch < d.copies"""
 
     q["immark"] = f"""
-WITH b AS (SELECT epoch(min(ts))::BIGINT AS lo, epoch(max(ts))::BIGINT AS hi
+WITH b AS (SELECT epoch_us(min(ts)) // 1000000 AS lo,
+                  epoch_us(max(ts)) // 1000000 AS hi
            FROM read_parquet('{src}')),
      g AS (SELECT unnest(generate_series(
                (SELECT (lo // 1200 + 1) * 1200 FROM b),

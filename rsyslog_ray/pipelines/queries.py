@@ -1156,29 +1156,9 @@ def q_logreg(sf_dir: str) -> pa.Table:
 
     ds = read_scaled(f"{sf_dir}/documents.parquet",
                      columns=["doc_id", "text"])
-
-    def feats(batch: pa.Table) -> pa.Table:
-        txt = pc.cast(batch["text"], pa.string())
-        nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        nw = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        digits = pc.count_substring_regex(txt, pattern="[0-9]") \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table({
-            "n_words": pa.array(nw),
-            "mean_wlen": pa.array(np.where(nw > 0, nch / np.maximum(nw, 1),
-                                           0.0)),
-            "digit_frac": pa.array(digits / np.maximum(nch, 1)),
-            "y": pa.array((nch > 280).astype(np.int64)),
-        })
-
-    # materialize the tiny engineered-feature table once: every GD round
-    # re-consumes it, and 4 float columns are ~1% of the corpus bytes
-    fds = ds.map_batches(feats, batch_format="pyarrow").materialize()
+    # logreg_fit materializes its own (features, label) projection once,
+    # so the feature stage stays lazy here — no second object-store copy
+    fds = ds.map_batches(_quality_feature_table, batch_format="pyarrow")
     return _to_table(logreg_fit(fds, ["n_words", "mean_wlen",
                                       "digit_frac"], "y", iters=20))
 
@@ -1186,8 +1166,9 @@ def q_logreg(sf_dir: str) -> pa.Table:
 def _quality_feature_table(batch: pa.Table) -> pa.Table:
     """Engineered quality features (words, mean word length, digit
     fraction) + the deterministic length label, doc_id preserved —
-    shared by the classifier-filter pipeline."""
-    txt = pc.cast(batch["text"], pa.string())
+    shared by the logreg and classifier-filter pipelines. Null texts
+    count as empty (a single NaN feature would poison the whole fit)."""
+    txt = pc.fill_null(pc.cast(batch["text"], pa.string()), "")
     nch = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
         .astype(np.float64)
     toks = pc.split_pattern_regex(pc.fill_null(txt, ""), pattern=r"\s+")

@@ -200,6 +200,50 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
         f"reference)")
 
 
+def _masked_write_var(batch: pa.Table, var: str, mask: np.ndarray,
+                      values: list) -> pa.Table:
+    """Write per-row string `values` (aligned with flatnonzero(mask)) into
+    message variable `var` for masked rows only: `$!path` edits the
+    cee_json tree (msgAddJSON overwrite semantics), `$.name`/bare names
+    write the local-variable column."""
+    from ..functions import json_set
+
+    n = batch.num_rows
+    stripped = var.lstrip("$")
+    idx = np.flatnonzero(mask)
+
+    def _col(name):
+        c = batch[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def _replace(name, col):
+        if name in batch.column_names:
+            return batch.set_column(batch.column_names.index(name),
+                                    name, col)
+        return batch.append_column(name, col)
+
+    if stripped.startswith("!"):
+        path = stripped[1:]
+        col_name = ("json_tree" if "json_tree" in batch.column_names
+                    and "cee_json" not in batch.column_names else "cee_json")
+        base = (pc.cast(_col(col_name), pa.string())
+                if col_name in batch.column_names
+                else pa.nulls(n, pa.string()))
+        sub_new = json_set(base.take(pa.array(idx)), path,
+                           pa.array(values, pa.string()))
+        allv = base.to_numpy(zero_copy_only=False).astype(object)
+        allv[idx] = np.asarray(sub_new.to_pylist(), dtype=object)
+        return _replace(col_name, pa.array(allv, pa.string()))
+
+    col_name = "$." + stripped.lstrip(".")
+    old = (pc.cast(_col(col_name), pa.string())
+           if col_name in batch.column_names
+           else pa.nulls(n, pa.string()))
+    buf = old.to_numpy(zero_copy_only=False).astype(object)
+    buf[idx] = np.asarray(values, dtype=object)
+    return _replace(col_name, pa.array(buf, pa.string()))
+
+
 def _exec_foreach(batch: pa.Table, act: Action, mask: np.ndarray,
                   alive: np.ndarray, templates: dict, out: dict,
                   props: PropertyRegistry) -> pa.Table:
@@ -207,17 +251,21 @@ def _exec_foreach(batch: pa.Table, act: Action, mask: np.ndarray,
     runtime/ruleset.c:323-417 execForeach): bind each element of the
     iterable to the loop variable and run the body once per element.
 
-    Ray-native shape: explode the masked rows (one sub-row per element,
-    parent columns repeated — stages/foreach.py's explode idea applied
-    inside the ruleset walk), run the body statement list over the
-    exploded sub-batch in ONE vectorized pass per statement, then write
-    back per-message state: a `$.`/cee_json column the body modified takes
-    the LAST element's value per parent (the reference mutates one message
-    per iteration — final state is the last iteration's), and a parent
-    whose sub-row was stopped is discarded (DISCARDMSG propagates out of
-    the loop). Arrays iterate by element (foreachCallArray); objects by
-    {key,value} pair bound as a JSON object (foreachCallObject); scalar /
-    invalid / absent iterables run zero iterations."""
+    Ray-native shape: SEQUENTIAL over the element index, VECTORIZED over
+    messages — iteration k binds every masked row's k-th element in one
+    masked write, then runs the body statements gated to the rows that
+    still have a k-th element. Because each iteration executes over the
+    live batch (not an exploded copy), variable mutations carry across
+    iterations exactly as the reference's one-message sequential loop
+    does (accumulators work), sinks inside the body emit one record per
+    element, and a `stop` in iteration k kills that message's remaining
+    iterations (DISCARDMSG). Max iteration count is the longest iterable
+    in the batch — bounded by per-message array size, not batch size.
+    Arrays iterate by element (foreachCallArray); objects by {key,value}
+    pair bound as a canonical sorted-key JSON object (foreachCallObject);
+    scalar / invalid / absent iterables run zero iterations. The loop
+    variable may be `$.local` or a `$!json!path` (both admitted by the
+    grammar); it keeps the last bound element after the loop."""
     from ..expr import compile_expr
     from ..functions import loads_fast
 
@@ -227,18 +275,20 @@ def _exec_foreach(batch: pa.Table, act: Action, mask: np.ndarray,
     idx = np.flatnonzero(mask)
     if not len(idx):
         return batch
-    parents: list[int] = []
-    elems: list[str] = []
+
+    def render(el) -> str:
+        return el if isinstance(el, str) else \
+            json.dumps(el, separators=(",", ":"), sort_keys=True)
+
+    per_row: dict[int, list[str]] = {}
     if isinstance(vals, pa.Array) and (pa.types.is_list(vals.type)
                                        or pa.types.is_large_list(vals.type)
                                        or pa.types.is_fixed_size_list(
                                            vals.type)):
         lv = vals.take(pa.array(idx))
         for i, sub in zip(idx.tolist(), lv.to_pylist()):
-            for el in sub or []:
-                parents.append(i)
-                elems.append(el if isinstance(el, str)
-                             else json.dumps(el, separators=(",", ":")))
+            if sub:
+                per_row[i] = [render(el) for el in sub]
     else:
         sv = pc.fill_null(pc.cast(vals, pa.string()), "").to_pylist()
         for i in idx.tolist():
@@ -254,68 +304,30 @@ def _exec_foreach(batch: pa.Table, act: Action, mask: np.ndarray,
                 items = [{"key": k, "value": v} for k, v in obj.items()]
             else:
                 continue
-            for el in items:
-                parents.append(i)
-                elems.append(el if isinstance(el, str)
-                             else json.dumps(el, separators=(",", ":"),
-                                             sort_keys=True))
-    if not parents:
+            if items:
+                per_row[i] = [render(el) for el in items]
+    if not per_row:
         return batch
-    pidx = np.asarray(parents, dtype=np.int64)
-    sub = batch.take(pa.array(pidx))
-    var_col = act.var if act.var.startswith("$.") \
-        else "$." + act.var.lstrip("$").lstrip(".")
-    elem_arr = pa.array(elems, pa.string())
-    if var_col in sub.column_names:
-        sub = sub.set_column(sub.column_names.index(var_col), var_col,
-                             pc.cast(elem_arr, pa.string()))
-    else:
-        sub = sub.append_column(var_col, elem_arr)
-    pre = sub
-    sub_alive = np.ones(len(parents), dtype=bool)
-    sub_props = PropertyRegistry(sub, tables=props.tables)
-    sub = _exec_actions(sub, act.target.actions, sub_alive, templates, out,
-                        props=sub_props)
-    # DISCARDMSG propagates: a parent stopped in any iteration dies
-    if not sub_alive.all():
-        alive[np.unique(pidx[~sub_alive])] = False
-    # per-message variable write-back: last iteration's value per parent
-    last_of: dict[int, int] = {}
-    for j, pi in enumerate(parents):
-        last_of[pi] = j
-    lp = sorted(last_of)
-    take_last = pa.array([last_of[p] for p in lp], pa.int64())
-    dst_idx = np.asarray(lp, dtype=np.int64)
-    for c in sub.column_names:
-        if not (c.startswith("$.") or c == "cee_json"):
-            continue
-        newc = sub[c].combine_chunks() if isinstance(sub[c], pa.ChunkedArray) \
-            else sub[c]
-        # the loop variable is an ordinary message-scoped variable: it
-        # keeps the LAST element after the loop (rsyslog var semantics),
-        # so it always writes back; other columns only when the body
-        # changed them
-        if c != var_col and c in pre.column_names:
-            oldc = pre[c].combine_chunks() \
-                if isinstance(pre[c], pa.ChunkedArray) else pre[c]
-            if newc.equals(oldc):
-                continue
-        lastv = pc.cast(newc.take(take_last), pa.string())
-        if c in batch.column_names:
-            base = batch[c]
-            base = base.combine_chunks() \
-                if isinstance(base, pa.ChunkedArray) else base
-            base = pc.cast(base, pa.string())
-        else:
-            base = pa.nulls(batch.num_rows, pa.string())
-        buf = base.to_numpy(zero_copy_only=False).astype(object)
-        buf[dst_idx] = np.asarray(lastv.to_pylist(), dtype=object)
-        col = pa.array(buf, pa.string())
-        if c in batch.column_names:
-            batch = batch.set_column(batch.column_names.index(c), c, col)
-        else:
-            batch = batch.append_column(c, col)
-    return batch
+
+    max_k = max(len(v) for v in per_row.values())
+    work = batch
+    for k in range(max_k):
+        rows_k = np.asarray(sorted(i for i, v in per_row.items()
+                                   if len(v) > k), dtype=np.int64)
+        mask_k = np.zeros(work.num_rows, dtype=bool)
+        mask_k[rows_k] = True
+        mask_k &= alive                 # stopped messages quit the loop
+        if not mask_k.any():
+            break
+        rows_live = np.flatnonzero(mask_k)
+        work = _masked_write_var(work, act.var, mask_k,
+                                 [per_row[i][k] for i in rows_live])
+        sub_props = PropertyRegistry(work, tables=props.tables)
+        sub_props.action_suspended_map = getattr(
+            props, "action_suspended_map", {})
+        work = _exec_actions(work, act.target.actions, alive, templates,
+                             out, gate=mask_k, props=sub_props)
+    return work
 
 
 def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
@@ -370,7 +382,12 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
             sub = sub.append_column("rendered", tpl.render(sub))
         if act.keep_columns:
             sub = sub.select([c for c in act.keep_columns if c in sub.column_names])
-        out[act.name] = sub
+        prev = out.get(act.name)
+        # an action re-executed within one batch walk (foreach body,
+        # repeated call) ACCUMULATES its routed rows — the reference
+        # submits to the same action queue each iteration
+        out[act.name] = sub if prev is None else pa.concat_tables(
+            [prev, sub], promote_options="default")
         # previous_action_suspended() sees THIS action's current suspend
         # state (delivery-failure flag carried across batches) from the
         # next statement on (action.c bCurrentlySuspended walk order)

@@ -40,3 +40,83 @@ def test_explode_list_empty_batch():
                   "arr": pa.array([], pa.list_(pa.int64()))})
     out = explode_list(t, "arr")
     assert out.num_rows == 0 and set(out.column_names) == {"id", "idx", "item"}
+
+
+def test_foreach_accumulator_carries_across_iterations():
+    """Reference execForeach mutates ONE message sequentially: a counter
+    set in iteration k must be visible in iteration k+1 (the round-4
+    review repro: count ended at 1 instead of 3)."""
+    import pyarrow as pa
+
+    from rsyslog_ray.config import CompiledConfig
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = '''
+    template(name="t" type="string" string="%hostname% n=%$.n%")
+    set $.n = 0;
+    foreach ($.x in $!arr) do {
+        set $.n = cnum($.n) + 1;
+    }
+    action(type="omfile" name="after" template="t")
+    '''
+    cfg = CompiledConfig(parse_rainerscript(src))
+    batch = pa.table({
+        "hostname": ["h1", "h2", "h3"],
+        "msg": ["a", "b", "c"],
+        "cee_json": ['{"arr":["p","q","r"]}', '{"arr":[7]}', '{}'],
+    })
+    out = route_table(batch, cfg.ruleset)
+    assert out["after"]["rendered"].to_pylist() == [
+        "h1 n=3", "h2 n=1", "h3 n=0"]
+
+
+def test_foreach_json_tree_loop_variable():
+    """foreach ($!x in ...) binds the element into the message JSON tree
+    so $!x reads resolve (grammar admits $! loop vars; the round-4
+    review repro rendered empty)."""
+    import pyarrow as pa
+
+    from rsyslog_ray.config import CompiledConfig
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = '''
+    template(name="t" type="string" string="%hostname% x=%$!x%")
+    foreach ($!x in $!arr) do {
+        action(type="omfile" name="items" template="t")
+    }
+    '''
+    cfg = CompiledConfig(parse_rainerscript(src))
+    batch = pa.table({
+        "hostname": ["h1", "h2"],
+        "msg": ["a", "b"],
+        "cee_json": ['{"arr":["p","q"]}', '{}'],
+    })
+    out = route_table(batch, cfg.ruleset)
+    items = sorted(out["items"]["rendered"].to_pylist())
+    assert items == ["h1 x=p", "h1 x=q"]
+
+
+def test_foreach_object_element_is_canonical_json():
+    """Dict elements serialize with sorted keys in BOTH iterable storage
+    types (native list column and JSON string column)."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.route import route_table
+    from rsyslog_ray.config import CompiledConfig
+    from rsyslog_ray.rainerscript import parse_rainerscript
+
+    src = '''
+    template(name="t" type="string" string="%$.x%")
+    foreach ($.x in $!arr) do {
+        action(type="omfile" name="items" template="t")
+    }
+    '''
+    cfg = CompiledConfig(parse_rainerscript(src))
+    batch = pa.table({
+        "hostname": ["h1"], "msg": ["a"],
+        "cee_json": ['{"arr":[{"b":1,"a":2}]}'],
+    })
+    out = route_table(batch, cfg.ruleset)
+    assert out["items"]["rendered"].to_pylist() == ['{"a":2,"b":1}']

@@ -470,8 +470,14 @@ def test_foreach_statement_compiles_and_runs():
         "cee_json": ['{"arr":["p","q"]}', '{"arr":[1]}', '{}'],
     })
     out = route_table(batch, cfg.ruleset)
-    assert out["items"]["rendered"].to_pylist() == [
+    # batch row order across MESSAGES is iteration-major (an engine
+    # detail — the driver/oracle compare is order-insensitive); within
+    # one message elements must appear in array order
+    items = out["items"]["rendered"].to_pylist()
+    assert sorted(items) == [
         "h1 x=p s=p!", "h1 x=q s=q!", "h2 x=1 s=1!"]
+    h1 = [s for s in items if s.startswith("h1")]
+    assert h1 == ["h1 x=p s=p!", "h1 x=q s=q!"]
     assert out["after"]["rendered"].to_pylist() == [
         "h1 x=q s=q!", "h2 x=1 s=1!", "h3 x= s="]
 
