@@ -572,7 +572,15 @@ class RouteWriter:
             prev_suspended = suspended
             # cross-batch suspend map: the NEXT batch's
             # previous_action_suspended() filter evaluation sees this
-            # delivery outcome (action.c bCurrentlySuspended persistence)
+            # delivery outcome (action.c bCurrentlySuspended persistence).
+            # SCOPE (documented deviation): the map lives on this writer
+            # INSTANCE — per actor when RouteWriter runs as an actor-pool
+            # class, per task when shipped as a serialized map_batches fn
+            # (execute_and_write). The reference is a single sequential
+            # process; in a distributed engine worker-LOCAL suspend state
+            # is the meaningful analogue (each worker observes its own
+            # downstream failures), not a global broadcast — tests pin
+            # the sequential single-writer behavior.
             if not hasattr(self, "action_suspended"):
                 self.action_suspended = {}
             self.action_suspended[act_name] = suspended
