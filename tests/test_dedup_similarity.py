@@ -656,3 +656,31 @@ def test_canonical_dedup_collapses_formatting_variants(ray_session):
         assert kept == [0, 3, 5], bh
     assert canonicalize_text(pa.array(["  A--B  c "])).to_pylist() \
         == ["ab c"]
+
+
+def test_canonicalize_text_matches_duckdb_fuzz():
+    """Property fuzz: the Arrow canonicalization pipeline is
+    byte-identical to the DuckDB regexp_replace oracle twin on arbitrary
+    printable strings (the contract canonical_dedup's oracle rests on)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rsyslog_ray.stages.dedup import canonicalize_text
+
+    con = duckdb.connect()
+    sql = ("SELECT trim(regexp_replace(regexp_replace(lower(v), "
+           "'[^a-z0-9\\s]+', '', 'g'), '\\s+', ' ', 'g')) FROM t")
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40), min_size=1, max_size=8))
+    def check(vals):
+        eng = canonicalize_text(pa.array(vals, pa.string())).to_pylist()
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT "
+                    "unnest(?) AS v", [vals])
+        got = [r[0] for r in con.execute(sql).fetchall()]
+        assert eng == got, (vals, eng, got)
+
+    check()
