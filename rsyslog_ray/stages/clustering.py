@@ -50,7 +50,19 @@ def _project_materialize(ds, cols: list[str], rows_per_block: int = 65536):
     feature table means many near-empty blocks — and each iteration pays
     one task per block, so 20 rounds × 64 tiny blocks is pure scheduler
     overhead. Coalesce to ≈rows_per_block rows per block first (a no-op
-    at scale, where blocks are already ≥ that)."""
+    at scale, where blocks are already ≥ that).
+
+    An already-materialized input (a caller sharing one feature table
+    across fit + apply) skips the second object-store copy: the column
+    prune stays lazy over the cached blocks — zero-copy per round."""
+    from ray.data.dataset import MaterializedDataset
+    if isinstance(ds, MaterializedDataset):
+        n, nb = ds.count(), ds.num_blocks()
+        target = max(1, -(-n // rows_per_block))
+        if target < nb // 2:       # still coalesce pathological splits
+            return ds.select_columns(cols).repartition(target) \
+                .materialize()
+        return ds.select_columns(cols)
     mat = ds.select_columns(cols).materialize()
     n = mat.count()
     nb = mat.num_blocks()
