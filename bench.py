@@ -166,6 +166,9 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("epoch_mix", Q.q_epoch_mix, sf_dir)
     timed("immark", Q.q_immark, sf_dir)
     timed("canonical_dedup", Q.q_canonical_dedup, sf_dir)
+    # round-4 continuation: DSIR importance scoring + Gumbel-top-k resample
+    timed("dsir_score", Q.q_dsir_score, sf_dir)
+    timed("dsir_sample", Q.q_dsir_sample, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1315,4 +1315,8 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
                       DESC, tf.term) AS rn
   FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn <= 5"""
 
+    from ..stages.dsir import dsir_score_sql
+    q["dsir_score"] = dsir_score_sql(["src0", "src1"])
+    q["dsir_sample"] = dsir_score_sql(["src0", "src1"], n=150)
+
     return q

@@ -1624,6 +1624,27 @@ def q_lm_score(sf_dir: str) -> pa.Table:
     return _to_table(bigram_lm_score(ds))
 
 
+def q_dsir_score(sf_dir: str) -> pa.Table:
+    """DSIR importance scoring (Xie et al. 2023): per-doc Naive-Bayes
+    unigram log-ratio of target (src0/src1) vs the raw corpus, as exact
+    integer micro-nats; one distributed count fold + broadcast weights."""
+    from ..stages.dsir import dsir_score
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    return _to_table(dsir_score(ds, ["src0", "src1"])).sort_by("doc_id")
+
+
+def q_dsir_sample(sf_dir: str) -> pa.Table:
+    """DSIR Gumbel-top-k importance resampling: select 150 docs with
+    probability proportional to exp(score) via deterministic hash-Gumbel
+    noise — bounded partial-top-n fold, no global sort."""
+    from ..stages.dsir import dsir_resample
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    return _to_table(dsir_resample(ds, ["src0", "src1"], n=150)) \
+        .sort_by("doc_id")
+
+
 def q_kmeans(sf_dir: str) -> pa.Table:
     """Distributed spherical k-means over the embeddings table: per-round
     partial (cluster, dim) sums inside map_batches → bucket_merge →
