@@ -169,6 +169,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     # round-4 continuation: DSIR importance scoring + Gumbel-top-k resample
     timed("dsir_score", Q.q_dsir_score, sf_dir)
     timed("dsir_sample", Q.q_dsir_sample, sf_dir)
+    timed("gopher_quality", Q.q_gopher_quality, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1319,4 +1319,8 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
     q["dsir_score"] = dsir_score_sql(["src0", "src1"])
     q["dsir_sample"] = dsir_score_sql(["src0", "src1"], n=150)
 
+    from ..stages.textstats import gopher_quality_sql
+    q["gopher_quality"] = gopher_quality_sql(min_words=30, max_words=90,
+                                             min_stop_hits=1)
+
     return q

@@ -1624,6 +1624,18 @@ def q_lm_score(sf_dir: str) -> pa.Table:
     return _to_table(bigram_lm_score(ds))
 
 
+def q_gopher_quality(sf_dir: str) -> pa.Table:
+    """Gopher quality-rule composite (Rae et al. 2021): per-doc word
+    count / mean word length / symbol ratio / line fractions / alpha
+    fraction / stop-word hits + the keep decision; one stateless
+    vectorized pass, thresholds tuned to the fixture's 10-99-word docs."""
+    from ..stages.textstats import gopher_quality
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(gopher_quality(
+        ds, min_words=30, max_words=90, min_stop_hits=1)).sort_by("doc_id")
+
+
 def q_dsir_score(sf_dir: str) -> pa.Table:
     """DSIR importance scoring (Xie et al. 2023): per-doc Naive-Bayes
     unigram log-ratio of target (src0/src1) vs the raw corpus, as exact

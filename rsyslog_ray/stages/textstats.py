@@ -634,3 +634,199 @@ def mine_templates(ds, col: str = "msg", min_count: int = 1):
             return out.filter(pc.greater_equal(out["rows"], min_count))
         return out.filter(expr=f"rows >= {min_count}")
     return out
+
+
+#: Gopher's 8 required stop words (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_quality(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_wlen: float = 3.0, max_mean_wlen: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   max_bullet_frac: float = 0.9,
+                   max_ellipsis_frac: float = 0.3,
+                   min_alpha_frac: float = 0.8,
+                   min_stop_hits: int = 2,
+                   stopwords: tuple = GOPHER_STOPWORDS):
+    """Gopher quality-rule composite (Rae et al. 2021 appendix A1.1 —
+    the rule set Dolma/RedPajama/FineWeb reuse): per-document signals
+    over whitespace tokens + the keep decision. Signals: word count,
+    mean word length, '#'/'...'-to-word symbol ratio, bullet-start and
+    ellipsis-end line fractions, fraction of words containing an
+    alphabetic char, number of DISTINCT required stop words present.
+    keep = every rule passes (word count in [min,max], mean word length
+    in [min,max], symbol ratio <= max, bullet frac <= max, ellipsis
+    frac <= max, alpha frac >= min, stop hits >= min).
+
+    One stateless vectorized map_batches pass — one tokenize, one line
+    split, Arrow count_substring / match_substring_regex kernels,
+    bincount row sums; no shuffle, no driver state. Ratios are rounded
+    half-away 6 dp BEFORE the threshold compare, and the DuckDB twin
+    (oracle_sql) applies thresholds to the same rounded values, so the
+    keep decision is bit-stable. Zero-token docs emit no row."""
+    stop_set = pa.array(sorted(stopwords), pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.cast(txt, pa.string()), "")
+        nrow = len(txt)
+        from .sampling import _word_ngrams
+        words, rows = _word_ngrams(txt, 1)
+        n_words = np.bincount(rows, minlength=nrow) if len(rows) else \
+            np.zeros(nrow, np.int64)
+        keepm = n_words > 0
+        if not keepm.any():
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "mean_wlen": pa.array([], pa.float64()),
+                "symbol_ratio": pa.array([], pa.float64()),
+                "bullet_frac": pa.array([], pa.float64()),
+                "ellipsis_frac": pa.array([], pa.float64()),
+                "alpha_frac": pa.array([], pa.float64()),
+                "stop_hits": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_())})
+        warr = pa.array(words, pa.string())
+        wlens = pc.utf8_length(warr).to_numpy(zero_copy_only=False)
+        alpha = pc.match_substring_regex(warr, pattern="[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+        wlen_sum = np.bincount(rows, weights=wlens.astype(np.float64),
+                               minlength=nrow)
+        alpha_cnt = np.bincount(rows, weights=alpha.astype(np.float64),
+                                minlength=nrow)
+        # distinct stop words per doc: unique (row, stop-index) pairs
+        sidx = pc.fill_null(pc.index_in(pc.utf8_lower(warr),
+                                        value_set=stop_set), -1) \
+            .to_numpy(zero_copy_only=False)
+        hit = sidx >= 0
+        pairs = np.unique(rows[hit] * len(stopwords) + sidx[hit])
+        stop_hits = np.bincount(pairs // len(stopwords), minlength=nrow) \
+            if len(pairs) else np.zeros(nrow, np.int64)
+        # symbol counts on the raw text (non-overlapping, greedy-left —
+        # matches SQL's replace()-difference)
+        hashes = pc.count_substring(txt, pattern="#") \
+            .to_numpy(zero_copy_only=False)
+        ells = pc.count_substring(txt, pattern="...") \
+            .to_numpy(zero_copy_only=False)
+        # line rules
+        lines = pc.split_pattern(txt, pattern="\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = lines.flatten()
+        n_lines = offs[1:] - offs[:-1]
+        lrow = np.repeat(np.arange(nrow), n_lines)
+        bullet = pc.or_(pc.or_(pc.starts_with(flat, pattern="- "),
+                               pc.starts_with(flat, pattern="* ")),
+                        pc.starts_with(flat, pattern="•")) \
+            .to_numpy(zero_copy_only=False)
+        lell = pc.ends_with(flat, pattern="...") \
+            .to_numpy(zero_copy_only=False)
+        bullet_cnt = np.bincount(lrow, weights=bullet.astype(np.float64),
+                                 minlength=nrow)
+        lell_cnt = np.bincount(lrow, weights=lell.astype(np.float64),
+                               minlength=nrow)
+
+        nw = np.maximum(n_words, 1).astype(np.float64)
+        nl = np.maximum(n_lines, 1).astype(np.float64)
+        mean_wlen = _round_away6(wlen_sum / nw)
+        symbol_ratio = _round_away6((hashes + ells) / nw)
+        bullet_frac = _round_away6(bullet_cnt / nl)
+        ellipsis_frac = _round_away6(lell_cnt / nl)
+        alpha_frac = _round_away6(alpha_cnt / nw)
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mean_wlen >= min_mean_wlen)
+                & (mean_wlen <= max_mean_wlen)
+                & (symbol_ratio <= max_symbol_ratio)
+                & (bullet_frac <= max_bullet_frac)
+                & (ellipsis_frac <= max_ellipsis_frac)
+                & (alpha_frac >= min_alpha_frac)
+                & (stop_hits >= min_stop_hits))
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        m = keepm
+        return pa.table({
+            id_col: pa.array(ids[m], pa.int64()),
+            "n_words": pa.array(n_words[m].astype(np.int64)),
+            "mean_wlen": pa.array(mean_wlen[m], pa.float64()),
+            "symbol_ratio": pa.array(symbol_ratio[m], pa.float64()),
+            "bullet_frac": pa.array(bullet_frac[m], pa.float64()),
+            "ellipsis_frac": pa.array(ellipsis_frac[m], pa.float64()),
+            "alpha_frac": pa.array(alpha_frac[m], pa.float64()),
+            "stop_hits": pa.array(stop_hits[m].astype(np.int64)),
+            "keep": pa.array(keep[m])})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def gopher_quality_sql(table: str = "documents",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       min_words: int = 50, max_words: int = 100_000,
+                       min_mean_wlen: float = 3.0,
+                       max_mean_wlen: float = 10.0,
+                       max_symbol_ratio: float = 0.1,
+                       max_bullet_frac: float = 0.9,
+                       max_ellipsis_frac: float = 0.3,
+                       min_alpha_frac: float = 0.8,
+                       min_stop_hits: int = 2,
+                       stopwords: tuple = GOPHER_STOPWORDS) -> str:
+    """The exact DuckDB twin of gopher_quality (same tokens, same
+    non-overlapping substring counts via replace()-difference, same
+    half-away 6 dp rounding before thresholds)."""
+    stops = ", ".join(f"'{s}'" for s in sorted(stopwords))
+    r6 = "round({}, 6)"
+    return rf"""
+WITH toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all({text_col}, '\S+')) AS tok
+  FROM {table}),
+ws AS (
+  SELECT {id_col}, COUNT(*) AS n_words,
+         SUM(length(tok)) AS wlen_sum,
+         SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)
+           AS alpha_cnt,
+         COUNT(DISTINCT CASE WHEN lower(tok) IN ({stops})
+                             THEN lower(tok) END) AS stop_hits
+  FROM toks GROUP BY {id_col}),
+ls AS (
+  SELECT {id_col}, COUNT(*) AS n_lines,
+         SUM(CASE WHEN starts_with(line, '- ') OR starts_with(line, '* ')
+                   OR starts_with(line, chr(8226)) THEN 1 ELSE 0 END)
+           AS bullet_cnt,
+         SUM(CASE WHEN ends_with(line, '...') THEN 1 ELSE 0 END)
+           AS ell_line_cnt
+  FROM (SELECT {id_col}, unnest(string_split({text_col}, chr(10))) AS line
+        FROM {table}) GROUP BY {id_col}),
+sym AS (
+  SELECT {id_col},
+         length({text_col}) - length(replace({text_col}, '#', ''))
+           AS hash_cnt,
+         (length({text_col}) - length(replace({text_col}, '...', ''))) // 3
+           AS ell_cnt
+  FROM {table}),
+sig AS (
+  SELECT ws.{id_col}, ws.n_words,
+         {r6.format(f"CAST(ws.wlen_sum AS DOUBLE) / ws.n_words")}
+           AS mean_wlen,
+         {r6.format(f"CAST(sym.hash_cnt + sym.ell_cnt AS DOUBLE) / ws.n_words")}
+           AS symbol_ratio,
+         {r6.format(f"CAST(ls.bullet_cnt AS DOUBLE) / ls.n_lines")}
+           AS bullet_frac,
+         {r6.format(f"CAST(ls.ell_line_cnt AS DOUBLE) / ls.n_lines")}
+           AS ellipsis_frac,
+         {r6.format(f"CAST(ws.alpha_cnt AS DOUBLE) / ws.n_words")}
+           AS alpha_frac,
+         CAST(ws.stop_hits AS BIGINT) AS stop_hits
+  FROM ws JOIN ls USING ({id_col}) JOIN sym USING ({id_col}))
+SELECT {id_col}, CAST(n_words AS BIGINT) AS n_words, mean_wlen,
+       symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, stop_hits,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND mean_wlen >= {min_mean_wlen} AND mean_wlen <= {max_mean_wlen}
+        AND symbol_ratio <= {max_symbol_ratio}
+        AND bullet_frac <= {max_bullet_frac}
+        AND ellipsis_frac <= {max_ellipsis_frac}
+        AND alpha_frac >= {min_alpha_frac}
+        AND stop_hits >= {min_stop_hits}) AS keep
+FROM sig ORDER BY {id_col}"""
