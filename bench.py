@@ -170,6 +170,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("dsir_score", Q.q_dsir_score, sf_dir)
     timed("dsir_sample", Q.q_dsir_sample, sf_dir)
     timed("gopher_quality", Q.q_gopher_quality, sf_dir)
+    timed("contamination_report", Q.q_contamination_report, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1319,6 +1319,28 @@ SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score FROM (
     q["dsir_score"] = dsir_score_sql(["src0", "src1"])
     q["dsir_sample"] = dsir_score_sql(["src0", "src1"], n=150)
 
+    q["contamination_report"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+  FROM w WHERE len(ws) >= 5
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g FROM starts
+),
+evg AS (SELECT DISTINCT doc_id AS eval_id, g FROM grams
+        WHERE doc_id % 20 = 0),
+cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+hits AS (SELECT DISTINCT evg.eval_id, cg.doc_id FROM evg
+         JOIN cg USING (g)),
+hc AS (SELECT eval_id, COUNT(*) AS n FROM hits GROUP BY eval_id)
+SELECT d.doc_id AS eval_id,
+       CAST(COALESCE(hc.n, 0) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN hc ON d.doc_id = hc.eval_id
+WHERE d.doc_id % 20 = 0 ORDER BY eval_id"""
+
     from ..stages.textstats import gopher_quality_sql
     q["gopher_quality"] = gopher_quality_sql(min_words=30, max_words=90,
                                              min_stop_hits=1)

@@ -1624,6 +1624,26 @@ def q_lm_score(sf_dir: str) -> pa.Table:
     return _to_table(bigram_lm_score(ds))
 
 
+def q_contamination_report(sf_dir: str) -> pa.Table:
+    """Per-eval-doc contamination audit (inverse of decontaminate):
+    eval = doc_id % 20 == 0; for each eval doc, the number of distinct
+    corpus docs sharing >=1 word 5-gram (0 rows included)."""
+    from ..stages.sampling import contamination_report
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+
+    def side(want_eval: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b["doc_id"], pa.int64())
+            mod = pc.subtract(ids, pc.multiply(pc.divide(ids, 20), 20))
+            mask = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(mask)
+        return fn
+    eval_ds = ds.map_batches(side(True), batch_format="pyarrow")
+    corpus = ds.map_batches(side(False), batch_format="pyarrow")
+    return _to_table(contamination_report(corpus, eval_ds, n=5))
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher quality-rule composite (Rae et al. 2021): per-doc word
     count / mean word length / symbol ratio / line fractions / alpha

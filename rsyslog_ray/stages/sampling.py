@@ -923,6 +923,87 @@ SELECT {id_col}, chunk_idx,
 FROM c"""
 
 
+def contamination_report(ds, eval_ds, n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         eval_id_col: str = "doc_id") -> pa.Table:
+    """Per-EVAL-document contamination audit — the report the
+    `decontaminate` rule acts on: for every eval doc, how many distinct
+    corpus docs share at least one word n-gram with it (eval docs with
+    zero hits report 0, incl. docs too short to form a gram).
+
+    Scale shape: the eval side is driver-bounded by definition (the
+    same bound `decontaminate` documents), so the gram -> eval-ids map
+    broadcasts once via ray.put. Each corpus doc is exactly ONE row, so
+    within-batch-distinct (eval_id, corpus_id) hit pairs are already
+    GLOBALLY distinct — no dedup shuffle exists at all; each batch
+    emits eval-bounded per-eval hit counts and the driver folds
+    O(eval x blocks) partials. Exact string membership, no hashing."""
+    import ray as _ray
+
+    # eval pass: gram -> dense eval index (first pass), eval id list
+    eval_ids: list[int] = []
+    gram_map: dict = {}
+    for b in eval_ds.map_batches(
+            lambda t: t.select([eval_id_col, text_col]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        ids = pc.cast(b[eval_id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g, rows = _word_ngrams(pc.cast(b[text_col], pa.string()), n)
+        base = len(eval_ids)
+        eval_ids.extend(int(i) for i in ids)
+        for gi, ri in zip(g, rows):
+            gram_map.setdefault(gi, set()).add(base + int(ri))
+    n_eval = len(eval_ids)
+    packed = {k: np.fromiter(v, np.int64) for k, v in gram_map.items()}
+    map_ref = _ray.put(packed)
+    keys_ref = _ray.put(pa.array(sorted(packed), pa.string()))
+
+    empty = pa.table({"eidx": pa.array([], pa.int64()),
+                      "hits": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g, rows = _word_ngrams(pc.cast(batch[text_col], pa.string()), n)
+        if not len(g):
+            return empty
+        # vectorized prefilter: the python expansion below runs only
+        # over ACTUAL eval-gram hits (bounded by contamination volume)
+        m = pc.is_in(pa.array(g, pa.string()),
+                     value_set=_ray.get(keys_ref)) \
+            .to_numpy(zero_copy_only=False)
+        if not m.any():
+            return empty
+        mp = _ray.get(map_ref)
+        pair_rows, pair_eval = [], []
+        for gi, ri in zip(g[m], rows[m]):
+            hits = mp[gi]
+            pair_rows.append(np.full(len(hits), ri, np.int64))
+            pair_eval.append(hits)
+        pr = np.concatenate(pair_rows)
+        pe = np.concatenate(pair_eval)
+        # distinct (corpus row, eval idx) pairs — each corpus doc is one
+        # row of one batch, so batch-local distinct == global distinct
+        uniq = np.unique(pr * np.int64(n_eval) + pe)
+        counts = np.bincount((uniq % n_eval).astype(np.int64),
+                             minlength=n_eval)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"eidx": pa.array(nz.astype(np.int64)),
+                         "hits": pa.array(counts[nz])})
+
+    total = np.zeros(n_eval, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            # iter_batches can coalesce several task outputs into one
+            # batch, repeating an eidx — np.add.at handles duplicates
+            # (fancy-index += would keep only the last occurrence)
+            np.add.at(total, b["eidx"].to_numpy(zero_copy_only=False),
+                      b["hits"].to_numpy(zero_copy_only=False))
+    order = np.argsort(np.asarray(eval_ids, np.int64), kind="stable")
+    return pa.table({
+        "eval_id": pa.array(np.asarray(eval_ids, np.int64)[order]),
+        "n_contaminated": pa.array(total[order])})
+
+
 def decontaminate_frac(ds, eval_ds, n: int = 5, frac: float = 0.1,
                        text_col: str = "text"):
     """Fractional-overlap decontamination (the GPT-3-style rule: drop a

@@ -4,6 +4,7 @@ weighted mixing, sequence packing. All decisions derive from row identity
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from rsyslog_ray.stages.sampling import (
@@ -474,3 +475,63 @@ def test_epoch_mix_fractional_upsampling(ray_session):
     again = epoch_mix(rd.from_arrow(tbl), w).to_pandas() \
         .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
     assert out.equals(again)
+
+
+def _mod20_split(ds):
+    """(eval, corpus) halves on doc_id % 20 == 0, as pyarrow batch maps
+    (Ray's filter(expr=) parser can't take a BinOp left operand)."""
+    def side(want_eval):
+        def fn(b: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                pc.cast(b["doc_id"], pa.int64()),
+                pc.multiply(pc.divide(pc.cast(b["doc_id"], pa.int64()),
+                                      20), 20))
+            m = pc.equal(mod, 0) if want_eval else pc.not_equal(mod, 0)
+            return b.filter(m)
+        return fn
+    return (ds.map_batches(side(True), batch_format="pyarrow"),
+            ds.map_batches(side(False), batch_format="pyarrow"))
+
+
+def test_contamination_report_planted_and_zero_rows():
+    """Planted shared 5-grams: eval doc 0 is contaminated by exactly the
+    two corpus docs that embed its opening 5-gram; eval doc 20 shares
+    nothing; a too-short eval doc reports 0."""
+    import ray.data as rd
+
+    from rsyslog_ray.stages.sampling import contamination_report
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        {"doc_id": 0, "text": shared + " zeta eta"},          # eval
+        {"doc_id": 20, "text": "one two three four five six"},  # eval
+        {"doc_id": 40, "text": "tiny"},                        # eval, <5
+        {"doc_id": 1, "text": "prefix " + shared + " suffix"},  # hit
+        {"doc_id": 2, "text": shared + " more words here"},     # hit
+        {"doc_id": 3, "text": "unrelated corpus text body words"},
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl)
+    eval_ds, corpus = _mod20_split(ds)
+    got = contamination_report(corpus, eval_ds, n=5).to_pandas()
+    assert got.eval_id.tolist() == [0, 20, 40]
+    assert got.n_contaminated.tolist() == [2, 0, 0]
+
+
+def test_contamination_report_partition_invariance():
+    import ray.data as rd
+
+    from rsyslog_ray.stages.sampling import contamination_report
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 3 + j) % 11}" for j in range(8))}
+            for i in range(60)]
+    tbl = pa.Table.from_pylist(rows)
+    outs = []
+    for nparts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nparts)
+        eval_ds, corpus = _mod20_split(ds)
+        outs.append(contamination_report(corpus, eval_ds, n=5)
+                    .to_pandas())
+    assert outs[0].equals(outs[1])
+    assert (outs[0].n_contaminated > 0).any()
