@@ -76,6 +76,32 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, "np.ndarray"]:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
     rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    # whole-image fast paths when every scanline uses the same
+    # non-recurrent-in-both-axes filter (uint8 wraparound == mod 256):
+    # None (identity), Sub (cumsum along x per channel), Up (cumsum
+    # along y). Mixed / Average / Paeth images take the row loop.
+    if (filters == 0).all():
+        img = data
+    elif (filters == 1).all():
+        img = data.reshape(h, w, bpp).cumsum(axis=1, dtype=np.uint8) \
+            .reshape(h, stride)
+    elif (filters == 2).all():
+        img = data.cumsum(axis=0, dtype=np.uint8)
+    else:
+        img = _unfilter_rows(rows, h, stride, bpp)
+    px = img.reshape(h, w, bpp).astype(np.float64)
+    if ct in (0, 4):
+        luma = px[..., 0]
+    else:
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return w, h, luma
+
+
+def _unfilter_rows(rows: "np.ndarray", h: int, stride: int,
+                   bpp: int) -> "np.ndarray":
+    """General per-scanline PNG unfilter (filters 0-4, spec order)."""
     img = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
     for y in range(h):
@@ -90,29 +116,32 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, "np.ndarray"]:
         elif f == 2:                        # Up
             rec = (cur + prev) % 256
         elif f in (3, 4):                   # Average / Paeth
-            rec = np.empty(stride, np.int64)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                u = prev[i]
-                if f == 3:
-                    rec[i] = (cur[i] + ((a + u) >> 1)) & 0xFF
-                else:
-                    c = prev[i - bpp] if i >= bpp else 0
-                    p = a + u - c
-                    pa_, pb_, pc_ = abs(p - a), abs(p - u), abs(p - c)
+            # sequential recurrence on the reconstructed left neighbor:
+            # run it over plain Python ints (lists) — numpy scalar
+            # indexing/abs in this loop is ~5× slower per byte
+            cl, pl = cur.tolist(), prev.tolist()
+            rl = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = rl[i - bpp] if i >= bpp else 0
+                    rl[i] = (cl[i] + ((a + pl[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = rl[i - bpp] if i >= bpp else 0
+                    u = pl[i]
+                    c = pl[i - bpp] if i >= bpp else 0
+                    pa_ = abs(u - c)            # |p-a| with p = a+u-c
+                    pb_ = abs(a - c)
+                    pc_ = abs(a + u - 2 * c)
                     pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
                         (u if pb_ <= pc_ else c)
-                    rec[i] = (cur[i] + pred) & 0xFF
+                    rl[i] = (cl[i] + pred) & 0xFF
+            rec = np.asarray(rl, np.int64)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         img[y] = rec
         prev = rec
-    px = img.reshape(h, w, bpp).astype(np.float64)
-    if ct in (0, 4):
-        luma = px[..., 0]
-    else:
-        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    return w, h, luma
+    return img
 
 
 def decode_wav(b: bytes) -> tuple[int, int, float, float]:
