@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # entries with no CORRECTNESS row yet. Future rounds: move
         # freshly-checked entries to the tail and promote any that
         # remain unchecked.
+        "temperature_mix": Q.q_temperature_mix,  # new in r4
+        "ccnet_buckets": Q.q_ccnet_buckets,      # new in r4
+        "auc_quality": Q.q_auc_quality,          # new in r4
         "contamination_report": Q.q_contamination_report,  # new in r4
         "gopher_quality": Q.q_gopher_quality,  # new in r4 — never checked
         "dsir_score": Q.q_dsir_score,     # new in r4 — never checked

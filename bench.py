@@ -171,6 +171,9 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("dsir_sample", Q.q_dsir_sample, sf_dir)
     timed("gopher_quality", Q.q_gopher_quality, sf_dir)
     timed("contamination_report", Q.q_contamination_report, sf_dir)
+    timed("temperature_mix", Q.q_temperature_mix, sf_dir)
+    timed("ccnet_buckets", Q.q_ccnet_buckets, sf_dir)
+    timed("auc_quality", Q.q_auc_quality, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1341,6 +1341,43 @@ SELECT d.doc_id AS eval_id,
 FROM documents d LEFT JOIN hc ON d.doc_id = hc.eval_id
 WHERE d.doc_id % 20 = 0 ORDER BY eval_id"""
 
+    from ..stages.sampling import temperature_mix_sql
+    q["temperature_mix"] = temperature_mix_sql(alpha=0.3, frac=0.5)
+
+    q["ccnet_buckets"] = r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS word FROM w),
+uni AS (SELECT word, count(*) AS c FROM tok GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+starts AS (
+  SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+  FROM w WHERE len(ws) >= 2
+),
+big AS (SELECT doc_id, ws[i] AS prev,
+               array_to_string(ws[i:i+1], ' ') AS gram FROM starts),
+bc AS (SELECT gram, count(*) AS c FROM big GROUP BY 1),
+scored AS (
+  SELECT big.doc_id, ln((bc.c + 1.0) / (uni.c + v.v)) AS lp
+  FROM big JOIN bc USING (gram)
+           JOIN uni ON big.prev = uni.word CROSS JOIN v),
+s2 AS (SELECT doc_id, round(avg(lp), 6) AS lm_score
+       FROM scored GROUP BY doc_id),
+t AS (SELECT s2.doc_id, d.source, s2.lm_score,
+             CAST(NTILE(3) OVER (PARTITION BY d.source
+                 ORDER BY s2.lm_score DESC, s2.doc_id DESC) AS BIGINT)
+               AS tile
+      FROM s2 JOIN documents d USING (doc_id))
+SELECT doc_id, source, lm_score, tile,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM t ORDER BY doc_id"""
+
+    from ..stages.aggregate import roc_auc_sql
+    q["auc_quality"] = roc_auc_sql(
+        "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END")
+
     from ..stages.textstats import gopher_quality_sql
     q["gopher_quality"] = gopher_quality_sql(min_words=30, max_words=90,
                                              min_stop_hits=1)

@@ -1644,6 +1644,43 @@ def q_contamination_report(sf_dir: str) -> pa.Table:
     return _to_table(contamination_report(corpus, eval_ds, n=5))
 
 
+def q_temperature_mix(sf_dir: str) -> pa.Table:
+    """Temperature-weighted source mixing (T5/mT5 alpha sampling):
+    keep probability per source ∝ n_s^alpha, capped at 1, realized as
+    a deterministic id-hash threshold. Map-only filter — output keeps
+    the input's row order."""
+    from ..stages.sampling import temperature_mix
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source"])
+    return _to_table(temperature_mix(ds, alpha=0.3, frac=0.5))
+
+
+def q_ccnet_buckets(sf_dir: str) -> pa.Table:
+    """CCNet perplexity bucketing: bigram-LM score → per-source
+    NTILE(3) head/middle/tail quality tiles."""
+    from ..stages.textstats import ccnet_buckets
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "source", "text"])
+    # sort: the join+window shuffles reorder rows and the driver
+    # hashes row order
+    return _to_table(ccnet_buckets(ds)).sort_by("doc_id")
+
+
+def q_auc_quality(sf_dir: str) -> pa.Table:
+    """Classifier-calibration AUC: does doc length rank src0 docs above
+    the rest? Exact tie-aware Mann-Whitney over a distributed score
+    histogram (one output row)."""
+    from ..stages.aggregate import roc_auc
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["source", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "score": pc.cast(t["n_chars"], pa.float64()),
+            "label": pc.cast(pc.equal(t["source"], "src0"), pa.int64())})
+    return roc_auc(ds.map_batches(prep, batch_format="pyarrow"))
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher quality-rule composite (Rae et al. 2021): per-doc word
     count / mean word length / symbol ratio / line fractions / alpha

@@ -374,6 +374,87 @@ def percentiles_by_key(ds, key: str = "event_type", value_col: str = "value",
                         for nm in names}})
 
 
+def roc_auc(ds, score_col: str = "score", label_col: str = "label",
+            driver_threshold: int = 5_000_000) -> pa.Table:
+    """Exact distributed ROC AUC of a score against a binary label —
+    the calibration metric for model-based quality filters (does the
+    classifier's score actually rank positives above negatives?).
+    Tie-aware Mann-Whitney form: over distinct scores ascending,
+    AUC = Σ_v pos(v)·(negBelow(v) + neg(v)/2) / (Σpos · Σneg).
+
+    Shape: per-batch (score → pos, total) histogram partials via one
+    np.unique + two bincounts → hash-bucketed merge → a driver fold
+    over the merged histogram, O(|distinct scores|) — independent of
+    row count for the bounded/rounded score domains quality scores
+    live in (raises above `driver_threshold` distinct values rather
+    than silently materializing; re-bin the score first at that
+    point). Every summand is a half-integer < 2^53, so the float sum
+    is EXACT and order-independent — bit-equal to a SQL window-sum
+    oracle. Output: one row (auc, n_pos, n_neg); auc is null when a
+    class is empty."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        lab = pc.cast(t[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u, inv = np.unique(s, return_inverse=True)
+        pos = np.bincount(inv, weights=lab.astype(np.float64))
+        tot = np.bincount(inv)
+        return pa.table({"s": pa.array(u, pa.float64()),
+                         "pos": pa.array(pos.astype(np.int64)),
+                         "tot": pa.array(tot.astype(np.int64))})
+
+    merged = bucket_merge(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["s"], {"pos": ("pos", "sum"),
+                                  "tot": ("tot", "sum")})
+    hist = pa.concat_tables(
+        [b for b in merged.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")])
+    if hist.num_rows > driver_threshold:
+        raise ValueError(
+            f"{hist.num_rows} distinct scores exceed driver_threshold="
+            f"{driver_threshold}; round/bin the score column first")
+    s = hist["s"].to_numpy(zero_copy_only=False)
+    order = np.argsort(s, kind="mergesort")
+    pos = hist["pos"].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.float64)
+    tot = hist["tot"].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.float64)
+    neg = tot - pos
+    n_pos, n_neg = pos.sum(), neg.sum()
+    if n_pos == 0 or n_neg == 0:
+        auc = None
+    else:
+        cum_below = np.concatenate([[0.0], np.cumsum(neg)[:-1]])
+        auc = float(np.sum(pos * (cum_below + 0.5 * neg))
+                    / (n_pos * n_neg))
+    return pa.table({"auc": pa.array([auc], pa.float64()),
+                     "n_pos": pa.array([int(n_pos)], pa.int64()),
+                     "n_neg": pa.array([int(n_neg)], pa.int64())})
+
+
+def roc_auc_sql(score_expr: str, label_expr: str,
+                table: str = "documents") -> str:
+    """Matching DuckDB query for roc_auc (window cumulated negatives;
+    same exact half-integer summands, so float equality is exact)."""
+    return f"""
+WITH d AS (SELECT CAST({score_expr} AS DOUBLE) AS s,
+                  CAST({label_expr} AS BIGINT) AS lab FROM {table}),
+h AS (SELECT s, CAST(SUM(lab) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(lab) AS BIGINT) AS neg
+      FROM d GROUP BY s),
+o AS (SELECT s, pos, neg,
+             CAST(COALESCE(SUM(neg) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS cumneg
+      FROM h)
+SELECT SUM(pos * (cumneg + 0.5 * neg))
+         / ((SELECT SUM(pos) FROM h) * (SELECT SUM(neg) FROM h)) AS auc,
+       CAST((SELECT SUM(pos) FROM h) AS BIGINT) AS n_pos,
+       CAST((SELECT SUM(neg) FROM h) AS BIGINT) AS n_neg
+FROM o"""
+
+
 def _td_k1(q: float, delta: float) -> float:
     """t-digest k1 scale function (Dunning & Ertl 2019, eq. 2):
     k(q) = δ/(2π)·asin(2q−1) — cluster size budget ∝ q(1−q), so accuracy

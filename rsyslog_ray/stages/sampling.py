@@ -160,6 +160,86 @@ def epoch_mix_sql(weights: dict[str, float], key_col: str = "source",
             f"ELSE CAST({dflt_t} AS HUGEINT) END THEN 1 ELSE 0 END")
 
 
+#: fifth independent odd multiplier — temperature-mix keep decisions
+TEMPERATURE_PRIME = 0xBF58476D1CE4E5B9
+
+
+def temperature_mix(ds, alpha: float = 0.3, frac: float = 0.5,
+                    key_col: str = "source", id_col: str = "doc_id"):
+    """Temperature-weighted source mixing — the T5/mT5 alpha-sampling
+    rule (Raffel et al. 2020 §3.1.2; Xue et al. 2021 §3.2): source s is
+    sampled with probability p_s ∝ n_s^alpha, flattening the natural
+    size distribution (alpha=1 keeps it, alpha=0 makes sources
+    uniform). Realized as per-doc keep probability
+    q_s = min(1, frac · N · p_s / n_s) with N = Σ n_s, i.e. the output
+    is an expected frac·N docs allocated across sources by p_s, capped
+    at each source's actual size. Deterministic id-hash threshold on an
+    independent stream (TEMPERATURE_PRIME), so it composes with
+    hash_split / sample_by_key / epoch_mix without correlation.
+
+    Two passes over the input lineage: a tiny per-source count
+    (count_by driver fold — source cardinality is bounded) computes
+    q_s, then a stateless map_batches filter. Nothing corpus-sized
+    moves or materializes. Float parity with the SQL twin: q_s is
+    computed with the exact operation order temperature_mix_sql emits
+    (pow → source-ordered sum → left-to-right multiply/divide chain)."""
+    from .aggregate import count_by
+    counts = count_by(ds, [key_col], fold_driver=True)
+    srcs = counts[key_col].to_pylist()
+    ns = [int(x) for x in counts["rows"].to_pylist()]
+    total = sum(ns)
+    pows = {s: float(n) ** alpha for s, n in zip(srcs, ns)}
+    sum_pow = 0.0
+    for s in sorted(pows):          # source-ordered left fold (SQL twin)
+        sum_pow += pows[s]
+    qs = {s: min(1.0, frac * total * pows[s] / sum_pow / n)
+          for s, n in zip(srcs, ns)}
+    keys = pa.array(list(qs.keys()), pa.string())
+    full = np.asarray([qs[k.as_py()] >= 1.0 for k in keys], bool)
+    thr = np.asarray([min(_TWO64 - 1, int(qs[k.as_py()] * _TWO64))
+                      for k in keys], np.uint64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = _u64(batch[id_col], TEMPERATURE_PRIME)
+        idx = pc.fill_null(
+            pc.index_in(pc.cast(batch[key_col], pa.string()),
+                        value_set=keys), -1) \
+            .to_numpy(zero_copy_only=False)
+        hit = idx >= 0
+        safe = np.clip(idx, 0, max(len(thr) - 1, 0))
+        # unseen-in-count sources (hit==False) can't occur on the same
+        # input; drop them rather than guess a threshold
+        keep = hit & (full[safe] | (u < thr[safe]))
+        return batch.filter(pa.array(keep))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def temperature_mix_sql(alpha: float = 0.3, frac: float = 0.5,
+                        key_col: str = "source", id_col: str = "doc_id",
+                        table: str = "documents",
+                        select: str = "doc_id, source") -> str:
+    """Matching DuckDB query for temperature_mix: recomputes q_s from
+    the data with the same float64 operation order (POWER, a
+    list-ordered sum so the fold order matches Python's sorted-key
+    loop, then the same multiply/divide chain) and applies the same
+    hash threshold; FLOOR before the HUGEINT cast mirrors Python's
+    truncating int()."""
+    u = f"(CAST({id_col} AS HUGEINT) * {TEMPERATURE_PRIME}) % {_TWO64}"
+    return f"""
+WITH c AS (SELECT {key_col}, COUNT(*) AS n,
+                  POWER(COUNT(*), {alpha!r}) AS p
+           FROM {table} GROUP BY {key_col}),
+t AS (SELECT SUM(n) AS total,
+             list_aggregate(list(p ORDER BY {key_col}), 'sum') AS sp
+      FROM c),
+q AS (SELECT c.{key_col},
+             LEAST(1.0, {frac!r} * t.total * c.p / t.sp / c.n) AS qs
+      FROM c CROSS JOIN t)
+SELECT {select} FROM {table} d JOIN q USING ({key_col})
+WHERE q.qs >= 1.0
+   OR {u} < CAST(FLOOR(q.qs * 18446744073709551616.0) AS HUGEINT)"""
+
+
 def sample_threshold_sql(weights: dict[str, float],
                          key_col: str = "source",
                          id_col: str = "doc_id",

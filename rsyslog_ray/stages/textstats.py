@@ -566,6 +566,51 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def ccnet_buckets(ds, n_tiles: int = 3,
+                  labels: tuple = ("head", "middle", "tail"),
+                  text_col: str = "text", id_col: str = "doc_id",
+                  key_col: str = "source",
+                  vocab_threshold: int = 5_000_000):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §3.3): score
+    every doc with the corpus bigram LM, then split each source's docs
+    into `n_tiles` equal-size quality tiles by score (best first —
+    lowest perplexity == highest lm_score == tile 1 == 'head'). Docs
+    with <2 tokens have no perplexity and emit no row (same as
+    bigram_lm_score).
+
+    Composition of three existing distributed shapes: bigram_lm_score
+    (broadcast counts / term-keyed joins above vocab_threshold) →
+    equi_join back to (id, source) to attach the tile key → ntile
+    rank_by_key (hash-bucketed per-source window; source cardinality
+    bounds each bucket). Tie-break (lm_score DESC, doc_id DESC) makes
+    the tiles deterministic; lm_score is already rounded to 6 dp so
+    both sides tie identically."""
+    from .aggregate import rank_by_key
+    from .joins import equi_join
+    scored = bigram_lm_score(ds, text_col=text_col, id_col=id_col,
+                             vocab_threshold=vocab_threshold)
+    keyed = equi_join(
+        scored,
+        ds.map_batches(lambda t: t.select([id_col, key_col]),
+                       batch_format="pyarrow"),
+        key=id_col)
+    tiled = rank_by_key(keyed, key=key_col,
+                        order_cols=("lm_score", id_col),
+                        method="ntile", n_tiles=n_tiles,
+                        descending=True, out_col="tile")
+    lab = pa.array(list(labels), pa.string())
+
+    def finish(t: pa.Table) -> pa.Table:
+        tiles = pc.cast(t["tile"], pa.int64())
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            key_col: pc.cast(t[key_col], pa.string()),
+            "lm_score": pc.cast(t["lm_score"], pa.float64()),
+            "tile": tiles,
+            "bucket": pc.take(lab, pc.subtract(tiles, 1))})
+    return tiled.map_batches(finish, batch_format="pyarrow")
+
+
 def blocklist_filter(ds, words: list[str], text_col: str = "text",
                      id_col: str = "doc_id"):
     """C4-style badword filter: drop every document containing ANY

@@ -1064,3 +1064,38 @@ def test_dyn_inc_unused_metric_life_ttl(ray_session):
     assert dict(zip(full["key"].to_pylist(),
                     full["rows"].to_pylist())) == {
         "fresh": 2, "late": 2, "stale": 3}
+
+
+def test_roc_auc_matches_numpy_rank_formula(ray_session):
+    """Tie-aware AUC vs a direct O(n^2) pair count on a small random
+    fixture (ties planted by rounding scores to one decimal)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import roc_auc
+
+    rng = np.random.default_rng(7)
+    s = np.round(rng.normal(size=400), 1)
+    lab = (rng.random(400) < 0.3).astype(np.int64)
+    tbl = pa.table({"score": pa.array(s), "label": pa.array(lab)})
+    got = roc_auc(rd.from_arrow(tbl).repartition(7))
+    ps, ns = s[lab == 1], s[lab == 0]
+    wins = (ps[:, None] > ns[None, :]).sum() \
+        + 0.5 * (ps[:, None] == ns[None, :]).sum()
+    want = wins / (len(ps) * len(ns))
+    assert got["auc"][0].as_py() == want       # exact (half-int sums)
+    assert got["n_pos"][0].as_py() == len(ps)
+    assert got["n_neg"][0].as_py() == len(ns)
+
+
+def test_roc_auc_perfect_and_degenerate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import roc_auc
+
+    tbl = pa.table({"score": pa.array([1.0, 2.0, 3.0, 4.0]),
+                    "label": pa.array([0, 0, 1, 1])})
+    assert roc_auc(rd.from_arrow(tbl))["auc"][0].as_py() == 1.0
+    one_class = pa.table({"score": pa.array([1.0, 2.0]),
+                          "label": pa.array([1, 1])})
+    assert roc_auc(rd.from_arrow(one_class))["auc"][0].as_py() is None

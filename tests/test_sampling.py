@@ -535,3 +535,39 @@ def test_contamination_report_partition_invariance():
                     .to_pandas())
     assert outs[0].equals(outs[1])
     assert (outs[0].n_contaminated > 0).any()
+
+
+def test_temperature_mix_flattens_and_caps():
+    """alpha=0 allocates the budget uniformly across sources, so the
+    small source is kept whole (q capped at 1) while the big one is
+    thinned; alpha=1 keeps natural proportions (q_s == frac for all)."""
+    rows = [{"doc_id": i, "source": "big" if i < 900 else "small"}
+            for i in range(1000)]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl)
+
+    from rsyslog_ray.stages.sampling import temperature_mix
+    out = temperature_mix(ds, alpha=0.0, frac=0.5).to_pandas()
+    by = out.groupby("source").size()
+    # N=1000, p uniform -> 250 per source; small has only 100 -> all kept
+    assert by["small"] == 100
+    assert 180 < by["big"] < 320          # ~250 expected, hash variance
+
+    nat = temperature_mix(ds, alpha=1.0, frac=0.5).to_pandas()
+    byn = nat.groupby("source").size()
+    assert 400 < byn["big"] < 500          # ~450
+    assert 30 < byn["small"] < 70          # ~50
+
+
+def test_temperature_mix_partition_invariant():
+    from rsyslog_ray.stages.sampling import temperature_mix
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(600)]
+    tbl = pa.Table.from_pylist(rows)
+    outs = []
+    for nparts in (1, 8):
+        got = temperature_mix(rd.from_arrow(tbl).repartition(nparts),
+                              alpha=0.3, frac=0.4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    assert 0 < len(outs[0]) < 600

@@ -410,3 +410,33 @@ def test_mine_templates(ray_session):
     assert out["session <hex> opened for id <n>"] == 2
     assert out["job <uuid> done"] == 1
     assert out["unique message"] == 1
+
+
+def test_ccnet_buckets_tiles_by_score(ray_session):
+    """Repeated-phrase docs score high (head), rare-word docs low
+    (tail); tiles are per-source NTILE(3)-sized and partition-stable."""
+    import ray.data as rd
+    from rsyslog_ray.stages.textstats import ccnet_buckets
+
+    rows = []
+    common = "the cat sat on the mat"
+    for i in range(9):                  # one source, 9 scored docs
+        txt = common if i < 5 else f"zx{i} qw{i} er{i} ty{i}"
+        rows.append({"doc_id": i, "source": "s0", "text": txt})
+    rows.append({"doc_id": 99, "source": "s0", "text": "solo"})  # <2 toks
+    tbl = pa.table({k: pa.array([r[k] for r in rows])
+                    for k in ("doc_id", "source", "text")})
+    outs = []
+    for nparts in (1, 4):
+        got = ccnet_buckets(rd.from_arrow(tbl).repartition(nparts)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    g = outs[0]
+    assert len(g) == 9                          # doc 99 unscored
+    assert list(g.groupby("tile").size()) == [3, 3, 3]
+    # the repeated-phrase docs outrank the rare-word docs
+    assert set(g[g.bucket == "head"].doc_id) <= {0, 1, 2, 3, 4}
+    assert (g[g.doc_id >= 5].bucket != "head").all()
+    # equal scores tie-break by doc_id DESC: head == exactly {4, 3, 2}
+    assert set(g[g.tile == 1].doc_id) == {2, 3, 4}
