@@ -174,6 +174,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("temperature_mix", Q.q_temperature_mix, sf_dir)
     timed("ccnet_buckets", Q.q_ccnet_buckets, sf_dir)
     timed("auc_quality", Q.q_auc_quality, sf_dir)
+    timed("char_entropy", Q.q_char_entropy, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1378,6 +1378,9 @@ FROM t ORDER BY doc_id"""
     q["auc_quality"] = roc_auc_sql(
         "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END")
 
+    from ..stages.textstats import char_entropy_sql
+    q["char_entropy"] = char_entropy_sql()
+
     from ..stages.textstats import gopher_quality_sql
     q["gopher_quality"] = gopher_quality_sql(min_words=30, max_words=90,
                                              min_stop_hits=1)

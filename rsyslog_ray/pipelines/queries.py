@@ -1681,6 +1681,15 @@ def q_auc_quality(sf_dir: str) -> pa.Table:
     return roc_auc(ds.map_batches(prep, batch_format="pyarrow"))
 
 
+def q_char_entropy(sf_dir: str) -> pa.Table:
+    """Per-doc codepoint Shannon entropy (gibberish / binary-junk
+    signal). Map-only — input row order preserved."""
+    from ..stages.textstats import char_entropy
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    return _to_table(char_entropy(ds))
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher quality-rule composite (Rae et al. 2021): per-doc word
     count / mean word length / symbol ratio / line fractions / alpha

@@ -566,6 +566,74 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc Shannon entropy over Unicode codepoints in nats
+    (rounded half-away 6 dp) — the standard cheap gibberish / binary /
+    encoding-junk detector (natural prose sits ~2.9-3.2 nats; base64
+    and hex blobs run higher, repeated-char spam lower). Docs with
+    empty/null text emit no row (no distribution to measure).
+
+    One stateless vectorized pass: ASCII batches read the Arrow string
+    data buffer directly (np.frombuffer, zero copies) and count
+    (row, byte) pairs with a single np.unique over row-packed keys;
+    batches containing non-ASCII fall back to a per-row codepoint
+    decode (the corpus-rare path). entropy = ln(n) − Σ c·ln(c)/n over
+    the per-doc counts — the same expression the SQL twin uses, so
+    the ≤256-term float sums agree to well under the 6 dp rounding."""
+    CP = np.int64(0x110000)              # codepoint space bound
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_rows = len(txt)
+        bufs = txt.buffers()            # [validity, offsets, data]
+        offs = np.frombuffer(bufs[1], np.int32)[
+            txt.offset:txt.offset + n_rows + 1].astype(np.int64)
+        buf = np.frombuffer(bufs[2] or b"", np.uint8)
+        data = buf[offs[0]:offs[-1]]
+        if data.size and (data >= 128).any():
+            per_row = [np.fromiter(map(ord, s), np.int64)
+                       for s in txt.to_pylist()]
+            lens = np.asarray([len(c) for c in per_row], np.int64)
+            codes = (np.concatenate(per_row) if per_row
+                     else np.empty(0, np.int64))
+        else:
+            codes = data.astype(np.int64)
+            lens = np.diff(offs)
+        rows = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        uk, cnt = np.unique(rows * CP + codes, return_counts=True)
+        acc = np.zeros(n_rows, np.float64)
+        np.add.at(acc, uk // CP, cnt * np.log(cnt))
+        nz = lens > 0
+        ids = pc.cast(batch[id_col], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        n = lens[nz].astype(np.float64)
+        ent = _round_away6(np.log(n) - acc[nz] / n)
+        return pa.table({id_col: pa.array(ids[nz], pa.int64()),
+                         "n_cp": pa.array(lens[nz].astype(np.int64)),
+                         "entropy": pa.array(ent, pa.float64())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def char_entropy_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """Matching DuckDB query for char_entropy (codepoint explode via
+    string_split(t, ''); same ln(n) − Σ c·ln(c)/n form and rounding)."""
+    return f"""
+WITH cc AS (
+  SELECT {id_col}, length({text_col}) AS n,
+         unnest(string_split({text_col}, '')) AS ch
+  FROM {table} WHERE {text_col} IS NOT NULL AND length({text_col}) > 0
+),
+cnts AS (SELECT {id_col}, any_value(n) AS n, ch, count(*) AS c
+         FROM cc GROUP BY {id_col}, ch)
+SELECT {id_col}, CAST(any_value(n) AS BIGINT) AS n_cp,
+       round(ln(any_value(n)) - SUM(c * ln(c)) / any_value(n), 6)
+         AS entropy
+FROM cnts GROUP BY {id_col}"""
+
+
 def ccnet_buckets(ds, n_tiles: int = 3,
                   labels: tuple = ("head", "middle", "tail"),
                   text_col: str = "text", id_col: str = "doc_id",

@@ -440,3 +440,45 @@ def test_ccnet_buckets_tiles_by_score(ray_session):
     assert (g[g.doc_id >= 5].bucket != "head").all()
     # equal scores tie-break by doc_id DESC: head == exactly {4, 3, 2}
     assert set(g[g.tile == 1].doc_id) == {2, 3, 4}
+
+
+def test_char_entropy_known_values_and_unicode(ray_session):
+    """Hand-computable distributions, incl. a non-ASCII batch that
+    exercises the codepoint fallback path, and an empty doc emitting
+    no row."""
+    import math
+    import ray.data as rd
+    from rsyslog_ray.stages.textstats import char_entropy
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["aaaa",          # 0 nats
+                          "abab",          # ln 2
+                          "héhé",          # ln 2 (2 codepoints x2)
+                          ""]),            # no row
+    })
+    got = char_entropy(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.doc_id.tolist() == [0, 1, 2]
+    assert got.n_cp.tolist() == [4, 4, 4]
+    assert got.entropy.tolist() == [
+        0.0, round(math.log(2), 6), round(math.log(2), 6)]
+
+
+def test_char_entropy_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from rsyslog_ray.stages.textstats import char_entropy, char_entropy_sql
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(rng.choice(list("abcdef \n."), size=int(k)))
+             for k in rng.integers(1, 200, size=120)]
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    got = char_entropy(rd.from_arrow(tbl).repartition(6)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.execute(char_entropy_sql() + " ORDER BY doc_id").df()
+    assert got.n_cp.tolist() == want.n_cp.tolist()
+    assert got.entropy.tolist() == want.entropy.tolist()
