@@ -571,3 +571,28 @@ def test_temperature_mix_partition_invariant():
         outs.append(got)
     assert outs[0].equals(outs[1])
     assert 0 < len(outs[0]) < 600
+
+
+def test_temperature_mix_duckdb_parity_across_params(ray_session):
+    """The SQL twin recomputes q_s from the data in float64; verify the
+    kept-row SETS match bit-for-bit across alphas/fracs (the pow /
+    ordered-sum / divide-chain parity claim)."""
+    import duckdb
+    from rsyslog_ray.stages.sampling import temperature_mix, temperature_mix_sql
+
+    rng = np.random.default_rng(9)
+    srcs = rng.choice([f"s{i}" for i in range(7)], size=3000,
+                      p=[.4, .25, .15, .1, .05, .03, .02])
+    tbl = pa.table({"doc_id": pa.array(range(3000), pa.int64()),
+                    "source": pa.array(srcs)})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    for alpha in (0.0, 0.3, 0.5, 0.7, 1.0, 1.7):
+        for frac in (0.1, 0.37, 0.5, 0.93):
+            got = sorted(
+                temperature_mix(rd.from_arrow(tbl), alpha=alpha,
+                                frac=frac).to_pandas().doc_id)
+            want = sorted(con.execute(
+                temperature_mix_sql(alpha=alpha, frac=frac)
+            ).df().doc_id)
+            assert got == want, (alpha, frac, len(got), len(want))
