@@ -1073,6 +1073,22 @@ reach AS (
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node"""
 
+    # dedup audit histogram over the same transitive closure
+    q["dedup_report"] = (
+        q["neardup_clusters"].replace(
+            "SELECT node AS doc_id, min(r) AS cluster_id "
+            "FROM reach GROUP BY node",
+            """clus AS (SELECT node AS doc_id, min(r) AS cluster_id
+         FROM reach GROUP BY node),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM clus GROUP BY cluster_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size ORDER BY cluster_size"""))
+    # splice: the replacement turns the final SELECT into a CTE, so the
+    # 'reach AS (...)' list needs the extra comma
+    q["dedup_report"] = q["dedup_report"].replace(
+        ")\nclus AS", "),\nclus AS")
+
     q["jaccard_dedup"] = r"""
 WITH toks AS (
   SELECT doc_id,

@@ -742,6 +742,12 @@ def q_neardup_clusters(sf_dir: str) -> pa.Table:
     → keyed left join back to the corpus; singleton docs keep their own
     id as cluster_id. The SQL twin closes the same transitive closure
     with a recursive CTE — a graph operator with an exact oracle."""
+    return _to_table(_neardup_clusters_ds(sf_dir))
+
+
+def _neardup_clusters_ds(sf_dir: str):
+    """(doc_id, cluster_id) Dataset shared by q_neardup_clusters and
+    q_dedup_report (see q_neardup_clusters for the shape)."""
     from ..stages.dedup import connected_components, ngram_jaccard_pairs
     from ..stages.joins import equi_join
 
@@ -778,7 +784,7 @@ def q_neardup_clusters(sf_dir: str) -> pa.Table:
                            dtype=np.int64)
             return pa.table({"doc_id": pa.array(d),
                              "cluster_id": pa.array(cid)})
-        return _to_table(ids.map_batches(assign, batch_format="pyarrow"))
+        return ids.map_batches(assign, batch_format="pyarrow")
 
     labels = connected_components(pairs).map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
@@ -790,7 +796,16 @@ def q_neardup_clusters(sf_dir: str) -> pa.Table:
                           pc.cast(t["doc_id"], pa.int64()))
         return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
                          "cluster_id": cid})
-    return _to_table(joined.map_batches(finish, batch_format="pyarrow"))
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def q_dedup_report(sf_dir: str) -> pa.Table:
+    """Dedup audit histogram: cluster-size distribution of the
+    near-dup components (cluster_size → n_clusters). Two bounded
+    aggregations over the cluster assignment — sizes via bucket_merge,
+    the histogram via a driver fold (size domain ≤ max cluster size)."""
+    from ..stages.dedup import cluster_size_report
+    return cluster_size_report(_neardup_clusters_ds(sf_dir))
 
 
 def q_jaccard_dedup(sf_dir: str) -> pa.Table:

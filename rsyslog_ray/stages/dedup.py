@@ -454,6 +454,28 @@ def _materialize_nonempty(ds, fields: list[tuple[str, pa.DataType]]):
     return rd.from_arrow_refs(keep), total
 
 
+def cluster_size_report(clusters, key_col: str = "cluster_id") -> pa.Table:
+    """Dedup audit: histogram of component sizes over a (member →
+    cluster label) assignment — (cluster_size, n_clusters), size
+    ascending. The report every dedup run should ship with: singleton
+    count, dup mass, and the heavy-cluster tail in one tiny table.
+
+    Two bounded aggregations: per-cluster sizes via the hash-bucketed
+    count_by merge (shuffles one row per cluster per batch), then the
+    histogram over sizes with a driver fold — the size DOMAIN is at
+    most the largest component, thousands of distinct values at any
+    corpus scale."""
+    from .aggregate import count_by
+    sizes = count_by(clusters, [key_col])
+
+    def to_size(t: pa.Table) -> pa.Table:
+        return pa.table({"cluster_size": pc.cast(t["rows"], pa.int64())})
+
+    hist = count_by(sizes.map_batches(to_size, batch_format="pyarrow"),
+                    ["cluster_size"], fold_driver=True)
+    return hist.rename_columns(["cluster_size", "n_clusters"])
+
+
 def connected_components(pairs, num_partitions: int | None = None,
                          max_iters: int = 25):
     """Distributed connected components over an edge Dataset (a, b) —

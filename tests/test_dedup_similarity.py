@@ -684,3 +684,16 @@ def test_canonicalize_text_matches_duckdb_fuzz():
         assert eng == got, (vals, eng, got)
 
     check()
+
+
+def test_cluster_size_report_histogram(ray_session):
+    import ray.data as rd
+    from rsyslog_ray.stages.dedup import cluster_size_report
+
+    # components: {0,1,2} {3,4} {5,6} {7} {8} -> sizes 3,2,2,1,1
+    assign = pa.table({
+        "doc_id": pa.array(range(9), pa.int64()),
+        "cluster_id": pa.array([0, 0, 0, 3, 3, 5, 5, 7, 8], pa.int64())})
+    got = cluster_size_report(rd.from_arrow(assign).repartition(4))
+    assert got["cluster_size"].to_pylist() == [1, 2, 3]
+    assert got["n_clusters"].to_pylist() == [2, 2, 1]
