@@ -33,6 +33,10 @@ from .flagship import CANONICAL_RULESET, build_parsed_dataset
 def _to_table(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return _finalize(ds)
+    # materialize BEFORE to_arrow_refs: on a lazy plan, to_arrow_refs
+    # triggers a schema probe (limit-1) that re-executes the whole plan
+    # when it contains an all-to-all op — measured 2.2x on ccnet_buckets
+    ds = ds.materialize()
     refs = ds.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows >= 0]
     tbl = pa.concat_tables(tables, promote_options="default") if tables else pa.table({})

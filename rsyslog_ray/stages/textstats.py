@@ -435,7 +435,8 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
-                    vocab_threshold: int = 5_000_000):
+                    vocab_threshold: int = 5_000_000,
+                    carry_cols: tuple = ()):
     """Corpus-trained bigram language-model scoring (the CCNet-style
     quality filter): per-doc mean add-one-smoothed log-probability
     lm_score = avg over bigrams of ln((c(prev,cur)+1) / (c(prev)+V)),
@@ -450,7 +451,10 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
          sum); above it, the doc bigrams explode to rows and flow
          through two term-keyed equi_joins + a doc-bucketed merge —
          nothing corpus-sized on the driver.
-    Output (doc_id, lm_score rounded half-away 6 dp, n_bigrams)."""
+    Output (doc_id, lm_score rounded half-away 6 dp, n_bigrams [,
+    carry_cols]). `carry_cols` ride along the broadcast scoring pass
+    for free (no extra shuffle); on the join path they attach via one
+    id-keyed equi_join after the merge."""
     import pandas as pd
     import ray as _ray
 
@@ -501,9 +505,12 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             uc, bc = _ray.get(uni_ref), _ray.get(big_ref)
             ridx, prevs, grams = _doc_bigrams(t)
             if not len(ridx):
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "lm_score": pa.array([], pa.float64()),
-                                 "n_bigrams": pa.array([], pa.int64())})
+                empty = {id_col: pa.array([], pa.int64()),
+                         "lm_score": pa.array([], pa.float64()),
+                         "n_bigrams": pa.array([], pa.int64())}
+                for c in carry_cols:
+                    empty[c] = t[c].slice(0, 0)
+                return pa.table(empty)
             cb = pd.Series(grams).map(bc).to_numpy(np.float64)
             cu = pd.Series(prevs).map(uc).to_numpy(np.float64)
             lp = np.log((cb + 1.0) / (cu + float(vocab)))
@@ -513,10 +520,14 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
             keep = cnts > 0
             ids = t[id_col].to_numpy(zero_copy_only=False)[keep]
             sc = _round_away6(sums[keep] / cnts[keep])
-            return pa.table({id_col: pa.array(ids, pa.int64()),
-                             "lm_score": pa.array(sc, pa.float64()),
-                             "n_bigrams": pa.array(
-                                 cnts[keep].astype(np.int64))})
+            out = {id_col: pa.array(ids, pa.int64()),
+                   "lm_score": pa.array(sc, pa.float64()),
+                   "n_bigrams": pa.array(cnts[keep].astype(np.int64))}
+            if carry_cols:
+                sel = pa.array(np.flatnonzero(keep))
+                for c in carry_cols:
+                    out[c] = pc.take(t[c], sel)
+            return pa.table(out)
 
         return ds.map_batches(score, batch_format="pyarrow",
                               batch_size=None)
@@ -563,7 +574,14 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
                                               pa.float64()),
                          "n_bigrams": pa.array(n.astype(np.int64))})
 
-    return merged.map_batches(finish, batch_format="pyarrow")
+    scored = merged.map_batches(finish, batch_format="pyarrow")
+    if carry_cols:
+        scored = equi_join(
+            scored,
+            ds.map_batches(lambda t: t.select([id_col, *carry_cols]),
+                           batch_format="pyarrow"),
+            key=id_col)
+    return scored
 
 
 def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -646,22 +664,18 @@ def ccnet_buckets(ds, n_tiles: int = 3,
     with <2 tokens have no perplexity and emit no row (same as
     bigram_lm_score).
 
-    Composition of three existing distributed shapes: bigram_lm_score
-    (broadcast counts / term-keyed joins above vocab_threshold) →
-    equi_join back to (id, source) to attach the tile key → ntile
-    rank_by_key (hash-bucketed per-source window; source cardinality
-    bounds each bucket). Tie-break (lm_score DESC, doc_id DESC) makes
-    the tiles deterministic; lm_score is already rounded to 6 dp so
-    both sides tie identically."""
+    Composition of two existing distributed shapes: bigram_lm_score
+    with the tile key riding along its scoring pass (carry_cols — no
+    extra shuffle on the broadcast path; one id-keyed join above
+    vocab_threshold) → ntile rank_by_key (hash-bucketed per-source
+    window; source cardinality bounds each bucket). Tie-break
+    (lm_score DESC, doc_id DESC) makes the tiles deterministic;
+    lm_score is already rounded to 6 dp so both sides tie
+    identically."""
     from .aggregate import rank_by_key
-    from .joins import equi_join
-    scored = bigram_lm_score(ds, text_col=text_col, id_col=id_col,
-                             vocab_threshold=vocab_threshold)
-    keyed = equi_join(
-        scored,
-        ds.map_batches(lambda t: t.select([id_col, key_col]),
-                       batch_format="pyarrow"),
-        key=id_col)
+    keyed = bigram_lm_score(ds, text_col=text_col, id_col=id_col,
+                            vocab_threshold=vocab_threshold,
+                            carry_cols=(key_col,))
     tiled = rank_by_key(keyed, key=key_col,
                         order_cols=("lm_score", id_col),
                         method="ntile", n_tiles=n_tiles,
