@@ -627,7 +627,7 @@ def distinct_count_by(ds, key: str = "event_type", val: str = "user_id",
         # per-batch distinct pairs fit on the driver: one dedupe pass
         # beats the bucket shuffle's fixed cost (jaccard/minhash pattern)
         import ray as _ray
-        df = pa.concat_tables(_ray.get(pairs.to_arrow_refs())).to_pandas()
+        df = pa.concat_tables(_ray.get(pairs.materialize().to_arrow_refs())).to_pandas()
         folded = (df.drop_duplicates().groupby(key, sort=True)["v"].size())
         return pa.table({key: pa.array(folded.index.to_numpy()),
                          "n_distinct": pa.array(folded.to_numpy(),
@@ -971,7 +971,7 @@ def profile_columns(ds, columns: list[str] | None = None,
     import pandas as pd
     total = parts.count()
     if total <= driver_threshold:
-        df = pa.concat_tables(_ray.get(parts.to_arrow_refs())).to_pandas()
+        df = pa.concat_tables(_ray.get(parts.materialize().to_arrow_refs())).to_pandas()
     else:
         # value-bucketed distributed dedupe: a value's every occurrence
         # co-locates, so per-bucket distinct pair counts are globally
@@ -1248,7 +1248,7 @@ def centroid_by_label(ds, label_col: str = "label",
     if partials.count() <= driver_threshold:
         import ray as _ray
         import ray.data as rd
-        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(partials.materialize().to_arrow_refs()))
         folded = tbl.group_by([label_col, "dim"]) \
             .aggregate([("s", "sum"), ("n", "sum")])
         merged = rd.from_arrow(pa.table({

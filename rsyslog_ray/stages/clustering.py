@@ -142,7 +142,7 @@ def kmeans_fit(ds, k: int = 8, col: str = "embedding", iters: int = 5,
             merged = bucket_merge(partials, ["cluster", "dim"],
                                   {"s": ("s", "sum"), "n": ("n", "sum")})
             tbl = pa.concat_tables(
-                [t for t in ray.get(merged.to_arrow_refs()) if t.num_rows],
+                [t for t in ray.get(merged.materialize().to_arrow_refs()) if t.num_rows],
                 promote_options="default")
             cl = tbl["cluster"].to_numpy(zero_copy_only=False)
             dm = tbl["dim"].to_numpy(zero_copy_only=False)

@@ -287,7 +287,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     n_band_rows = sig_proj.count() * bands
     if n_band_rows <= driver_threshold:
         import ray as _ray
-        tbl = pa.concat_tables(_ray.get(buckets.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(buckets.materialize().to_arrow_refs()))
         pair_rows = pairs_bucket(tbl.to_pandas()).drop_duplicates()
         if len(pair_rows):
             # verify: fetch signatures for candidate ids only (candidates
@@ -303,7 +303,7 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 return t.filter(m)
             st = pa.concat_tables(_ray.get(
                 sig_proj.map_batches(pick, batch_format="pyarrow")
-                .to_arrow_refs()))
+                .materialize().to_arrow_refs()))
             sids = st[id_col].to_numpy(zero_copy_only=False)
             smat = np.asarray(st["minhash"].combine_chunks().flatten()
                               .to_numpy(zero_copy_only=False)) \
@@ -597,7 +597,7 @@ def drop_pair_partners(ds, pairs, id_col: str,
         return casted
     if n_drop <= broadcast_threshold:
         drop_ids = pa.concat_tables(
-            ray.get(drops.to_arrow_refs()))["node"].combine_chunks()
+            ray.get(drops.materialize().to_arrow_refs()))["node"].combine_chunks()
         ref = ray.put(drop_ids)
 
         def anti(t: pa.Table) -> pa.Table:
@@ -843,7 +843,7 @@ def hamming_dedup_signatures(ds, sig_ds, id_col: str = "doc_id",
     n_rows = exploded.count()
     if n_rows <= driver_threshold:
         import ray as _ray
-        tbl = pa.concat_tables(_ray.get(exploded.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(exploded.materialize().to_arrow_refs()))
         pr = pairs_all(tbl.to_pandas())
         drop = _driver_drop_set(pr["a"].to_numpy(), pr["b"].to_numpy())
         return _broadcast_keep(ds, drop, id_col)
@@ -997,7 +997,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     if postings.count() <= driver_threshold:
         import ray as _ray
         import ray.data as rd
-        tbl = pa.concat_tables(_ray.get(postings.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(postings.materialize().to_arrow_refs()))
         return rd.from_arrow(
             _jaccard_score(_jaccard_pair_counts(tbl, max_df), threshold))
 
@@ -1167,7 +1167,7 @@ def boilerplate_filter(ds, text_col: str = "text",
         [("_t", ktype), ("_d", pa.string())])
 
     if n_pairs <= broadcast_threshold:
-        tbl = pa.concat_tables(ray.get(partials.to_arrow_refs()))
+        tbl = pa.concat_tables(ray.get(partials.materialize().to_arrow_refs()))
         df = tbl.to_pandas().drop_duplicates()
         vc = df.groupby("_t", sort=False).size()
         hot = pa.array(vc.index[vc.to_numpy() >= min_docs].to_numpy(
@@ -1194,7 +1194,7 @@ def boilerplate_filter(ds, text_col: str = "text",
     if n_hot <= broadcast_threshold:
         if hot is None:
             hot = pa.concat_tables(
-                ray.get(hot_ds.to_arrow_refs()))["_t"].combine_chunks()
+                ray.get(hot_ds.materialize().to_arrow_refs()))["_t"].combine_chunks()
         ref = ray.put(hot)
 
         def drop_hot(batch: pa.Table) -> pa.Table:
@@ -1342,7 +1342,7 @@ def editdist_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         [("v", pa.string()), (id_col, pa.int64()), ("k", pa.string())])
     if n_posts <= driver_threshold:
         import ray as _ray
-        tbl = pa.concat_tables(_ray.get(posts.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(posts.materialize().to_arrow_refs()))
         out = pairs_of(tbl.to_pandas())
         return rd_from_pandas_pairs(out)
     from ..cluster import cluster_buckets

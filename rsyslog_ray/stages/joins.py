@@ -168,7 +168,7 @@ def _dual_path(both, per_group, schema: pa.Schema, driver_threshold: int):
     import ray.data as rd
     both = both.materialize()
     if both.count() <= driver_threshold:
-        tbls = _ray.get(both.to_arrow_refs())
+        tbls = _ray.get(both.materialize().to_arrow_refs())
         tbls = [t for t in tbls if t.num_rows]
         if not tbls:
             return rd.from_arrow(schema.empty_table())

@@ -434,9 +434,12 @@ def pack_sequences(ds, max_tokens: int = 2048, group_col: str = "source",
                  .rename_columns(["g", "c", "tsum"]))
 
     # pass 1: tiny (group × chunk) partials → driver fold → exclusive
-    # prefix offsets per (group, chunk) in chunk order
+    # prefix offsets per (group, chunk) in chunk order. materialize
+    # before to_arrow_refs: on a lazy plan it runs a limit-1 schema
+    # probe whose task cancellation can race task completion (observed
+    # ray 2.49 task_manager check-failure) and re-executes the plan
     part_tbls = _ray.get(ds.map_batches(
-        partials, batch_format="pyarrow").to_arrow_refs())
+        partials, batch_format="pyarrow").materialize().to_arrow_refs())
     parts = pa.concat_tables([t for t in part_tbls if t.num_rows])
     folded = (parts.group_by(["g", "c"]).aggregate([("tsum", "sum")])
               .rename_columns(["g", "c", "tsum"]))
@@ -536,8 +539,10 @@ def shuffle_shards(ds, n_shards: int = 16, seed: int = 1,
                 .aggregate([([], "count_all")])
                 .rename_columns(["shard", "_ub", "n"]))
 
+    # materialize first — same lazy-plan to_arrow_refs probe/cancel
+    # race as pack_sequences above
     part_tbls = _ray.get(with_keys.map_batches(
-        counts, batch_format="pyarrow").to_arrow_refs())
+        counts, batch_format="pyarrow").materialize().to_arrow_refs())
     parts = pa.concat_tables([t for t in part_tbls if t.num_rows])
     folded = (parts.group_by(["shard", "_ub"]).aggregate([("n", "sum")])
               .rename_columns(["shard", "_ub", "n"]))
@@ -621,7 +626,7 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
 
     if n_part <= broadcast_threshold:
         # driver fold: one group_by over the partial blocks
-        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(partials.materialize().to_arrow_refs()))
         folded = tbl.group_by(["g"]).aggregate([("df", "sum")])
         gset = folded.filter(
             pc.greater_equal(folded["df_sum"], min_df))["g"] \
@@ -644,7 +649,7 @@ def dup_ngram_fraction(ds, n: int = 5, text_col: str = "text",
     if n_dup <= broadcast_threshold:
         if gset is None:
             gset = pa.concat_tables(
-                _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
+                _ray.get(dups.materialize().to_arrow_refs()))["g"].combine_chunks()
         ref = _ray.put(gset)
 
         def score(batch: pa.Table) -> pa.Table:
@@ -762,7 +767,7 @@ def remove_dup_spans(ds, n: int = 5, text_col: str = "text",
         [("g", pa.string()), ("cf", pa.int64())])
 
     if n_part <= broadcast_threshold:
-        tbl = pa.concat_tables(_ray.get(partials.to_arrow_refs()))
+        tbl = pa.concat_tables(_ray.get(partials.materialize().to_arrow_refs()))
         folded = tbl.group_by(["g"]).aggregate([("cf", "sum")])
         gset = folded.filter(
             pc.greater_equal(folded["cf_sum"], min_count))["g"] \
@@ -778,7 +783,7 @@ def remove_dup_spans(ds, n: int = 5, text_col: str = "text",
             cf_tbl.map_batches(only_dup, batch_format="pyarrow"),
             [("g", pa.string())])
         gset = pa.concat_tables(
-            _ray.get(dups.to_arrow_refs()))["g"].combine_chunks()
+            _ray.get(dups.materialize().to_arrow_refs()))["g"].combine_chunks()
     ref = _ray.put(gset)
 
     def clean(batch: pa.Table) -> pa.Table:

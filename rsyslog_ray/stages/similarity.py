@@ -240,7 +240,7 @@ def lsh_neardup_pairs(ds, threshold: float = 0.4, id_col: str = "vec_id",
     pairs, n_pairs = _materialize_nonempty(
         pairs, [("a", i64), ("b", i64), ("score", f64)])
     if n_pairs <= driver_threshold:
-        tbl = pa.concat_tables(ray.get(pairs.to_arrow_refs()))
+        tbl = pa.concat_tables(ray.get(pairs.materialize().to_arrow_refs()))
         df = tbl.to_pandas().drop_duplicates(["a", "b"])
         import ray.data as rd
         return rd.from_arrow(pa.Table.from_pandas(df.reset_index(drop=True),
