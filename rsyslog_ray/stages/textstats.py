@@ -461,21 +461,38 @@ def bigram_lm_score(ds, text_col: str = "text", id_col: str = "doc_id",
     from .aggregate import bucket_merge
     from .sampling import _word_ngrams
 
-    def _counts(n: int, name: str):
-        def partial(t: pa.Table) -> pa.Table:
-            g, _ = _word_ngrams(pc.cast(t[text_col], pa.string()), n)
-            if not len(g):
-                return pa.table({"gram": pa.array([], pa.string()),
-                                 name: pa.array([], pa.int64())})
-            u, c = np.unique(g.astype("U"), return_counts=True)
-            return pa.table({"gram": pa.array(u.astype(object), pa.string()),
-                             name: pa.array(c.astype(np.int64))})
-        parts = ds.map_batches(partial, batch_format="pyarrow")
-        return bucket_merge(parts, ["gram"],
-                            {name: (name, "sum")}).materialize()
+    # ONE tokenize pass counts unigrams AND bigrams together: a
+    # unigram (whitespace token) can never contain a space and a
+    # bigram always does, so the merged gram key space is
+    # collision-free and kind is recovered by space membership
+    def both_partial(t: pa.Table) -> pa.Table:
+        words, rows = _word_ngrams(pc.cast(t[text_col], pa.string()), 1)
+        if not len(words):
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        ws = words.astype("U")
+        valid = rows[:-1] == rows[1:] if len(ws) > 1 else \
+            np.empty(0, bool)
+        bi = np.char.add(np.char.add(ws[:-1], " "), ws[1:])[valid] \
+            if len(ws) > 1 else np.empty(0, ws.dtype)
+        u, c = np.unique(np.concatenate([ws, bi]), return_counts=True)
+        return pa.table({"gram": pa.array(u.astype(object), pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
 
-    uni = _counts(1, "c")
-    big = _counts(2, "c")
+    merged_counts = bucket_merge(
+        ds.map_batches(both_partial, batch_format="pyarrow"),
+        ["gram"], {"c": ("c", "sum")}).materialize()
+
+    def _side(want_bigram: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.match_substring(t["gram"], " ")
+            return t.filter(m if want_bigram else pc.invert(m))
+        return fn
+
+    uni = merged_counts.map_batches(_side(False),
+                                    batch_format="pyarrow").materialize()
+    big = merged_counts.map_batches(_side(True),
+                                    batch_format="pyarrow").materialize()
     vocab = uni.count()
 
     def _doc_bigrams(t: pa.Table):
