@@ -1394,6 +1394,9 @@ FROM t ORDER BY doc_id"""
     q["auc_quality"] = roc_auc_sql(
         "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END")
 
+    from ..stages.sampling import length_batches_sql
+    q["length_batches"] = length_batches_sql() + " ORDER BY doc_id"
+
     from ..stages.textstats import char_entropy_sql
     q["char_entropy"] = char_entropy_sql()
 

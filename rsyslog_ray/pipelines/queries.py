@@ -1709,6 +1709,16 @@ def q_char_entropy(sf_dir: str) -> pa.Table:
     return _to_table(char_entropy(ds))
 
 
+def q_length_batches(sf_dir: str) -> pa.Table:
+    """Length-bucketed training-batch assembly: token-count buckets →
+    deterministic hash order → fixed-size batch ids."""
+    from ..stages.sampling import length_batches
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text"])
+    # sort: the window shuffle reorders rows (driver hashes row order)
+    return _to_table(length_batches(ds)).sort_by("doc_id")
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher quality-rule composite (Rae et al. 2021): per-doc word
     count / mean word length / symbol ratio / line fractions / alpha

@@ -162,6 +162,74 @@ def epoch_mix_sql(weights: dict[str, float], key_col: str = "source",
 
 #: fifth independent odd multiplier — temperature-mix keep decisions
 TEMPERATURE_PRIME = 0xBF58476D1CE4E5B9
+#: sixth independent odd multiplier — length-bucket batch ordering
+BATCH_PRIME = 0x94D049BB133111EB
+
+
+def length_batches(ds, width: int = 64, n_buckets: int = 8,
+                   batch_docs: int = 32, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Length-bucketed training-batch assembly — the padding-efficiency
+    op every sequence trainer runs: docs bucket by whitespace-token
+    count (bucket = min(n_tokens // width, n_buckets-1), so batchmates
+    pad to similar lengths), then each bucket's docs take a
+    deterministic hash order and fill fixed-size batches of
+    `batch_docs` docs (batch_idx = row_number // batch_docs).
+
+    One stateless tokenize-count pass (no text leaves the stage — the
+    window carries only ints), then the per-bucket row_number window
+    via rank_by_key's hash-bucketed pandas pass; bucket count is
+    bounded by construction so no key skews beyond corpus/n_buckets.
+    Output (doc_id, n_tokens, bucket, batch_idx); exact ROW_NUMBER SQL
+    twin (same BATCH_PRIME hash order, id tie-break)."""
+    from .aggregate import rank_by_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        g, rows = _word_ngrams(pc.cast(t[text_col], pa.string()), 1)
+        n = np.bincount(rows, minlength=t.num_rows).astype(np.int64) \
+            if len(g) else np.zeros(t.num_rows, np.int64)
+        bucket = np.minimum(n // width, n_buckets - 1)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_tokens": pa.array(n),
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "_h": pa.array(_u64(t[id_col], BATCH_PRIME))})
+
+    ranked = rank_by_key(ds.map_batches(prep, batch_format="pyarrow"),
+                         key="bucket", order_cols=("_h", id_col),
+                         method="row_number", out_col="_rn")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["_rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "batch_idx": pa.array((rn - 1) // batch_docs)})
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+def length_batches_sql(width: int = 64, n_buckets: int = 8,
+                       batch_docs: int = 32, table: str = "documents",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """Matching DuckDB query for length_batches (same hash order)."""
+    return rf"""
+WITH d AS (
+  SELECT {id_col},
+         len(regexp_extract_all({text_col}, '\S+')) AS n_tokens
+  FROM {table}
+),
+b AS (SELECT {id_col}, n_tokens,
+             LEAST(n_tokens // {width}, {n_buckets - 1}) AS bucket,
+             (CAST({id_col} AS HUGEINT) * {BATCH_PRIME}) % {_TWO64} AS h
+      FROM d),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket
+          ORDER BY h, {id_col}) AS rn FROM b)
+SELECT {id_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST((rn - 1) // {batch_docs} AS BIGINT) AS batch_idx
+FROM r"""
 
 
 def temperature_mix(ds, alpha: float = 0.3, frac: float = 0.5,

@@ -596,3 +596,29 @@ def test_temperature_mix_duckdb_parity_across_params(ray_session):
                 temperature_mix_sql(alpha=alpha, frac=frac)
             ).df().doc_id)
             assert got == want, (alpha, frac, len(got), len(want))
+
+
+def test_length_batches_buckets_and_fill(ray_session):
+    """Buckets are token-count ranges; every batch within a bucket holds
+    exactly batch_docs docs except the last; assignment is partition-
+    and batch-size-invariant."""
+    from rsyslog_ray.stages.sampling import length_batches
+
+    rows = [{"doc_id": i,
+             "text": " ".join(["w"] * (5 if i < 50 else 100))}
+            for i in range(80)]
+    tbl = pa.Table.from_pylist(rows)
+    outs = []
+    for nparts in (1, 7):
+        got = length_batches(rd.from_arrow(tbl).repartition(nparts),
+                             width=64, n_buckets=8, batch_docs=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(got)
+    assert outs[0].equals(outs[1])
+    g = outs[0]
+    assert (g[g.doc_id < 50].bucket == 0).all()     # 5 tokens -> bucket 0
+    assert (g[g.doc_id >= 50].bucket == 1).all()    # 100 // 64 = 1
+    short = g[g.bucket == 0].groupby("batch_idx").size()
+    assert short.iloc[:-1].eq(8).all() and short.sum() == 50
+    long = g[g.bucket == 1].groupby("batch_idx").size()
+    assert long.iloc[:-1].eq(8).all() and long.sum() == 30
