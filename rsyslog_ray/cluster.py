@@ -47,3 +47,23 @@ def fast_hash64(arr) -> "np.ndarray":
         import pandas as pd
         return pd.util.hash_array(
             np.asarray(arr.to_pandas(), dtype=object)).astype(np.uint64)
+
+
+#: per-WORKER broadcast cache (bounded): ray.get of a PICKLED Python
+#: object (dict/set) re-deserializes on every call — numpy/Arrow gets
+#: are zero-copy and don't need this. Worker processes are reused
+#: across tasks, so caching by ref gives actor-__init__ amortization
+#: without actor startup cost.
+_BCAST_CACHE: dict = {}
+
+
+def cached_broadcast_get(ref):
+    """ray.get(ref) memoized per worker process (bounded to 4 refs)."""
+    key = ref.hex()
+    v = _BCAST_CACHE.get(key)
+    if v is None:
+        import ray
+        if len(_BCAST_CACHE) >= 4:          # bound worker memory
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        v = _BCAST_CACHE[key] = ray.get(ref)
+    return v

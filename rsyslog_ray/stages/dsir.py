@@ -136,7 +136,10 @@ def dsir_score(ds, target_keys, key_col: str = "source",
         wref = _ray.put(wmap)
 
         def score(t: pa.Table) -> pa.Table:
-            w = _ray.get(wref)
+            # per-worker memoized get: the vocab-sized dict would
+            # otherwise re-unpickle for every task
+            from ..cluster import cached_broadcast_get
+            w = cached_broadcast_get(wref)
             g, rows = _word_ngrams(pc.cast(t[text_col], pa.string()), 1)
             if not len(g):
                 return empty

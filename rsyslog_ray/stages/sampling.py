@@ -1125,7 +1125,10 @@ def contamination_report(ds, eval_ds, n: int = 5, text_col: str = "text",
             .to_numpy(zero_copy_only=False)
         if not m.any():
             return empty
-        mp = _ray.get(map_ref)
+        # per-worker memoized get: the eval gram->ids dict would
+        # otherwise re-unpickle for every task
+        from ..cluster import cached_broadcast_get
+        mp = cached_broadcast_get(map_ref)
         pair_rows, pair_eval = [], []
         for gi, ri in zip(g[m], rows[m]):
             hits = mp[gi]

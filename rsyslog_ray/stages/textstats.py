@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..cluster import cached_broadcast_get as _cached_get
+
 TOKEN_RE = r"\S+"
 WORD_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"  # BPE-ish: words + solo punctuation
 
@@ -447,25 +449,6 @@ def _doc_bigrams_arrays(t: pa.Table, text_col: str):
     valid = rows[:-1] == rows[1:]
     return (rows[:-1][valid], words[:-1][valid],
             grams[valid].astype(object))
-
-
-#: per-WORKER broadcast cache (bounded): ray.get of a pickled Python
-#: dict re-deserializes on every call, so a plain-function stage would
-#: re-unpickle the corpus-vocabulary-sized count dicts for every task.
-#: Worker processes are reused across tasks, so caching by ref gives
-#: actor-pool amortization without actor startup cost.
-_BCAST_CACHE: dict = {}
-
-
-def _cached_get(ref):
-    key = ref.hex()
-    v = _BCAST_CACHE.get(key)
-    if v is None:
-        import ray as _ray
-        if len(_BCAST_CACHE) >= 4:          # bound worker memory
-            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
-        v = _BCAST_CACHE[key] = _ray.get(ref)
-    return v
 
 
 class _LMScorer:
