@@ -1390,9 +1390,12 @@ SELECT doc_id, source, lm_score, tile,
             ELSE 'tail' END AS bucket
 FROM t ORDER BY doc_id"""
 
-    from ..stages.aggregate import roc_auc_sql
+    from ..stages.aggregate import prf_at_threshold_sql, roc_auc_sql
     q["auc_quality"] = roc_auc_sql(
         "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END")
+    q["prf_quality"] = prf_at_threshold_sql(
+        "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END",
+        threshold=500.0)
 
     from ..stages.sampling import length_batches_sql
     q["length_batches"] = length_batches_sql() + " ORDER BY doc_id"

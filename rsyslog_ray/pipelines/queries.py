@@ -1719,6 +1719,21 @@ def q_length_batches(sf_dir: str) -> pa.Table:
     return _to_table(length_batches(ds)).sort_by("doc_id")
 
 
+def q_prf_quality(sf_dir: str) -> pa.Table:
+    """Operating-point companion to auc_quality: precision/recall/F1 of
+    the rule n_chars >= 500 predicting source == 'src0' (one row)."""
+    from ..stages.aggregate import prf_at_threshold
+    ds = read_scaled(f"{sf_dir}/documents.parquet",
+                     columns=["source", "n_chars"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "score": pc.cast(t["n_chars"], pa.float64()),
+            "label": pc.cast(pc.equal(t["source"], "src0"), pa.int64())})
+    return prf_at_threshold(ds.map_batches(prep, batch_format="pyarrow"),
+                            threshold=500.0)
+
+
 def q_gopher_quality(sf_dir: str) -> pa.Table:
     """Gopher quality-rule composite (Rae et al. 2021): per-doc word
     count / mean word length / symbol ratio / line fractions / alpha

@@ -433,6 +433,75 @@ def roc_auc(ds, score_col: str = "score", label_col: str = "label",
                      "n_neg": pa.array([int(n_neg)], pa.int64())})
 
 
+def prf_at_threshold(ds, threshold: float, score_col: str = "score",
+                     label_col: str = "label") -> pa.Table:
+    """Precision / recall / F1 of the decision rule score >= threshold
+    against a binary label — the operating-point companion to roc_auc
+    for model-based quality filters. One stateless pass of 4-int
+    confusion partials per batch, folded on the driver (O(#batches)
+    rows); every output ratio is a single division of two exact int64
+    sums, so the SQL twin matches bit-for-bit (f1 computed as
+    2·tp / (2·tp + fp + fn) — one division, no p·r rounding chain)."""
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[score_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        lab = pc.cast(t[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pred = s >= threshold
+        pos = lab == 1
+        return pa.table({
+            "tp": pa.array([int(np.sum(pred & pos))], pa.int64()),
+            "fp": pa.array([int(np.sum(pred & ~pos))], pa.int64()),
+            "fn": pa.array([int(np.sum(~pred & pos))], pa.int64()),
+            "tn": pa.array([int(np.sum(~pred & ~pos))], pa.int64())})
+
+    tp = fp = fn = tn = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        tp += int(pc.sum(b["tp"]).as_py() or 0)
+        fp += int(pc.sum(b["fp"]).as_py() or 0)
+        fn += int(pc.sum(b["fn"]).as_py() or 0)
+        tn += int(pc.sum(b["tn"]).as_py() or 0)
+    prec = tp / (tp + fp) if tp + fp else None
+    rec = tp / (tp + fn) if tp + fn else None
+    f1 = 2 * tp / (2 * tp + fp + fn) if 2 * tp + fp + fn else None
+    return pa.table({
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([fp], pa.int64()),
+        "fn": pa.array([fn], pa.int64()),
+        "tn": pa.array([tn], pa.int64()),
+        "precision": pa.array([prec], pa.float64()),
+        "recall": pa.array([rec], pa.float64()),
+        "f1": pa.array([f1], pa.float64())})
+
+
+def prf_at_threshold_sql(score_expr: str, label_expr: str,
+                         threshold: float,
+                         table: str = "documents") -> str:
+    """Matching DuckDB query for prf_at_threshold."""
+    return f"""
+WITH d AS (SELECT CAST({score_expr} AS DOUBLE) AS s,
+                  CAST({label_expr} AS BIGINT) AS lab FROM {table}),
+c AS (SELECT
+        CAST(SUM(CASE WHEN s >= {threshold!r} AND lab = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        CAST(SUM(CASE WHEN s >= {threshold!r} AND lab <> 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        CAST(SUM(CASE WHEN s < {threshold!r} AND lab = 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        CAST(SUM(CASE WHEN s < {threshold!r} AND lab <> 1
+                 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM d)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1
+FROM c"""
+
+
 def roc_auc_sql(score_expr: str, label_expr: str,
                 table: str = "documents") -> str:
     """Matching DuckDB query for roc_auc (window cumulated negatives;

@@ -1099,3 +1099,23 @@ def test_roc_auc_perfect_and_degenerate(ray_session):
     one_class = pa.table({"score": pa.array([1.0, 2.0]),
                           "label": pa.array([1, 1])})
     assert roc_auc(rd.from_arrow(one_class))["auc"][0].as_py() is None
+
+
+def test_prf_at_threshold_hand_counts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import prf_at_threshold
+
+    # scores:  1 2 3 4 5 6 ; labels: 0 1 0 1 1 0 ; rule s >= 4
+    tbl = pa.table({"score": pa.array([1.0, 2, 3, 4, 5, 6]),
+                    "label": pa.array([0, 1, 0, 1, 1, 0])})
+    got = prf_at_threshold(rd.from_arrow(tbl).repartition(3),
+                           threshold=4.0).to_pylist()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (2, 1, 1, 2)
+    assert got["precision"] == 2 / 3
+    assert got["recall"] == 2 / 3
+    assert got["f1"] == 4 / 6
+    # degenerate: no predicted positives -> precision null
+    none_pred = prf_at_threshold(rd.from_arrow(tbl), threshold=99.0) \
+        .to_pylist()[0]
+    assert none_pred["precision"] is None and none_pred["tp"] == 0
