@@ -393,6 +393,10 @@ def roc_auc(ds, score_col: str = "score", label_col: str = "label",
     oracle. Output: one row (auc, n_pos, n_neg); auc is null when a
     class is empty."""
     def partial(t: pa.Table) -> pa.Table:
+        # rows with a null score or label carry no ranking information —
+        # drop them (sklearn-style) instead of letting NaN poison counts
+        t = t.filter(pc.and_(pc.is_valid(t[score_col]),
+                             pc.is_valid(t[label_col])))
         s = pc.cast(t[score_col], pa.float64()).to_numpy(
             zero_copy_only=False)
         lab = pc.cast(t[label_col], pa.int64()).to_numpy(
@@ -443,6 +447,9 @@ def prf_at_threshold(ds, threshold: float, score_col: str = "score",
     sums, so the SQL twin matches bit-for-bit (f1 computed as
     2·tp / (2·tp + fp + fn) — one division, no p·r rounding chain)."""
     def partial(t: pa.Table) -> pa.Table:
+        # null score/label rows carry no decision — drop (as roc_auc)
+        t = t.filter(pc.and_(pc.is_valid(t[score_col]),
+                             pc.is_valid(t[label_col])))
         s = pc.cast(t[score_col], pa.float64()).to_numpy(
             zero_copy_only=False)
         lab = pc.cast(t[label_col], pa.int64()).to_numpy(
@@ -481,7 +488,9 @@ def prf_at_threshold_sql(score_expr: str, label_expr: str,
     """Matching DuckDB query for prf_at_threshold."""
     return f"""
 WITH d AS (SELECT CAST({score_expr} AS DOUBLE) AS s,
-                  CAST({label_expr} AS BIGINT) AS lab FROM {table}),
+                  CAST({label_expr} AS BIGINT) AS lab FROM {table}
+           WHERE {score_expr} IS NOT NULL
+             AND {label_expr} IS NOT NULL),
 c AS (SELECT
         CAST(SUM(CASE WHEN s >= {threshold!r} AND lab = 1
                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -508,7 +517,9 @@ def roc_auc_sql(score_expr: str, label_expr: str,
     same exact half-integer summands, so float equality is exact)."""
     return f"""
 WITH d AS (SELECT CAST({score_expr} AS DOUBLE) AS s,
-                  CAST({label_expr} AS BIGINT) AS lab FROM {table}),
+                  CAST({label_expr} AS BIGINT) AS lab FROM {table}
+           WHERE {score_expr} IS NOT NULL
+             AND {label_expr} IS NOT NULL),
 h AS (SELECT s, CAST(SUM(lab) AS BIGINT) AS pos,
              CAST(COUNT(*) - SUM(lab) AS BIGINT) AS neg
       FROM d GROUP BY s),

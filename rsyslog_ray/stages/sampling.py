@@ -252,7 +252,16 @@ def temperature_mix(ds, alpha: float = 0.3, frac: float = 0.5,
     computed with the exact operation order temperature_mix_sql emits
     (pow → source-ordered sum → left-to-right multiply/divide chain)."""
     from .aggregate import count_by
-    counts = count_by(ds, [key_col], fold_driver=True)
+
+    def drop_null_key(b: pa.Table) -> pa.Table:
+        # null-source rows can't take a keep decision (and would break
+        # the sorted driver fold) — they are dropped by the filter pass
+        # below, so exclude them from the budget too
+        return b.filter(pc.is_valid(b[key_col]))
+
+    counts = count_by(ds.map_batches(drop_null_key,
+                                     batch_format="pyarrow"),
+                      [key_col], fold_driver=True)
     srcs = counts[key_col].to_pylist()
     ns = [int(x) for x in counts["rows"].to_pylist()]
     total = sum(ns)

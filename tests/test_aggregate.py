@@ -1119,3 +1119,18 @@ def test_prf_at_threshold_hand_counts(ray_session):
     none_pred = prf_at_threshold(rd.from_arrow(tbl), threshold=99.0) \
         .to_pylist()[0]
     assert none_pred["precision"] is None and none_pred["tp"] == 0
+
+
+def test_metrics_drop_null_rows(ray_session):
+    """Rows with a null score or label are excluded from both metric ops
+    (sklearn semantics); the SQL twins filter identically."""
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import prf_at_threshold, roc_auc
+
+    tbl = pa.table({"score": pa.array([1.0, None, 3.0, 4.0]),
+                    "label": pa.array([1, 0, None, 0], pa.int64())})
+    # survivors: (1.0, 1), (4.0, 0) -> AUC = 0 (positive ranked below)
+    assert roc_auc(rd.from_arrow(tbl))["auc"][0].as_py() == 0.0
+    got = prf_at_threshold(rd.from_arrow(tbl), 2.0).to_pylist()[0]
+    assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (0, 1, 1, 0)

@@ -622,3 +622,13 @@ def test_length_batches_buckets_and_fill(ray_session):
     assert short.iloc[:-1].eq(8).all() and short.sum() == 50
     long = g[g.bucket == 1].groupby("batch_idx").size()
     assert long.iloc[:-1].eq(8).all() and long.sum() == 30
+
+
+def test_temperature_mix_null_source_dropped(ray_session):
+    from rsyslog_ray.stages.sampling import temperature_mix
+    tbl = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                    "source": pa.array(["a", None, "b", "a", None, "b"])})
+    out = temperature_mix(rd.from_arrow(tbl), alpha=0.5,
+                          frac=1.0).to_pandas()
+    # frac=1 keeps every non-null-source doc; null-source rows drop
+    assert sorted(out.doc_id) == [0, 2, 3, 5]
