@@ -632,3 +632,24 @@ def test_temperature_mix_null_source_dropped(ray_session):
                           frac=1.0).to_pandas()
     # frac=1 keeps every non-null-source doc; null-source rows drop
     assert sorted(out.doc_id) == [0, 2, 3, 5]
+
+
+def test_length_batches_duckdb_parity_across_params(ray_session):
+    import duckdb
+    from rsyslog_ray.stages.sampling import length_batches, length_batches_sql
+
+    rng = np.random.default_rng(13)
+    texts = [" ".join(f"t{j}" for j in range(int(k)))
+             for k in rng.integers(0, 300, size=150)]
+    tbl = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                    "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    for width, nb, bd in ((64, 8, 32), (16, 4, 5), (100, 2, 7)):
+        got = length_batches(rd.from_arrow(tbl).repartition(6),
+                             width=width, n_buckets=nb, batch_docs=bd) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        want = con.execute(
+            length_batches_sql(width=width, n_buckets=nb, batch_docs=bd)
+            + " ORDER BY doc_id").df()
+        assert got.equals(want), (width, nb, bd)
