@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": Q.q_dedup_report,        # new in r4
         "length_batches": Q.q_length_batches,    # new in r4
         "prf_quality": Q.q_prf_quality,          # new in r4
+        "event_patterns": Q.q_event_patterns,    # new in r4
         "temperature_mix": Q.q_temperature_mix,  # new in r4
         "ccnet_buckets": Q.q_ccnet_buckets,      # new in r4
         "auc_quality": Q.q_auc_quality,          # new in r4

@@ -178,6 +178,7 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("dedup_report", Q.q_dedup_report, sf_dir)
     timed("length_batches", Q.q_length_batches, sf_dir)
     timed("prf_quality", Q.q_prf_quality, sf_dir)
+    timed("event_patterns", Q.q_event_patterns, sf_dir)
 
     out["queries"] = timings
     return out

@@ -1393,6 +1393,11 @@ FROM t ORDER BY doc_id"""
     from ..stages.aggregate import prf_at_threshold_sql, roc_auc_sql
     q["auc_quality"] = roc_auc_sql(
         "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END")
+    from ..pipelines.queries import EVENT_CHARS
+    from ..stages.aggregate import event_pattern_counts_sql
+    q["event_patterns"] = event_pattern_counts_sql(
+        "vc*p", EVENT_CHARS) + " ORDER BY user_id"
+
     q["prf_quality"] = prf_at_threshold_sql(
         "n_chars", "CASE WHEN source = 'src0' THEN 1 ELSE 0 END",
         threshold=500.0)

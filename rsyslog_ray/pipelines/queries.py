@@ -1719,6 +1719,25 @@ def q_length_batches(sf_dir: str) -> pa.Table:
     return _to_table(length_batches(ds)).sort_by("doc_id")
 
 
+EVENT_CHARS = {"click": "c", "error": "e", "purchase": "p",
+               "signup": "s", "view": "v"}
+
+
+def q_event_patterns(sf_dir: str) -> pa.Table:
+    """CEP pattern counting: per user, non-overlapping matches of
+    view → clicks* → purchase over the time-ordered event sequence."""
+    from ..stages.aggregate import event_pattern_counts
+    ds = read_scaled(f"{sf_dir}/events.parquet",
+                     columns=["event_id", "user_id", "event_type", "ts"])
+    out = event_pattern_counts(ds, pattern="vc*p", type_map=EVENT_CHARS)
+    # sort: bucketed output order is shuffle-dependent
+    return _to_table(out.map_batches(
+        lambda t: pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_matches": pc.cast(t["n_matches"], pa.int64())}),
+        batch_format="pyarrow")).sort_by("user_id")
+
+
 def q_prf_quality(sf_dir: str) -> pa.Table:
     """Operating-point companion to auc_quality: precision/recall/F1 of
     the rule n_chars >= 500 predicting source == 'src0' (one row)."""

@@ -437,6 +437,82 @@ def roc_auc(ds, score_col: str = "score", label_col: str = "label",
                      "n_neg": pa.array([int(n_neg)], pa.int64())})
 
 
+def event_pattern_counts(ds, pattern: str, type_map: dict,
+                         key: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts", id_col: str = "event_id",
+                         n_buckets: int | None = None) -> "object":
+    """CEP-style event-trend counting (the MATCH_RECOGNIZE-lite /
+    SASE pattern staple — cf. event trend aggregation, SIGMOD'19):
+    per key, order the events by (ts, id), render each event type as
+    one character via `type_map` (unmapped types are skipped), and
+    count NON-OVERLAPPING regex matches of `pattern` over the key's
+    character sequence. Emits (key, n_matches) for keys with ≥1 match.
+
+    Shape: project to (key, ts, id, 1 char) BEFORE the keyed shuffle
+    (nothing wider moves), then per hash-bucket one vectorized pandas
+    pass: sort → groupby-join → Series.str.count (C regex). A key's
+    whole sequence lives in one bucket by construction; per-key event
+    counts bound the string length. The DuckDB twin is
+    string_agg(ch ORDER BY ts, id) + regexp_extract_all — leftmost
+    non-overlapping on both sides, so keep `pattern` free of
+    alternation ambiguity (greedy quantifiers are fine)."""
+    import pandas as pd
+
+    from .ratelimit import _per_bucket
+
+    keys_arr = pa.array(list(type_map.keys()), pa.string())
+    chs = np.asarray(list(type_map.values()), dtype=object)
+
+    def project(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t[type_col], pa.string()),
+                          value_set=keys_arr)
+        idxn = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False)
+        hit = idxn >= 0
+        ch = np.where(hit, chs[np.clip(idxn, 0, max(len(chs) - 1, 0))],
+                      "")
+        out = pa.table({key: t[key], ts_col: t[ts_col],
+                        id_col: t[id_col],
+                        "_ch": pa.array(ch, pa.string())})
+        return out.filter(pa.array(hit))
+
+    def per_bucket_fn(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key, ts_col, id_col], kind="mergesort")
+        seq = g.groupby(key, sort=False)["_ch"].agg("".join)
+        n = seq.str.count(pattern).astype("int64")
+        out = pd.DataFrame({key: seq.index.to_numpy(),
+                            "n_matches": n.to_numpy()})
+        return out[out.n_matches > 0].reset_index(drop=True)
+
+    return _per_bucket(ds.map_batches(project, batch_format="pyarrow"),
+                       per_bucket_fn, key=key, n_buckets=n_buckets)
+
+
+def event_pattern_counts_sql(pattern: str, type_map: dict,
+                             key: str = "user_id",
+                             type_col: str = "event_type",
+                             ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             table: str = "events") -> str:
+    """Matching DuckDB query for event_pattern_counts."""
+    whens = " ".join(f"WHEN '{k}' THEN '{v}'"
+                     for k, v in type_map.items())
+    return f"""
+WITH o AS (
+  SELECT {key}, {ts_col}, {id_col},
+         CASE {type_col} {whens} END AS ch
+  FROM {table}
+),
+s AS (SELECT {key},
+             string_agg(ch, '' ORDER BY {ts_col}, {id_col}) AS seq
+      FROM o WHERE ch IS NOT NULL GROUP BY {key})
+SELECT {key},
+       CAST(len(regexp_extract_all(seq, '{pattern}')) AS BIGINT)
+         AS n_matches
+FROM s
+WHERE len(regexp_extract_all(seq, '{pattern}')) > 0"""
+
+
 def prf_at_threshold(ds, threshold: float, score_col: str = "score",
                      label_col: str = "label") -> pa.Table:
     """Precision / recall / F1 of the decision rule score >= threshold

@@ -1134,3 +1134,37 @@ def test_metrics_drop_null_rows(ray_session):
     assert roc_auc(rd.from_arrow(tbl))["auc"][0].as_py() == 0.0
     got = prf_at_threshold(rd.from_arrow(tbl), 2.0).to_pylist()[0]
     assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (0, 1, 1, 0)
+
+
+def test_event_pattern_counts_planted_sequences(ray_session):
+    """Hand-built sequences: user 1 has 'vcp vp' -> 2 matches of vc*p
+    (non-overlapping); user 2 has clicks but no purchase -> no row;
+    unmapped types are skipped, ties broken by event_id."""
+    import datetime as dt
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.stages.aggregate import event_pattern_counts
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # user 1: v c p (ts 0,1,2) then v p (3,4) -> "vcpvp" -> 2
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),
+        (1, "view", 3), (1, "purchase", 4),
+        (2, "view", 0), (2, "click", 1), (2, "click", 2),   # no purchase
+        # user 3: same-ts tie broken by event_id: v(id 8) then p(id 9)
+        (3, "view", 5), (3, "purchase", 5),
+        (3, "unknown_type", 6),                             # skipped
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "ts": pa.array([t0 + dt.timedelta(seconds=r[2]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    from rsyslog_ray.pipelines.queries import EVENT_CHARS
+    got = event_pattern_counts(rd.from_arrow(tbl).repartition(3),
+                               pattern="vc*p", type_map=EVENT_CHARS) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert got.user_id.tolist() == [1, 3]
+    assert got.n_matches.tolist() == [2, 1]
