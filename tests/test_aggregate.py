@@ -1168,3 +1168,37 @@ def test_event_pattern_counts_planted_sequences(ray_session):
         .to_pandas().sort_values("user_id").reset_index(drop=True)
     assert got.user_id.tolist() == [1, 3]
     assert got.n_matches.tolist() == [2, 1]
+
+
+def test_event_pattern_counts_duckdb_parity_random(ray_session):
+    import datetime as dt
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from rsyslog_ray.pipelines.queries import EVENT_CHARS
+    from rsyslog_ray.stages.aggregate import (event_pattern_counts,
+                                              event_pattern_counts_sql)
+
+    rng = np.random.default_rng(21)
+    n = 2000
+    t0 = dt.datetime(2026, 1, 1)
+    types = np.array(list(EVENT_CHARS.keys()))
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 60, n), pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, len(types), n)]),
+        "ts": pa.array([t0 + dt.timedelta(seconds=int(s))
+                        for s in rng.integers(0, 500, n)],
+                       pa.timestamp("us")),
+    })
+    con = duckdb.connect()
+    con.register("events", tbl)
+    for pat in ("vc*p", "sv+p", "e{2,}"):
+        got = event_pattern_counts(rd.from_arrow(tbl).repartition(5),
+                                   pattern=pat, type_map=EVENT_CHARS) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        want = con.execute(event_pattern_counts_sql(pat, EVENT_CHARS)
+                           + " ORDER BY user_id").df()
+        assert got.user_id.tolist() == want.user_id.tolist(), pat
+        assert got.n_matches.tolist() == want.n_matches.tolist(), pat
