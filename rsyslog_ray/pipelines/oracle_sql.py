@@ -19,7 +19,7 @@ P5424 = (r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) "
 P3164 = (r"^ ?(?:(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
          r"(?:Z|[+-]\d{2}:\d{2})?)|([A-Z][a-z]{2}) ([ 0-3]?\d) "
          r"(\d{2}:\d{2}:\d{2})) ([A-Za-z0-9._-]+)"
-         r"(?: (?:([A-Za-z0-9_./-]{1,32}):)?([\s\S]*))?$")
+         r"(?: (?:([^ :]{1,32}):)?([\s\S]*))?$")
 P3339 = (r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(\.\d+)?"
          r"(Z|[+-]\d{2}:\d{2})?$")
 

@@ -69,7 +69,7 @@ class ParseError(ValueError):
 
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+|\#[^\n]*)
+    (?P<ws>\s+|\#[^\n]*|/\*(?s:.*?)\*/|//[^\n]*)
   | (?P<pfilt>:\$?[A-Za-z][A-Za-z0-9_-]*[ \t]*,[ \t]*!?[a-z]+[ \t]*,
               [ \t]*"(?:\\.|[^"\\])*")
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
@@ -77,7 +77,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
-  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
+  | (?P<op><>|==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
 """, re.VERBOSE)
 
@@ -204,8 +204,10 @@ class _Parser:
     def _cmp(self):
         left = self._add()
         k, v = self.peek()
-        if k == "op" and v in ("==", "!=", "<=", ">=", "<", ">"):
+        if k == "op" and v in ("==", "!=", "<>", "<=", ">=", "<", ">"):
             self.next()
+            if v == "<>":                # grammar.y CMP_NE alias
+                v = "!="
             right = self._add()
             if v == "==" and isinstance(right, list) and right and \
                     right[0] == "_array":
@@ -251,6 +253,9 @@ class _Parser:
             e = self.expr()
             self.expect("op", ")")
             return e
+        if k == "op" and v == "-":
+            # unary minus (grammar.y UMINUS) — binds to the next atom
+            return ["-", 0, self._atom()]
         if k == "op" and v == "[":
             vals = ["_array"]
             while not self.accept("op", "]"):

@@ -54,7 +54,12 @@ RFC3164_RE = (
     r"(?P<mon3164>[A-Z][a-z]{2}) (?P<day3164>[ 0-3]?\d) "
     r"(?P<hms3164>\d{2}:\d{2}:\d{2})) "
     r"(?P<host3164>[A-Za-z0-9._-]+)"
-    r"(?: (?:(?P<tag3164>[A-Za-z0-9_./-]{1,32}):)?(?P<msg3164>[\s\S]*))?$"
+    # TAG charset per the reference scan loop (pmrfc3164.c:341-349):
+    # ANY char except ':' and SP, colon-terminated (colon is part of
+    # the tag there; appended by the syslogtag property). Subset note:
+    # we keep the classic 32-char bound and require the colon (the
+    # reference also takes a space-terminated first word as TAG).
+    r"(?: (?:(?P<tag3164>[^ :]{1,32}):)?(?P<msg3164>[\s\S]*))?$"
 )
 
 HEADERLESS_RE = r"^ *[\[{]"

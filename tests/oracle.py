@@ -135,7 +135,7 @@ RFC3164_HDR = re.compile(
     r"(?P<mon>[A-Z][a-z]{2}) (?P<day>[ 0-3]?\d) "
     r"(?P<hms>\d{2}:\d{2}:\d{2})) "
     r"(?P<host>[A-Za-z0-9._-]+)"
-    r"(?: (?:(?P<tag>[A-Za-z0-9_./-]{1,32}):)?(?P<msg>[\s\S]*))?$")
+    r"(?: (?:(?P<tag>[^ :]{1,32}):)?(?P<msg>[\s\S]*))?$")
 
 
 def parse_rfc3164(rest: str, year: int = 2024):
