@@ -102,3 +102,24 @@ def test_reference_json_array_inputs_parse_as_cee():
         assert out.num_rows == len(lines), name
         assert all(out["parse_success"].to_pylist()), name
         assert any(out["is_cee"].to_pylist()) == any_cee, name
+
+
+@needs_ref
+def test_reference_dynstats_counter_totals(ray_session):
+    """tests/dynstats.sh: inject testsuites/dynstats_input, bucket each
+    msg by field($msg, 32, 1) into dyn_stats('msg_stats') — the shell
+    test's first_column_sum_check expects totals foo=3, bar=1 (and the
+    remaining lines are baz=2)."""
+    import ray.data as rd
+
+    from rsyslog_ray.functions import field
+    from rsyslog_ray.stages.aggregate import dyn_inc
+
+    _lines, out = _parse_ref_input("dynstats_input")
+    keyed = pa.table({
+        "ts": out["ts_reported"],
+        "key": field(out["msg"].combine_chunks(), " ", 1),
+    })
+    got = dyn_inc(rd.from_arrow(keyed), "msg_stats", "key")
+    counts = dict(zip(got["key"].to_pylist(), got["rows"].to_pylist()))
+    assert counts == {"foo": 3, "bar": 1, "baz": 2}
