@@ -83,20 +83,29 @@ def read_syslog_text(paths, include_path: bool = False,
             n = len(lines)
             if n == 0:
                 continue
-            if startmsg_regex is not None:
+            if startmsg_regex is not None or endmsg_regex is not None:
+                # regex framing keeps INTERIOR empty lines inside a
+                # record (strmReadMultiLine accumulates them — the
+                # imptcp_framing golden has 'n#012#012e2'); only the
+                # final '' artifact of split('\n') on a \n-terminated
+                # payload is not a line
+                keep = np.ones(n, dtype=bool)
+                j = n - 1                  # trailing blank run: the
+                while j >= 0 and lines[j] == "":   # split artifact +
+                    keep[j] = False                # stream-close blanks
+                    j -= 1
                 arr = pa.array(lines, pa.string())
-                m = pc.match_substring_regex(
-                    arr, startmsg_regex).to_numpy(zero_copy_only=False)
-                grp = np.cumsum(m)
-                keep = lines != ""
-            elif endmsg_regex is not None:
-                arr = pa.array(lines, pa.string())
-                m = pc.match_substring_regex(
-                    arr, endmsg_regex).to_numpy(zero_copy_only=False)
-                # the matching line closes its record: next line starts
-                # a new group
-                grp = np.concatenate(([0], np.cumsum(m)[:-1]))
-                keep = lines != ""
+                if startmsg_regex is not None:
+                    m = pc.match_substring_regex(
+                        arr, startmsg_regex).to_numpy(
+                            zero_copy_only=False)
+                    grp = np.cumsum(m)
+                else:
+                    m = pc.match_substring_regex(
+                        arr, endmsg_regex).to_numpy(zero_copy_only=False)
+                    # the matching line closes its record: next line
+                    # starts a new group
+                    grp = np.concatenate(([0], np.cumsum(m)[:-1]))
             elif read_mode == 1:
                 blank = lines == ""
                 grp = np.cumsum(blank)
@@ -116,7 +125,8 @@ def read_syslog_text(paths, include_path: bool = False,
             offs = np.concatenate(([0], np.cumsum(counts)))
             la = pa.ListArray.from_arrays(
                 pa.array(offs, pa.int32()), pa.array(lines, pa.string()))
-            recs = pc.binary_join(la, esc).to_pylist()
+            recs = [r for r in pc.binary_join(la, esc).to_pylist()
+                    if r != ""]          # wholly-empty records drop
             out_text.extend(recs)
             out_path.extend([path] * len(recs))
         cols = {"text": pa.array(out_text, pa.string())}

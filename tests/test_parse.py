@@ -171,17 +171,19 @@ def test_file_sources_text_and_jsonl(ray_session, tmp_path):
                    "<14>Jan  5 00:00:02 host tag2: world\n")
     ds = read_syslog_text(str(log))
     rows = ds.take_all()
-    assert [r["text"] for r in rows] == [
+    # row ORDER from a distributed line read is not guaranteed
+    # (preserve_order off) — compare sets, like the sinks doctrine
+    assert sorted(r["text"] for r in rows) == [
         "<13>Jan  5 00:00:01 host tag1: hello",
         "<14>Jan  5 00:00:02 host tag2: world"]
     parsed = parse_dataset(ds).take_all()
-    assert [r["pri"] for r in parsed] == [13, 14]
+    assert sorted(r["pri"] for r in parsed) == [13, 14]
     withp = read_syslog_text(str(log), include_path=True).take_all()
     assert all(r["path"].endswith("a.log") for r in withp)
     jl = tmp_path / "b.jsonl"
     jl.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
     out = read_jsonl(str(jl)).take_all()
-    assert [r["a"] for r in out] == [1, 2]
+    assert sorted(r["a"] for r in out) == [1, 2]
 
 
 def test_fix_aixforwardedfrom():

@@ -123,3 +123,31 @@ def test_reference_dynstats_counter_totals(ray_session):
     got = dyn_inc(rd.from_arrow(keyed), "msg_stats", "key")
     counts = dict(zip(got["key"].to_pylist(), got["rows"].to_pylist()))
     assert counts == {"foo": 3, "bar": 1, "baz": 2}
+
+
+@needs_ref
+def test_reference_imptcp_multiline_golden(ray_session, tmp_path):
+    """tests/imptcp_multi_line.sh golden: multiline='on' frames a new
+    record at each PRI-opening line and joins continuations with the
+    #012 LF escape — byte-equal replay via read_syslog_text's
+    startmsg_regex path over the reference's own testdata file."""
+    import shutil
+
+    from rsyslog_ray.sources.files import read_syslog_text
+
+    src = f"{REF}/testsuites/imptcp_multi_line.testdata"
+    p = tmp_path / "in.log"
+    shutil.copy(src, p)
+    ds = read_syslog_text([str(p)], startmsg_regex=r"^<\d+>")
+    got = [r["text"] for r in ds.take_all()]
+    assert got == [
+        "<133>Mar  1 01:00:00 172.20.245.8 tag test1",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag test2",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag multi#012line1",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag multi#012l#012i#012n"
+        "#012#012e2",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag test3",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag multi#012line3",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag test4",
+        "<133>Mar  1 01:00:00 172.20.245.8 tag test end",
+    ]
