@@ -209,9 +209,14 @@ def num2ipv4(arr):
 
 
 def ipv42num(arr):
-    """grammar/rainerscript.c:3741 — dotted quad → int; invalid → -1."""
+    """grammar/rainerscript.c:2204 — dotted quad → int; invalid → -1.
+    Leading/trailing SPACES are accepted (the reference's startblank /
+    endblank scan; rscript_ipv42num.sh goldens v11-v13), interior ones
+    are not."""
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(_pylist(arr), pa.string())
     res = pc.extract_regex(
-        arr, pattern=r"^(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3})$")
+        arr, pattern=r"^ *(?P<a>\d{1,3})\.(?P<b>\d{1,3})\.(?P<c>\d{1,3})\.(?P<d>\d{1,3}) *$")
     total = pa.array(np.zeros(len(arr), dtype=np.int64))
     ok = pc.is_valid(pc.struct_field(res, "a"))
     for g, shift in (("a", 24), ("b", 16), ("c", 8), ("d", 0)):
@@ -667,6 +672,11 @@ def json_set(arr, path: str, values) -> pa.Array:
     engine's normalized (sorted-key, compact) JSON string. Fresh-tree
     single-key sets take a fully vectorized fast path (_json_set_fast);
     real trees pay the per-row parse, which is inherent to JSON."""
+    if isinstance(values, pa.Scalar):
+        # constant expressions compile to an Arrow scalar (e.g.
+        # `set $!x = substring("test", 0, 4)`) — unwrap to the Python
+        # value so the tree edit and json.dumps see a plain type
+        values = values.as_py()
     keys = path.split("!")
     if len(keys) == 1:
         fast = _json_set_fast(arr, keys[0], values)
@@ -738,6 +748,12 @@ def _pylist(arr) -> list:
         return arr.combine_chunks().to_pylist()
     if isinstance(arr, pa.Array):
         return arr.to_pylist()
+    if isinstance(arr, pa.Scalar):
+        return [arr.as_py()]
+    if isinstance(arr, (str, bytes, int, float)) or arr is None:
+        # a constant expression arg is ONE value, not an iterable
+        # (list('0.0.0.0') would explode a string into characters)
+        return [arr]
     return list(arr)
 
 

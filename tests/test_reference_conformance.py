@@ -151,3 +151,98 @@ def test_reference_imptcp_multiline_golden(ray_session, tmp_path):
         "<133>Mar  1 01:00:00 172.20.245.8 tag test4",
         "<133>Mar  1 01:00:00 172.20.245.8 tag test end",
     ]
+
+
+def _run_sets(set_block: str) -> dict:
+    """Execute a reference rscript set-statement block through the
+    engine (one-row batch) and return the resulting $! JSON tree."""
+    import json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = set_block + '\naction(type="omfile" name="out")\n'
+    cc = load_rainerscript(src)
+    batch = pa.table({"msg": ["msgnum:0"],
+                      "severity": pa.array([6], pa.int64())})
+    routed = route_table(batch, cc.ruleset)
+    return json.loads(routed["out"]["cee_json"][0].as_py())
+
+
+@needs_ref
+def test_reference_rscript_substring_golden(ray_session):
+    """tests/rscript_substring.sh — the exact set statements and the
+    cmp-checked expected values."""
+    tree = _run_sets('''
+set $!str!var1 = substring("", 0, 0);
+set $!str!var2 = substring("test", 0, 4);
+set $!str!var3 = substring("test", 1, 2);
+set $!str!var4 = substring("test", 4, 2);
+set $!str!var5 = substring("test", 0, 5);
+set $!str!var6 = substring("test", 0, 6);
+set $!str!var7 = substring("test", 3, 4);
+set $!str!var8 = substring("test", 1, 0);
+''')
+    assert tree["str"] == {"var1": "", "var2": "test", "var3": "es",
+                           "var4": "", "var5": "test", "var6": "test",
+                           "var7": "t", "var8": ""}
+
+
+@needs_ref
+def test_reference_rscript_ipv42num_golden(ray_session):
+    """tests/rscript_ipv42num.sh — incl. the whitespace-trim cases and
+    every malformed-input -1 (values compared semantically; the
+    reference cmp-checks the same numbers)."""
+    tree = _run_sets('''
+set $!ip!v1 = ipv42num("0.0.0.0");
+set $!ip!v2 = ipv42num("0.0.0.1");
+set $!ip!v3 = ipv42num("0.0.1.0");
+set $!ip!v4 = ipv42num("0.1.0.0");
+set $!ip!v5 = ipv42num("1.0.0.0");
+set $!ip!v6 = ipv42num("0.0.0.135");
+set $!ip!v7 = ipv42num("1.1.1.1");
+set $!ip!v8 = ipv42num("225.33.1.10");
+set $!ip!v9 = ipv42num("172.0.0.1");
+set $!ip!v10 = ipv42num("255.255.255.255");
+set $!ip!v11 = ipv42num("1.0.3.45         ");
+set $!ip!v12 = ipv42num("      0.0.0.1");
+set $!ip!v13 = ipv42num("    0.0.0.1   ");
+set $!ip!e1 = ipv42num("a");
+set $!ip!e2 = ipv42num("");
+set $!ip!e3 = ipv42num("123.4.6.*");
+set $!ip!e4 = ipv42num("172.0.0.1.");
+set $!ip!e5 = ipv42num("172.0.0..1");
+set $!ip!e6 = ipv42num(".172.0.0.1");
+set $!ip!e7 = ipv42num(".17 2.0.0.1");
+''')
+    assert tree["ip"] == {
+        "v1": 0, "v2": 1, "v3": 256, "v4": 65536, "v5": 16777216,
+        "v6": 135, "v7": 16843009, "v8": 3777036554, "v9": 2885681153,
+        "v10": 4294967295, "v11": 16778029, "v12": 1, "v13": 1,
+        "e1": -1, "e2": -1, "e3": -1, "e4": -1, "e5": -1, "e6": -1,
+        "e7": -1}
+
+
+@needs_ref
+def test_reference_rscript_num2ipv4_golden(ray_session):
+    """tests/rscript_num2ipv4.sh expected mapping (errors render the
+    string '-1')."""
+    tree = _run_sets('''
+set $!ip!v1 = num2ipv4(0);
+set $!ip!v2 = num2ipv4(1);
+set $!ip!v3 = num2ipv4(256);
+set $!ip!v4 = num2ipv4(65536);
+set $!ip!v5 = num2ipv4(16777216);
+set $!ip!v6 = num2ipv4(135);
+set $!ip!v7 = num2ipv4(16843009);
+set $!ip!v8 = num2ipv4(3777036554);
+set $!ip!v9 = num2ipv4(2885681153);
+set $!ip!v10 = num2ipv4(4294967295);
+set $!ip!e1 = num2ipv4(-1);
+set $!ip!e2 = num2ipv4(4294967296);
+''')
+    assert tree["ip"] == {
+        "v1": "0.0.0.0", "v2": "0.0.0.1", "v3": "0.0.1.0",
+        "v4": "0.1.0.0", "v5": "1.0.0.0", "v6": "0.0.0.135",
+        "v7": "1.1.1.1", "v8": "225.33.1.10", "v9": "172.0.0.1",
+        "v10": "255.255.255.255", "e1": "-1", "e2": "-1"}
