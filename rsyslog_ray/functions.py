@@ -188,10 +188,23 @@ def field(arr, delim: str, n: int):
 
 
 def int2hex(arr):
-    """grammar/rainerscript.c:2277."""
-    vals = _pylist(arr)
-    return pa.array([format(v, "x") if v is not None else None for v in vals],
-                    type=pa.string())
+    """grammar/rainerscript.c:2277 — the argument coerces through
+    var2Number first (rscript_int2Hex.sh goldens): non-numeric
+    strings → 'NAN', '' → 0."""
+    out = []
+    for v in _pylist(arr):
+        if v is None:
+            out.append(None)
+            continue
+        if isinstance(v, str):
+            s = v.strip()
+            try:
+                v = int(s) if s else 0
+            except ValueError:
+                out.append("NAN")
+                continue
+        out.append(format(int(v), "x"))
+    return pa.array(out, type=pa.string())
 
 
 def num2ipv4(arr):
@@ -316,18 +329,54 @@ def parse_rfc3164_ts(mon, day, hms, year: int = 2024) -> pa.Array:
 
 
 def format_time(arr, fmt: str) -> pa.Array:
-    """grammar/rainerscript.c:2553 format_time(unixts|ts, fmt)."""
+    """grammar/rainerscript.c:2553 format_time(unixts, fmt) →
+    datetime.c:1282 formatUnixTimeFromTime_t: gmtime second-precision
+    rendering; date-rfc3339 ends in 'Z' with NO fraction, and a value
+    var2Number can't parse falls back to its own string form (the
+    rscript_format_time.sh golden: 'ABC' → 'ABC'). The extra date-*
+    formats below are a documented superset (the property-replacer
+    formats from datetime.c:825-896, exercised by templates)."""
+    if isinstance(arr, pa.Scalar):
+        arr = pa.array([arr.as_py()])
+    elif not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(_pylist(arr))
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        # var2Number coercion with string fallback, per value
+        raw = _pylist(arr)
+        nums, ok = [], []
+        for v in raw:
+            try:
+                nums.append(int(str(v).strip()) if v is not None
+                            and str(v).strip() else 0)
+                ok.append(v is not None and bool(str(v).strip()))
+            except ValueError:
+                nums.append(0)
+                ok.append(False)
+        formatted = format_time(pa.array(nums, pa.int64()), fmt)
+        return pc.if_else(pa.array(ok), formatted,
+                          pc.cast(arr, pa.string()))
     if pa.types.is_integer(arr.type):
         arr = pc.cast(pc.multiply(pc.cast(arr, pa.int64()), 1_000_000), pa.timestamp("us"))
     arr = pc.cast(arr, pa.timestamp("us"))
     # Arrow's %S renders fractional seconds — format from second precision
     secs = pc.cast(pc.divide(pc.cast(arr, pa.int64()), 1_000_000), pa.timestamp("s"))
     if fmt == "date-rfc3339":
+        # script-function form (datetime.c:1282): 'Z', no fraction.
+        # The PROPERTY-REPLACER rfc3339 (datetime.c:815, fraction +
+        # '+00:00') is the separate fmt below, used by templates.
         base = pc.strftime(secs, format="%Y-%m-%dT%H:%M:%S")
-        us = _pc_mod_u64(pc.cast(pc.cast(arr, pa.int64()), pa.uint64()), 1_000_000)
-        frac = pc.ascii_lpad(pc.cast(pc.cast(us, pa.int64()), pa.string()), 6, "0")
+        return pc.binary_join_element_wise(base, pa.scalar("Z"), "")
+    if fmt == "date-rfc3339-full":
+        # formatTimestamp3339 (datetime.c:815): fractional seconds +
+        # numeric offset — what %prop:::date-rfc3339% renders
+        base = pc.strftime(secs, format="%Y-%m-%dT%H:%M:%S")
+        us = _pc_mod_u64(pc.cast(pc.cast(arr, pa.int64()), pa.uint64()),
+                         1_000_000)
+        frac = pc.ascii_lpad(
+            pc.cast(pc.cast(us, pa.int64()), pa.string()), 6, "0")
         with_frac = pc.binary_join_element_wise(base, frac, ".")
-        return pc.binary_join_element_wise(with_frac, pa.scalar("+00:00"), "")
+        return pc.binary_join_element_wise(with_frac,
+                                           pa.scalar("+00:00"), "")
     if fmt == "date-rfc3164":
         mon = pc.strftime(secs, format="%b")
         day = pc.ascii_lpad(pc.cast(pc.day(secs), pa.string()), 2, " ")

@@ -260,6 +260,8 @@ class _Parser:
             vals = ["_array"]
             while not self.accept("op", "]"):
                 kk, vv = self.next()
+                if kk == "eof":          # truncated array literal
+                    raise ParseError("unterminated [list] in expression")
                 if kk == "op" and vv == ",":
                     continue
                 vals.append(float(vv) if kk == "num" and "." in vv

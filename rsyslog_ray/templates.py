@@ -309,7 +309,15 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
     dateopt = next((o for o in e.options if o.startswith("date-")
                     and o != "date-utc"), None)
     if is_ts:
-        val = format_time(val, dateopt or "date-rfc3164")
+        # the property replacer's rfc3339 is the FULL form
+        # (datetime.c:815 fraction + offset), unlike the script
+        # function's 'Z' form (datetime.c:1282)
+        if dateopt in (None, "date-rfc3164"):
+            val = format_time(val, "date-rfc3164")
+        elif dateopt == "date-rfc3339":
+            val = format_time(val, "date-rfc3339-full")
+        else:
+            val = format_time(val, dateopt)
     elif pa.types.is_boolean(val.type):
         val = pc.if_else(val, pa.scalar("1"), pa.scalar("0"))
     elif not (pa.types.is_string(val.type) or pa.types.is_large_string(val.type)):

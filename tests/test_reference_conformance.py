@@ -246,3 +246,41 @@ set $!ip!e2 = num2ipv4(4294967296);
         "v4": "0.1.0.0", "v5": "1.0.0.0", "v6": "0.0.0.135",
         "v7": "1.1.1.1", "v8": "225.33.1.10", "v9": "172.0.0.1",
         "v10": "255.255.255.255", "e1": "-1", "e2": "-1"}
+
+
+@needs_ref
+def test_reference_rscript_int2hex_golden(ray_session):
+    """tests/rscript_int2Hex.sh — incl. the ''→'0' and non-numeric→
+    'NAN' edges the reference cmp_exact-checks."""
+    tree = _run_sets('''
+set $!ip!v0 = int2hex("");
+set $!ip!v1 = int2hex("0");
+set $!ip!v2 = int2hex("1");
+set $!ip!v4 = int2hex("375894");
+set $!ip!v6 = int2hex("16");
+set $!ip!v8 = int2hex("4294967295");
+set $!ip!e1 = int2hex("a");
+''')
+    assert tree["ip"] == {"v0": "0", "v1": "0", "v2": "1", "v4": "5bc56",
+                          "v6": "10", "v8": "ffffffff", "e1": "NAN"}
+
+
+@needs_ref
+def test_reference_rscript_format_time_golden(ray_session):
+    """tests/rscript_format_time.sh — epoch → rfc3164/rfc3339 incl.
+    negative epochs and the invalid-input pass-through ('ABC')."""
+    tree = _run_sets('''
+set $!datetime!rfc3164 = format_time(1507165811, "date-rfc3164");
+set $!datetime!rfc3339 = format_time(1507165811, "date-rfc3339");
+set $!datetime!rfc3164Neg = format_time(-1507165811, "date-rfc3164");
+set $!datetime!rfc3339Neg = format_time(-1507165811, "date-rfc3339");
+set $!datetime!str1 = format_time("1507165811", "date-rfc3339");
+set $!datetime!strinv1 = format_time("ABC", "date-rfc3339");
+''')
+    assert tree["datetime"] == {
+        "rfc3164": "Oct  5 01:10:11",
+        "rfc3339": "2017-10-05T01:10:11Z",
+        "rfc3164Neg": "Mar 29 22:49:49",
+        "rfc3339Neg": "1922-03-29T22:49:49Z",
+        "str1": "2017-10-05T01:10:11Z",
+        "strinv1": "ABC"}
