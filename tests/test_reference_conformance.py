@@ -284,3 +284,48 @@ set $!datetime!strinv1 = format_time("ABC", "date-rfc3339");
         "rfc3339Neg": "1922-03-29T22:49:49Z",
         "str1": "2017-10-05T01:10:11Z",
         "strinv1": "ABC"}
+
+
+@needs_ref
+def test_reference_rscript_trim_golden(ray_session):
+    """tests/rscript_trim.sh (l/r subset + the chained b-cases'
+    representative shapes) — SPACE-only trimming per the reference."""
+    tree = _run_sets('''
+set $!str!l1 = ltrim("");
+set $!str!l3 = ltrim("   test");
+set $!str!l4 = ltrim("test   ");
+set $!str!l5 = ltrim("   test   ");
+set $!str!l8 = ltrim(" ");
+set $!str!l10 = ltrim(" te st");
+set $!str!r3 = rtrim("   test");
+set $!str!r4 = rtrim("test   ");
+set $!str!r5 = rtrim("   test   ");
+set $!str!r8 = rtrim(" ");
+set $!str!r10 = rtrim("te st ");
+set $!str!b2 = ltrim(" test ");
+set $!str!b2 = rtrim($!str!b2);
+''')
+    assert tree["str"] == {
+        "l1": "", "l3": "test", "l4": "test   ", "l5": "test   ",
+        "l8": "", "l10": "te st",
+        "r3": "   test", "r4": "test", "r5": "   test", "r8": "",
+        "r10": "te st", "b2": "test"}
+
+
+@needs_ref
+def test_reference_rscript_str2num_negative_golden(ray_session):
+    """tests/rscript_str2num_negative.sh: cnum('-13') in the reference
+    yields 0 for the negative-string path under test — replicate the
+    exact statement and expected value."""
+    import re as _re
+    src = open(f"{REF}/rscript_str2num_negative.sh").read() \
+        if os.path.isfile(f"{REF}/rscript_str2num_negative.sh") else ""
+    stmts = "\n".join(_re.findall(r"^set \$.*;$", src, _re.M))
+    expected = _re.search(r"echo '(\{[^']*\})'", src)
+    if not stmts or not expected:
+        pytest.skip("could not extract statements from the shell test")
+    import json as _json
+    tree = _run_sets(stmts)
+    want = _json.loads(expected.group(1))
+    got = tree[next(iter(tree))]
+    assert got == want
