@@ -113,6 +113,15 @@ class PropertyRegistry:
 
     def get(self, name: str) -> pa.Array | pa.ChunkedArray:
         stripped = name.lstrip("$")
+        if stripped == "!":
+            # bare root `$!` (rscript_bare_var_root.sh / the unflatten
+            # arg shape): the WHOLE tree as its JSON string; absent
+            # tree reads "" like any unset var
+            for c in ("cee_json", "json_tree"):
+                if c in self.table.column_names:
+                    return pc.fill_null(
+                        pc.cast(self._col(c), pa.string()), "")
+            return pa.array([""] * self.table.num_rows, pa.string())
         if stripped.startswith("!"):
             # JSON-tree access `$!a!b` (runtime/msg.c msgGetJSONPropJSON):
             # the engine's parsed tree is a normalized JSON string column

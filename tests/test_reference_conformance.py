@@ -329,3 +329,35 @@ def test_reference_rscript_str2num_negative_golden(ray_session):
     want = _json.loads(expected.group(1))
     got = tree[next(iter(tree))]
     assert got == want
+
+
+@needs_ref
+def test_reference_rscript_unflatten_object_golden(ray_session):
+    """tests/rscript_unflatten_object.sh: dotted keys set into $! then
+    unflatten($!, '.') — semantic equality with the EXPECTED tree
+    (key order differs: json-c preserves insertion order, the engine
+    normalizes to sorted keys), script_error() == 0."""
+    import json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    src = '''
+set $!source.ip = "1.2.3.4";
+set $!source.bytes = 3258;
+set $!source.geo.country_iso_code = "FR";
+set $!destination.ip = "4.3.2.1";
+set $.unflatten = unflatten($!, ".");
+set $.ret = script_error();
+action(type="omfile" name="out" template="t")
+template(name="t" type="string" string="%$.ret% %$.unflatten%")
+'''
+    cc = load_rainerscript(src)
+    batch = pa.table({"msg": ["msgnum:00000000:"]})
+    routed = route_table(batch, cc.ruleset)
+    ret, _, uf = routed["out"]["rendered"][0].as_py().partition(" ")
+    assert ret == "0"
+    assert json.loads(uf) == {
+        "source": {"ip": "1.2.3.4", "bytes": 3258,
+                   "geo": {"country_iso_code": "FR"}},
+        "destination": {"ip": "4.3.2.1"}}
