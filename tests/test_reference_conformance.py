@@ -361,3 +361,28 @@ template(name="t" type="string" string="%$.ret% %$.unflatten%")
         "source": {"ip": "1.2.3.4", "bytes": 3258,
                    "geo": {"country_iso_code": "FR"}},
         "destination": {"ip": "4.3.2.1"}}
+
+
+@needs_ref
+def test_reference_rscript_wrap2_and_re_extract_goldens(ray_session):
+    """tests/rscript_wrap2.sh + rscript_re_extract.sh: both inject
+    testsuites/date_time_msg and content_check one rendered line —
+    replayed through the full parse → script → template chain."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.route import route_table
+
+    _lines, parsed = _parse_ref_input("date_time_msg")
+    src = '''
+set $.replaced_msg = wrap("foo says" & $msg, "*" & "*");
+set $.number = re_extract($msg, '.* ([0-9]+)$', 0, 1, 'none');
+action(type="omfile" name="w" template="tw")
+action(type="omfile" name="n" template="tn")
+template(name="tw" type="string" string="%$.replaced_msg%")
+template(name="tn" type="string" string="*Number is %$.number%*")
+'''
+    cc = load_rainerscript(src)
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["w"]["rendered"].to_pylist() == [
+        "**foo says at Thu Oct 30 13:20:18 IST 2014 "
+        "random number is 19597**"]
+    assert routed["n"]["rendered"].to_pylist() == ["*Number is 19597*"]
