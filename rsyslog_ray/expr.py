@@ -291,16 +291,16 @@ class PropertyRegistry:
     }
 
     def _syslogtag(self) -> pa.Array:
-        """tag+':' for RFC3164 rows with a tag; appname for RFC5424; else ''.
-
-        (Deviation from rsyslog's exact TAG reconstruction, documented:
-        runtime/msg.c getTAG composes APP-NAME[PROCID] for 5424.)"""
+        """the VERBATIM 3164 TAG (colon included iff the source had
+        one — MsgSetTAG stores the scan result as-is); appname for
+        RFC5424 rows (deviation from rsyslog's exact TAG
+        reconstruction, documented: runtime/msg.c getTAG composes
+        APP-NAME[PROCID] for 5424)."""
         t = self.table
         tag = pc.fill_null(pc.cast(t["tag"].combine_chunks() if isinstance(t["tag"], pa.ChunkedArray) else t["tag"], pa.string()), "")
         app = pc.fill_null(pc.cast(t["appname"].combine_chunks() if isinstance(t["appname"], pa.ChunkedArray) else t["appname"], pa.string()), "")
         has_tag = pc.not_equal(tag, "")
-        tag_c = pc.binary_join_element_wise(tag, pa.scalar(":"), "")
-        return pc.if_else(has_tag, tag_c, app)
+        return pc.if_else(has_tag, tag, app)
 
 
 def _is_str(arr) -> bool:

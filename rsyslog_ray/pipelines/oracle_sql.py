@@ -19,7 +19,7 @@ P5424 = (r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) "
 P3164 = (r"^ ?(?:(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
          r"(?:Z|[+-]\d{2}:\d{2})?)|([A-Z][a-z]{2}) ([ 0-3]?\d) "
          r"(\d{2}:\d{2}:\d{2})) ([A-Za-z0-9._-]+)"
-         r"(?: (?:([^ :]{1,32}):)?([\s\S]*))?$")
+         r"(?: ([\s\S]*))?$")
 P3339 = (r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(\.\d+)?"
          r"(Z|[+-]\d{2}:\d{2})?$")
 
@@ -55,7 +55,7 @@ mm AS (
     regexp_extract(rest, '{P5424}',
       ['t5','h5','a5','p5','m5','sd5','msg5']) AS g5,
     regexp_extract(rest, '{P3164}',
-      ['t33','mon','day','hms','h3','tag3','msg3']) AS g3,
+      ['t33','mon','day','hms','h3','body3']) AS g3,
     regexp_matches(rest, '{P3164}') AS m3164
   FROM pri3
 ),
@@ -66,6 +66,28 @@ cls AS (
      AND regexp_matches(rest, '^ *[\\[{{]')) AS ishdrless
   FROM mm
 ),
+-- the reference TAG scan (tools/pmrfc3164.c:341-366): tag runs to ':'
+-- (included) or SP (excluded, stays in msg) or end-of-body; >32-char
+-- first words yield no tag (engine TAG_MAX subset)
+tagscan AS (
+  SELECT *,
+    coalesce(g3.body3, '') AS body3,
+    strpos(coalesce(g3.body3, ''), ':') AS icol,
+    strpos(coalesce(g3.body3, ''), ' ') AS isp
+  FROM cls
+),
+tagcut AS (
+  SELECT *,
+    CASE
+      WHEN icol > 0 AND (isp = 0 OR icol < isp) AND icol <= 33
+        THEN icol
+      WHEN isp > 0 AND (icol = 0 OR isp < icol) AND isp <= 33
+        THEN isp - 1
+      WHEN icol = 0 AND isp = 0 AND length(body3) BETWEEN 1 AND 32
+        THEN length(body3)
+      ELSE 0 END AS tagcut
+  FROM tagscan
+),
 flds AS (
   SELECT conv_id, turn_idx, role, tool, ts, s, pri, rest,
     is5424, is3164, ishdrless,
@@ -73,20 +95,21 @@ flds AS (
     CASE WHEN is5424 THEN 1 WHEN (is3164 OR ishdrless) THEN 0 ELSE -1 END AS protocol,
     pri // 8 AS facility, pri % 8 AS severity,
     CASE WHEN is5424 THEN g5.h5 WHEN is3164 THEN g3.h3 ELSE '' END AS hostname,
-    CASE WHEN is3164 THEN coalesce(g3.tag3, '') ELSE '' END AS tag,
+    CASE WHEN is3164 THEN substr(body3, 1, tagcut) ELSE '' END AS tag,
     CASE WHEN is5424 THEN g5.a5
-         WHEN is3164 THEN coalesce(g3.tag3, '') ELSE '' END AS appname,
+         WHEN is3164 THEN rtrim(substr(body3, 1, tagcut), ':')
+         ELSE '' END AS appname,
     CASE WHEN is5424 THEN g5.p5 ELSE '' END AS procid,
     CASE WHEN is5424 THEN g5.m5 ELSE '' END AS msgid,
     CASE WHEN is5424 THEN g5.sd5 ELSE '' END AS structured_data,
     CASE WHEN is5424 THEN coalesce(g5.msg5, '')
-         WHEN is3164 THEN coalesce(g3.msg3, '') ELSE rest END AS msg,
+         WHEN is3164 THEN substr(body3, tagcut + 1) ELSE rest END AS msg,
     CASE WHEN is5424 THEN g5.t5
          WHEN is3164 THEN coalesce(g3.t33, '') ELSE '' END AS ts_str,
     CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.mon ELSE '' END AS mon3,
     CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.day ELSE '' END AS day3,
     CASE WHEN is3164 AND coalesce(g3.t33, '') = '' THEN g3.hms ELSE '' END AS hms3
-  FROM cls
+  FROM tagcut
 ),
 tsx AS (
   SELECT *,
@@ -120,7 +143,7 @@ parsed AS (
            ELSE NULL END,
       t3164, ts) AS ts_reported,
     starts_with(ltrim(msg), '@cee:') AS is_cee,
-    CASE WHEN tag <> '' THEN tag || ':' ELSE appname END AS syslogtag
+    CASE WHEN tag <> '' THEN tag ELSE appname END AS syslogtag
   FROM tsy
 )"""
 

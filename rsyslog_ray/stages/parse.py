@@ -54,15 +54,75 @@ RFC3164_RE = (
     r"(?P<mon3164>[A-Z][a-z]{2}) (?P<day3164>[ 0-3]?\d) "
     r"(?P<hms3164>\d{2}:\d{2}:\d{2})) "
     r"(?P<host3164>[A-Za-z0-9._-]+)"
-    # TAG charset per the reference scan loop (pmrfc3164.c:341-349):
-    # ANY char except ':' and SP, colon-terminated (colon is part of
-    # the tag there; appended by the syslogtag property). Subset note:
-    # we keep the classic 32-char bound and require the colon (the
-    # reference also takes a space-terminated first word as TAG).
-    r"(?: (?:(?P<tag3164>[^ :]{1,32}):)?(?P<msg3164>[\s\S]*))?$"
+    # the TAG/MSG split happens OUTSIDE the regex — _split_tag3164
+    # implements the reference scan loop (pmrfc3164.c:341-366)
+    r"(?: (?P<body3164>[\s\S]*))?$"
 )
 
 HEADERLESS_RE = r"^ *[\[{]"
+
+#: classic TAG bound kept from RFC3164 (the reference dropped it in
+#: 2008 in favor of CONF_TAG_MAXSIZE=512 — documented subset)
+TAG_MAX = 32
+
+
+def _split_tag3164(body):
+    """The reference TAG scan (tools/pmrfc3164.c:341-366) vectorized:
+    copy chars until ':' or SP — a ':' terminator is PART of the tag
+    (stored verbatim), a SP is NOT (it stays in MSG), and a first word
+    that runs to end-of-line is entirely TAG. Longer-than-TAG_MAX first
+    words yield no tag (subset bound). Returns (tag, msg) where tag is
+    the verbatim TAG (incl. its colon when colon-terminated) and
+    appname derives from it by stripping that colon. All offsets are
+    BYTE positions at ASCII delimiters, so slicing is UTF-8 safe."""
+    b = pc.cast(body, pa.binary())
+    ic = pc.find_substring(b, b":")
+    isp = pc.find_substring(b, b" ")
+    blen = pc.binary_length(b)
+    no_c = pc.equal(ic, -1)
+    no_sp = pc.equal(isp, -1)
+    colon_first = pc.and_(pc.not_equal(ic, -1),
+                          pc.or_(no_sp, pc.less(ic, isp)))
+    colon_ok = pc.and_(colon_first, pc.less_equal(ic, TAG_MAX))
+    space_first = pc.and_(pc.not_equal(isp, -1),
+                          pc.or_(no_c, pc.less(isp, ic)))
+    space_ok = pc.and_(space_first, pc.less_equal(isp, TAG_MAX))
+    whole_ok = pc.and_(pc.and_(no_c, no_sp),
+                       pc.and_(pc.greater(blen, 0),
+                               pc.less_equal(blen, TAG_MAX)))
+    zero = pa.scalar(0, pa.int64())
+    cut = pc.if_else(                     # tag byte length per row
+        colon_ok, pc.add(pc.cast(ic, pa.int64()), 1),
+        pc.if_else(space_ok, pc.cast(isp, pa.int64()),
+                   pc.if_else(whole_ok, pc.cast(blen, pa.int64()),
+                              zero))).to_numpy(zero_copy_only=False)
+    # per-row variable slicing: Arrow slice kernels take scalar bounds
+    # only, so gather the bytes with numpy (one fancy-index per side)
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    n = len(b)
+    bufs = b.buffers()                   # [validity, offsets, data]
+    offs = np.frombuffer(bufs[1], np.int32)[
+        b.offset:b.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2] or b"", np.uint8)
+    starts = offs[:-1]
+    rowlen = np.diff(offs)
+    cut = np.minimum(cut, rowlen)
+
+    def _gather(seg_start, seg_len):
+        total = int(seg_len.sum())
+        base = np.repeat(seg_start, seg_len)
+        local = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.concatenate(([0],
+                             np.cumsum(seg_len)))[:-1], seg_len))
+        new_offs = np.concatenate(([0], np.cumsum(seg_len)))
+        return pa.StringArray.from_buffers(
+            n, pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+            pa.py_buffer(data[base + local].tobytes()))
+
+    tag = _gather(starts, cut)
+    msg = _gather(starts + cut, rowlen - cut)
+    return tag, msg
 
 CEE_COOKIE = "@cee:"  # plugins/mmjsonparse/mmjsonparse.c:122
 
@@ -159,15 +219,24 @@ def parse_table(batch: pa.Table, text_col: str = "text",
     empty = pa.scalar("", pa.string())
     hostname = pc.if_else(is5424, _nz(_f(m5, "host5424")),
                           pc.if_else(is3164, _nz(_f(m3, "host3164")), empty))
-    tag = pc.if_else(is3164, _nz(_f(m3, "tag3164")), empty)
-    appname = pc.if_else(is5424, _nz(_f(m5, "app5424")), tag)
+    tag3164, msg3164 = _split_tag3164(_nz(_f(m3, "body3164")))
+    tag = pc.if_else(is3164, tag3164, empty)
+    # APP-NAME from TAG: the trailing colon is not part of the name
+    # (msg.c getAPPNAME truncates at ':'/'['); TAG itself stays verbatim
+    appname3164 = pc.if_else(
+        pc.ends_with(tag3164, pattern=":"),
+        pc.utf8_replace_slice(tag3164, start=-1, stop=2**30,
+                              replacement=""),
+        tag3164)
+    appname = pc.if_else(is5424, _nz(_f(m5, "app5424")),
+                         pc.if_else(is3164, appname3164, empty))
     procid = pc.if_else(is5424, _nz(_f(m5, "procid5424")), empty)
     msgid = pc.if_else(is5424, _nz(_f(m5, "msgid5424")), empty)
     sd = pc.if_else(is5424, _nz(_f(m5, "sd5424")), empty)
 
     msg = pc.if_else(
         is5424, _nz(_f(m5, "msg5424")),
-        pc.if_else(is3164, _nz(_f(m3, "msg3164")), rest))
+        pc.if_else(is3164, msg3164, rest))
 
     # --- reported timestamp ------------------------------------------------
     # ts_col = timegenerated (ingestion time). Raw file sources

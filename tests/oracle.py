@@ -135,7 +135,28 @@ RFC3164_HDR = re.compile(
     r"(?P<mon>[A-Z][a-z]{2}) (?P<day>[ 0-3]?\d) "
     r"(?P<hms>\d{2}:\d{2}:\d{2})) "
     r"(?P<host>[A-Za-z0-9._-]+)"
-    r"(?: (?:(?P<tag>[^ :]{1,32}):)?(?P<msg>[\s\S]*))?$")
+    r"(?: (?P<body>[\s\S]*))?$")
+
+TAG_MAX = 32
+
+
+def split_tag3164(body: str) -> tuple[str, str]:
+    """The reference TAG scan (tools/pmrfc3164.c:341-366), row-at-a-time:
+    tag runs to ':' (included) or SP (excluded, stays in msg) or
+    end-of-body; first words longer than TAG_MAX yield no tag. The scan
+    counts BYTES like the C loop (and the engine), so it runs over the
+    utf-8 encoding; ASCII delimiters make the split boundaries safe."""
+    bb = body.encode("utf-8")
+    ic = bb.find(b":")
+    isp = bb.find(b" ")
+    if ic != -1 and (isp == -1 or ic < isp) and ic <= TAG_MAX:
+        return (bb[:ic + 1].decode("utf-8"),
+                bb[ic + 1:].decode("utf-8"))
+    if isp != -1 and (ic == -1 or isp < ic) and isp <= TAG_MAX:
+        return bb[:isp].decode("utf-8"), bb[isp:].decode("utf-8")
+    if ic == -1 and isp == -1 and 0 < len(bb) <= TAG_MAX:
+        return body, ""
+    return "", body
 
 
 def parse_rfc3164(rest: str, year: int = 2024):
@@ -155,8 +176,9 @@ def parse_rfc3164(rest: str, year: int = 2024):
                 ts = datetime(year, mon, day, hh, mi, ss)
             except ValueError:
                 ts = None
+    tag, msg = split_tag3164(m.group("body") or "")
     return {"ts_reported": ts, "hostname": m.group("host"),
-            "tag": m.group("tag") or "", "msg": m.group("msg") or ""}
+            "tag": tag, "msg": msg}
 
 
 @dataclass
@@ -194,7 +216,9 @@ class ParsedRow:
 
     @property
     def syslogtag(self) -> str:
-        return self.tag + ":" if self.tag else self.appname
+        # MsgSetTAG stores the scan result verbatim (colon included
+        # iff colon-terminated); 5424 rows fall back to appname
+        return self.tag if self.tag else self.appname
 
 
 def parse_row(conv_id, turn_idx, role, text, tool, ts) -> ParsedRow | None:
@@ -223,7 +247,8 @@ def parse_row(conv_id, turn_idx, role, text, tool, ts) -> ParsedRow | None:
             r.parse_success = True
             r.hostname = p3["hostname"]
             r.tag = p3["tag"]
-            r.appname = p3["tag"]
+            r.appname = p3["tag"][:-1] if p3["tag"].endswith(":") \
+                else p3["tag"]
             r.msg = p3["msg"]
             r.ts_reported = p3["ts_reported"] or ts
         elif re.match(r"^ *[\[{]", rest):

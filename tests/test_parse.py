@@ -56,7 +56,7 @@ def test_empty_rows_dropped():
     })
     out = parse_table(t)
     assert out.num_rows == 1
-    assert out["tag"][0].as_py() == "t"
+    assert out["tag"][0].as_py() == "t:"     # verbatim, colon included
 
 
 @pytest.mark.parametrize("text,pri,proto", [
@@ -88,9 +88,11 @@ def test_imdiag_shape():
     out = parse_table(t).to_pylist()[0]
     assert out["facility"] == 20 and out["severity"] == 7
     assert out["hostname"] == "172.20.245.8"
-    # 'tag' (no colon) is not a colon-terminated TAG → part of msg
-    assert out["tag"] == ""
-    assert out["msg"] == "tag msgnum:00000000:"
+    # the reference TAG scan (pmrfc3164.c:341-366): a SP-terminated
+    # first word IS the TAG (SP stays in MSG) — what template-pos-
+    # from-to.sh's %msg:9:16:% seq_check relies on
+    assert out["tag"] == "tag"
+    assert out["msg"] == " msgnum:00000000:"
 
 
 def test_pmlastmsg_recognizer():

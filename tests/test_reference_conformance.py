@@ -80,9 +80,9 @@ def test_reference_pix_inputs_parse():
         assert set(out["facility"].to_pylist()) == {20}, name
         assert set(out["severity"].to_pylist()) == {7}, name
         assert set(out["hostname"].to_pylist()) == {"172.20.245.8"}, name
-        # engine stores TAG without the colon (the syslogtag property
-        # re-appends it, as MsgSetTAG/PROP_SYSLOGTAG do)
-        assert set(out["tag"].to_pylist()) == {"%PIX-7-710005"}, name
+        # TAG is stored VERBATIM as MsgSetTAG does — the colon is part
+        # of a colon-terminated tag (pmrfc3164.c:345-349)
+        assert set(out["tag"].to_pylist()) == {"%PIX-7-710005:"}, name
         assert all(out["parse_success"].to_pylist()), name
         # the RFC3164 header timestamp round-trips (month=3, day=6)
         ts = out["ts_reported"].to_pylist()
@@ -386,3 +386,35 @@ template(name="tn" type="string" string="*Number is %$.number%*")
         "**foo says at Thu Oct 30 13:20:18 IST 2014 "
         "random number is 19597**"]
     assert routed["n"]["rendered"].to_pylist() == ["*Number is 19597*"]
+
+
+@needs_ref
+def test_reference_template_pos_from_to_golden(ray_session):
+    """tests/template-pos-from-to.sh: imdiag-style injected msgs
+    (doInjectMsg format) rendered through %msg:9:16:% must yield the
+    zero-padded sequence numbers (the script's seq_check 0 8)."""
+    import datetime as dt
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = [f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:"
+             for i in range(9)]
+    t = pa.table({
+        "conv_id": pa.array(["inj"] * 9),
+        "turn_idx": pa.array(range(9), pa.int64()),
+        "role": pa.array(["user"] * 9),
+        "text": pa.array(lines),
+        "tool": pa.array([""] * 9),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * 9,
+                       pa.timestamp("us")),
+    })
+    parsed = parse_table(t)
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%msg:9:16:%")
+:msg, contains, "msgnum:" action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(9)]
