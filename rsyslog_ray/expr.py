@@ -155,6 +155,8 @@ class PropertyRegistry:
         name_l = name.lower().lstrip("$")
         if name_l in self._COMPUTED:
             return self._COMPUTED[name_l](self)
+        if name_l == "parsesuccess":
+            return self._parsesuccess()
         col = self.ALIASES.get(name, self.ALIASES.get(name_l, name))
         if col == "syslogtag":
             return self._syslogtag()
@@ -289,6 +291,18 @@ class PropertyRegistry:
         "wday": _wday,
         "wday-utc": _wday,
     }
+
+    def _parsesuccess(self) -> pa.Array:
+        """'OK'/'FAIL' strings for the state of the LAST parser
+        (msg.c:2315 getParseSuccess): after mmjsonparse ran, that is
+        the CEE parse result (mmjsonparse_simple.sh gates on
+        $parsesuccess == \"OK\"); otherwise the header parse."""
+        for c in ("cee_parsesuccess", "parse_success"):
+            if c in self.table.column_names:
+                return pc.if_else(pc.fill_null(
+                    pc.cast(self._col(c), pa.bool_()), False),
+                    pa.scalar("OK"), pa.scalar("FAIL"))
+        return pa.array(["FAIL"] * self.table.num_rows, pa.string())
 
     def _syslogtag(self) -> pa.Array:
         """the VERBATIM 3164 TAG (colon included iff the source had

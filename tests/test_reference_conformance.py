@@ -418,3 +418,64 @@ template(name="outfmt" type="string" string="%msg:9:16:%")
     routed = route_table(parsed, cc.ruleset)
     assert sorted(routed["out"]["rendered"].to_pylist()) == [
         f"{i:08d}" for i in range(9)]
+
+
+@needs_ref
+def test_reference_json_var_case_golden(ray_session):
+    """tests/json_var_case.sh: case-sensitive JSON tree variables plus
+    a set overriding one key — content_check
+    'abc:1 ABC:2 aBc:3 _abc:4 _ABC:5 _aBc:7'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = ('<167>Nov  6 12:34:56 172.0.0.1 test: @cee: { "abc": "1", '
+            '"ABC": "2", "aBc": "3", "_abc": "4", "_ABC": "5", '
+            '"_aBc": "6" }')
+    t = pa.table({
+        "conv_id": ["c"], "turn_idx": pa.array([0], pa.int64()),
+        "role": ["user"], "text": [line], "tool": [""],
+        "ts": pa.array([dt.datetime(2026, 1, 1)], pa.timestamp("us"))})
+    parsed = mmjsonparse_table(parse_table(t))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string"
+         string="abc:%$!abc% ABC:%$!ABC% aBc:%$!aBc% _abc:%$!_abc% _ABC:%$!_ABC% _aBc:%$!_aBc%")
+set $!_aBc = "7";
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "abc:1 ABC:2 aBc:3 _abc:4 _ABC:5 _aBc:7"]
+
+
+@needs_ref
+def test_reference_mmjsonparse_simple_golden(ray_session):
+    """tests/mmjsonparse_simple.sh: '@cee: {json}' messages pass
+    $parsesuccess == "OK" after mmjsonparse (msg.c:2315 last-parser
+    state as 'OK'/'FAIL' strings); a non-JSON message fails."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = [
+        '<167>Mar  1 01:00:00 h tag: @cee: {"msgnum": "00000000"}',
+        '<167>Mar  1 01:00:00 h tag: @cee: {"msgnum": "00000001"}',
+        '<167>Mar  1 01:00:00 h tag: not json at all',
+    ]
+    t = pa.table({
+        "conv_id": ["c"] * 3, "turn_idx": pa.array(range(3), pa.int64()),
+        "role": ["user"] * 3, "text": pa.array(lines), "tool": [""] * 3,
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * 3,
+                       pa.timestamp("us"))})
+    parsed = mmjsonparse_table(parse_table(t))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$!msgnum%")
+if $parsesuccess == "OK" then {
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["00000000",
+                                                     "00000001"]
