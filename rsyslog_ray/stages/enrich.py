@@ -99,16 +99,23 @@ def mmfields_table(batch: pa.Table, col: str = "msg", sep: str = ",",
 # --------------------------------------------------------------------------
 
 
-def mmjsonparse_table(batch: pa.Table, col: str = "msg") -> pa.Table:
+def mmjsonparse_table(batch: pa.Table, col: str = "msg",
+                      cookie: str = "@cee:") -> pa.Table:
+    """`cookie` as in mmjsonparse.c: rows must start with it (after
+    leading whitespace) to be parsed; cookie="" attempts JSON on every
+    message (mmjsonparse-w-o-cookie.sh)."""
     msg = pc.cast(batch[col], pa.string())
     stripped = pc.utf8_ltrim_whitespace(msg)
-    is_cee = pc.starts_with(stripped, pattern="@cee:")
-    np_mask = is_cee.to_numpy(zero_copy_only=False)
+    if cookie:
+        is_cee = pc.starts_with(stripped, pattern=cookie)
+        np_mask = is_cee.to_numpy(zero_copy_only=False)
+    else:
+        np_mask = np.ones(len(stripped), dtype=bool)
     vals = stripped.to_pylist()
     out = [None] * len(vals)
     ok = np.zeros(len(vals), dtype=bool)
     for i in np.flatnonzero(np_mask):
-        payload = vals[i][5:].lstrip()
+        payload = vals[i][len(cookie):].lstrip()
         try:
             obj = loads_fast(payload)
             out[i] = json.dumps(obj, separators=(",", ":"), sort_keys=True)

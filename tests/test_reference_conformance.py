@@ -479,3 +479,33 @@ if $parsesuccess == "OK" then {
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == ["00000000",
                                                      "00000001"]
+
+
+@needs_ref
+def test_reference_mmjsonparse_without_cookie_golden(ray_session):
+    """tests/mmjsonparse-w-o-cookie.sh: action(type='mmjsonparse'
+    cookie='') parses plain-JSON messages with no @cee cookie; the
+    seq gate is the same $parsesuccess == 'OK'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = [
+        '<167>Mar  1 01:00:00 h tag: {"msgnum": "00000000"}',
+        '<167>Mar  1 01:00:00 h tag: plain text',
+    ]
+    t = pa.table({
+        "conv_id": ["c"] * 2, "turn_idx": pa.array(range(2), pa.int64()),
+        "role": ["user"] * 2, "text": pa.array(lines), "tool": [""] * 2,
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * 2,
+                       pa.timestamp("us"))})
+    parsed = mmjsonparse_table(parse_table(t), cookie="")
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$!msgnum%")
+if $parsesuccess == "OK" then {
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["00000000"]
