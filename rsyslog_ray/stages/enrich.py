@@ -234,16 +234,29 @@ def mmanon_table(batch: pa.Table, col: str = "msg", mode: str = "zero",
 
 # liberal candidate pattern; every match is validated by ipaddress before
 # rewriting (the reference's getipv6 does its own strict parse)
-_IPV6_RE = r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}[0-9A-Fa-f:]*(?:[0-9A-Fa-f]{1,4})?\b"
+#: candidate scan: allows abbreviated ('::', '0::') and EMBEDDED
+#: addresses (no word boundary — mmanon.c's char scanner anonymizes
+#: 'textnoblank72:...:1AFEstillnoblank', see mmanon_zero_128_ipv6.sh);
+#: invalid candidates fail IPv6Address() and pass through unchanged
+_IPV6_RE = r"(?:(?:[0-9A-Fa-f]{1,4})?:){2,7}[0-9A-Fa-f]{0,4}"
+
+
+def _render_ipv6(num: int) -> str:
+    """mmanon.c rendering: eight explicit lowercase hex groups, no
+    '::' compression ('0:0:0:0:0:0:0:0', per the mmanon_zero_*_ipv6
+    goldens)."""
+    return ":".join(format((num >> (112 - 16 * i)) & 0xFFFF, "x")
+                    for i in range(8))
 
 
 def mmanon_ipv6_table(batch: pa.Table, col: str = "msg",
                       mode: str = "zero", bits: int = 96,
                       seed: int = 4242) -> pa.Table:
     """IPv6 anonymization (mmanon.c ipv6.* params): zero the low `bits`
-    (or fill them hash-deterministically for random-consistent), re-render
-    canonically via the stdlib ipaddress module. Per-match Python on regex
-    candidates only — v6 literals are rare in log text."""
+    (or fill them hash-deterministically for random-consistent),
+    re-render as eight explicit hex groups like the reference.
+    Per-match Python on regex candidates only — v6 literals are rare
+    in log text."""
     if mode not in ("zero", "random-consistent", "random"):
         raise ValueError(f"unknown mmanon ipv6 mode {mode!r}")
     import ipaddress
@@ -255,10 +268,10 @@ def mmanon_ipv6_table(batch: pa.Table, col: str = "msg",
             addr = ipaddress.IPv6Address(m.group(0))
         except ValueError:
             return m.group(0)
-        num = (int(addr) >> bits) << bits
+        num = (int(addr) >> bits) << bits if bits else int(addr)
         if mode.startswith("random"):
             num += _anon_rand(int(addr), min(bits, 32), seed)
-        return str(ipaddress.IPv6Address(num))
+        return _render_ipv6(num)
 
     src = pc.cast(batch[col], pa.string())
     s = pd.Series(src.to_pandas(), dtype="string").fillna("")

@@ -509,3 +509,30 @@ if $parsesuccess == "OK" then {
 ''')
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == ["00000000"]
+
+
+@needs_ref
+def test_reference_mmanon_zero_128_ipv6_golden(ray_session):
+    """tests/mmanon_zero_128_ipv6.sh: the exact seven injected msg
+    payloads and the cmp-checked outputs — incl. abbreviated ('::',
+    '0::'), embedded-in-text, and NOT-an-address ('13:abd:45:')
+    cases; bits=129 clamps to 128 in the reference (we pass 128)."""
+    from rsyslog_ray.stages.enrich import mmanon_ipv6_table
+
+    msgs = [" asdfghjk",
+            " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF",
+            " 61:34:ad::7:F aa:ff43::756:99:0",
+            " ::",
+            " 0::",
+            " 13:abd:45:",
+            " textnoblank72:8374:adc7:47FF::43:0:1AFEstillnoblank"]
+    t = pa.table({"msg": pa.array(msgs)})
+    out = mmanon_ipv6_table(t, bits=128, mode="zero")["msg"].to_pylist()
+    assert out == [
+        " asdfghjk",
+        " 0:0:0:0:0:0:0:0",
+        " 0:0:0:0:0:0:0:0 0:0:0:0:0:0:0:0",
+        " 0:0:0:0:0:0:0:0",
+        " 0:0:0:0:0:0:0:0",
+        " 13:abd:45:",
+        " textnoblank0:0:0:0:0:0:0:0stillnoblank"]
