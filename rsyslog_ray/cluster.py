@@ -39,14 +39,14 @@ def fast_hash64(arr) -> "np.ndarray":
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    try:
-        import polars as pl
-        return pl.from_arrow(arr).hash().to_numpy().astype(np.uint64,
-                                                           copy=False)
-    except Exception:
-        import pandas as pd
-        return pd.util.hash_array(
-            np.asarray(arr.to_pandas(), dtype=object)).astype(np.uint64)
+    # Backend is fixed at import time (polars is a pinned dependency of
+    # this repo): a per-call try/except would let heterogeneous workers
+    # hash the same key into different buckets, silently splitting one
+    # group across bucket_merge partitions. If polars is genuinely
+    # absent the import fails loudly on every worker alike.
+    import polars as pl
+    return pl.from_arrow(arr).hash().to_numpy().astype(np.uint64,
+                                                       copy=False)
 
 
 #: per-WORKER broadcast cache (bounded): ray.get of a PICKLED Python
@@ -57,13 +57,22 @@ def fast_hash64(arr) -> "np.ndarray":
 _BCAST_CACHE: dict = {}
 
 
-def cached_broadcast_get(ref):
-    """ray.get(ref) memoized per worker process (bounded to 4 refs)."""
+def cached_broadcast_get(ref, _cap: int = 8):
+    """ray.get(ref) memoized per worker process (LRU, bounded).
+
+    LRU rather than FIFO: a worker interleaving tasks from several
+    broadcast consumers (LM scorer's two refs + DSIR weights +
+    contamination map + ...) would otherwise evict the hottest ref and
+    re-pay full dict unpickling per task — the exact cost this cache
+    exists to amortize.
+    """
     key = ref.hex()
     v = _BCAST_CACHE.get(key)
     if v is None:
         import ray
-        if len(_BCAST_CACHE) >= 4:          # bound worker memory
+        if len(_BCAST_CACHE) >= _cap:        # bound worker memory
             _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         v = _BCAST_CACHE[key] = ray.get(ref)
+    else:                                    # refresh recency
+        _BCAST_CACHE[key] = _BCAST_CACHE.pop(key)
     return v

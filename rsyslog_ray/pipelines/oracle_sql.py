@@ -67,8 +67,12 @@ cls AS (
   FROM mm
 ),
 -- the reference TAG scan (tools/pmrfc3164.c:341-366): tag runs to ':'
--- (included) or SP (excluded, stays in msg) or end-of-body; >32-char
--- first words yield no tag (engine TAG_MAX subset)
+-- (included) or SP (excluded, stays in msg) or end-of-body; first
+-- words longer than TAG_MAX=32 BYTES yield no tag (engine subset).
+-- strpos/substr count CHARACTERS in DuckDB while the engine counts
+-- UTF-8 bytes, so the <=TAG_MAX checks go through octet_length of the
+-- character prefix; extraction itself stays character-based (the cut
+-- lands on a single-byte ':'/SP delimiter, so chars == same string)
 tagscan AS (
   SELECT *,
     coalesce(g3.body3, '') AS body3,
@@ -76,17 +80,26 @@ tagscan AS (
     strpos(coalesce(g3.body3, ''), ' ') AS isp
   FROM cls
 ),
+tagbytes AS (
+  SELECT *,
+    CASE WHEN icol > 0
+         THEN octet_length(encode(substr(body3, 1, icol))) ELSE 0 END AS icol_b,
+    CASE WHEN isp > 0
+         THEN octet_length(encode(substr(body3, 1, isp))) ELSE 0 END AS isp_b
+  FROM tagscan
+),
 tagcut AS (
   SELECT *,
     CASE
-      WHEN icol > 0 AND (isp = 0 OR icol < isp) AND icol <= 33
+      WHEN icol > 0 AND (isp = 0 OR icol < isp) AND icol_b <= 33
         THEN icol
-      WHEN isp > 0 AND (icol = 0 OR isp < icol) AND isp <= 33
+      WHEN isp > 0 AND (icol = 0 OR isp < icol) AND isp_b <= 33
         THEN isp - 1
-      WHEN icol = 0 AND isp = 0 AND length(body3) BETWEEN 1 AND 32
+      WHEN icol = 0 AND isp = 0
+           AND octet_length(encode(body3)) BETWEEN 1 AND 32
         THEN length(body3)
       ELSE 0 END AS tagcut
-  FROM tagscan
+  FROM tagbytes
 ),
 flds AS (
   SELECT conv_id, turn_idx, role, tool, ts, s, pri, rest,
@@ -765,9 +778,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, "group", n_tokens,
-  COALESCE(SUM(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
+  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY "group" ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
-    AS seq_idx
+    AS BIGINT) AS seq_idx
 FROM t ORDER BY doc_id"""
 
     from ..stages.sampling import SAMPLE_N_PRIME  # noqa: PLC0415
@@ -1193,9 +1206,12 @@ SELECT make_timestamp(s * 1000000) AS ts,
        CAST(46 AS BIGINT) AS pri, 'rsyslogd:' AS tag, '-- MARK --' AS text
 FROM g"""
 
+    # `OR text IS NULL`: the engine's invert(is_in(hot_set)) keeps
+    # null-text rows (null never matches a non-null hot line), while
+    # bare `IN (subquery)` yields NULL for them and drops the row.
     q["boilerplate"] = f"""
 SELECT conv_id, turn_idx FROM read_parquet('{src}')
-WHERE text IN (
+WHERE text IS NULL OR text IN (
   SELECT text FROM read_parquet('{src}')
   GROUP BY text HAVING count(DISTINCT conv_id) < 2)"""
 

@@ -137,7 +137,10 @@ def bucket_merge(partials, keys: list[str], agg_spec: dict[str, tuple],
             or any(how == "first" for _, (_, how) in agg_spec.items())
         if needs_sort:
             g = g.sort_values(list(g.columns), kind="mergesort")
-        return (g.groupby(keys, sort=False, as_index=False)
+        # dropna=False: SQL GROUP BY keeps the NULL-key group (DuckDB
+        # oracles do); pandas' default silently drops it, which would
+        # make count_by lose rows for nullable key columns.
+        return (g.groupby(keys, sort=False, as_index=False, dropna=False)
                 .agg(**{out: (src, how)
                         for out, (src, how) in agg_spec.items()}))
 

@@ -971,8 +971,8 @@ WITH tb_base AS (
   FROM {table}
 ), tb_cum AS (
   SELECT {id_col}, {key_col}, n_tokens,
-    SUM(n_tokens) OVER (PARTITION BY {key_col} ORDER BY h, {id_col}
-                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    CAST(SUM(n_tokens) OVER (PARTITION BY {key_col} ORDER BY h, {id_col}
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM tb_base
 )
 SELECT {id_col}, {key_col}, n_tokens, cum_tokens FROM tb_cum
