@@ -112,13 +112,29 @@ class NearDupPairScorer:
         })
 
 
+#: rows above which the exact broadcast-matrix path auto-switches to the
+#: LSH-bucketed path: 500k × 128-dim float64 ≈ 0.5 GB broadcast matrix —
+#: the last size where shipping the whole side to every scorer beats the
+#: t×-duplication shuffle. Same dual-path rule as dedup.minhash_lsh_dedup.
+EXACT_PAIRS_MAX_ROWS = 500_000
+
+
 def neardup_pairs_exact(ds, threshold: float = 0.4, id_col: str = "vec_id",
-                        col: str = "embedding", concurrency=2):
+                        col: str = "embedding", concurrency=2,
+                        exact_max_rows: int = EXACT_PAIRS_MAX_ROWS):
     """Exact embedding-cosine near-duplicate pairs (a < b, score ≥ τ).
 
-    The full matrix is broadcast (fits comfortably for lookup-scale sides;
-    for corpus² at 100 TB use lsh_topk_cosine-style bucketing to bound
-    candidates instead). Matches the DuckDB self-join oracle exactly."""
+    The full matrix is broadcast — the small-scale oracle path that
+    matches the DuckDB self-join bit-for-bit. Above exact_max_rows the
+    driver-side take_all + N×d broadcast stops being a sane shape, so the
+    call AUTO-SWITCHES to lsh_neardup_pairs (the 100 TB path; recall
+    characteristics documented there). Pass exact_max_rows=None to force
+    the exact path regardless of size."""
+    if exact_max_rows is not None:
+        n = ds.count()
+        if n > exact_max_rows:
+            return lsh_neardup_pairs(ds, threshold=threshold,
+                                     id_col=id_col, col=col)
     rows = ds.select_columns([id_col, col]).take_all()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[col] for r in rows], dtype=np.float64)

@@ -179,6 +179,29 @@ def test_lsh_neardup_pairs_recall_and_exactness(ray_session):
         assert abs(v - exact[k]) < 1e-9             # same exact scores
 
 
+def test_neardup_pairs_exact_size_gate(ray_session):
+    """Above exact_max_rows the exact broadcast path must auto-switch to
+    the LSH-bucketed path (no driver take_all of the corpus), and the two
+    paths must agree on the planted pair at small scale."""
+    from rsyslog_ray.stages.similarity import (EXACT_PAIRS_MAX_ROWS,
+                                               lsh_neardup_pairs)
+    assert EXACT_PAIRS_MAX_ROWS >= 100_000          # gate exists, sane size
+    tbl, _ = _vec_table(n=80)
+    ds = rd.from_arrow(tbl)
+    # force the gate with a tiny threshold: result must equal the LSH path
+    gated = {(r["a"], r["b"]) for r in
+             neardup_pairs_exact(ds, threshold=0.6,
+                                 exact_max_rows=10).take_all()}
+    lsh = {(r["a"], r["b"]) for r in
+           lsh_neardup_pairs(ds, threshold=0.6).take_all()}
+    assert gated == lsh and (3, 7) in gated
+    # under the gate the exact path runs and is a superset of LSH recall
+    exact = {(r["a"], r["b"]) for r in
+             neardup_pairs_exact(ds, threshold=0.6,
+                                 exact_max_rows=1000).take_all()}
+    assert lsh.issubset(exact) and (3, 7) in exact
+
+
 def _brute_simhash_drop(tbl, radius):
     """Python oracle: brute-force Hamming pairs + union-find keep-min."""
     from rsyslog_ray.stages.dedup import SimHashStage, _driver_drop_set
