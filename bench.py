@@ -302,6 +302,39 @@ def run_scaling(sf_dir: str, cpus_lo: int = 4, cpus_hi: int = 16) -> dict:
     }
 
 
+#: the round driver captures only the LAST 2000 chars of stdout and parses
+#: the final JSON line out of that window; an 85-query timings dict
+#: overflows it (BENCH_r04 "parsed": null). Full detail goes to a side
+#: file; the printed line is shrunk until it fits.
+TAIL_BUDGET = 1900
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json")
+
+
+def _compact_line(out: dict, budget: int = TAIL_BUDGET) -> str:
+    try:
+        with open(DETAIL_PATH, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    slim = dict(out)
+    slim.pop("routed", None)
+    slim["detail"] = os.path.basename(DETAIL_PATH)
+    q = slim.get("queries")
+    if isinstance(q, dict):
+        q = {k: round(v, 2) for k, v in q.items()}
+        slim["queries"] = q
+        # drop fastest entries first until the line fits; flagship stays
+        order = sorted((k for k in q if k != "flagship"), key=q.get)
+        while order and len(json.dumps(slim, separators=(",", ":"))) > budget:
+            q.pop(order.pop(0))
+            slim["queries_omitted"] = slim.get("queries_omitted", 0) + 1
+    return json.dumps(slim, separators=(",", ":"))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -327,7 +360,7 @@ def main() -> None:
         only = set(args.only.split(",")) if args.only else None
         out = run_headline(args.sf_dir, num_cpus, only=only,
                            warmup_full=args.warmup_full, repeat=args.repeat)
-    print(json.dumps(out))
+    print(_compact_line(out))
 
     import ray
 
