@@ -88,6 +88,20 @@ register_stage("pmdb2diag", _parse_mod.parse_db2diag_table)
 register_stage("pmnull", _parse_mod.parse_null_table)
 
 
+def _mmexternal(batch, **kw):
+    from .stages.external import mmexternal_table
+    return mmexternal_table(batch, **kw)
+
+
+def _omprog(batch, **kw):
+    from .stages.external import omprog_table
+    return omprog_table(batch, **kw)
+
+
+register_stage("mmexternal", _mmexternal)
+register_stage("omprog", _omprog)
+
+
 # ---------------------------------------------------------------------------
 # compile
 # ---------------------------------------------------------------------------
