@@ -71,6 +71,11 @@ class TplEntry:
     re_submatch: int = 0
     re_match: int = 0
     re_nomatch: str = "DFLT"       # DFLT | BLANK | FIELD | ZERO
+    # jsonf typing (template.h:136-145 TPE_DATATYPE_* / TPE_DATAEMPTY_*)
+    datatype: str = "string"       # string | number | bool | auto
+    onempty: str = "keep"          # keep | skip | null
+    mandatory: bool = False        # bMandatory (tplToJSON emit-if-empty)
+    const_raw: str | None = None   # constant's unwrapped value (tplToJSON)
 
 
 _PROP_RE = re.compile(r"%([^%]*)%")
@@ -377,17 +382,54 @@ def _render_entry(e: TplEntry, props: PropertyRegistry, n: int,
             pass  # raw JSON value, no escaping (template.h bJSONr)
         elif o == "jsonf":
             # JSON name/value pair field (template.h bJSONf): emit
-            # "outname":"escaped-value" — outname defaults to the
-            # property name with any $! prefix dropped (template.c:1717)
+            # "outname":<value> — outname defaults to the property name
+            # with any $! prefix dropped (template.c:1717); value typing
+            # and empty-field policy per jsonField (runtime/msg.c:3408-3476)
             fname = e.outname or e.prop.removeprefix("$!").removeprefix("!")
-            val = pc.binary_join_element_wise(
-                pa.scalar(f'"{fname}":"'), _json_escape(val),
-                pa.scalar('"'), "")
+            val = _jsonf_pair(fname, val, e.datatype, e.onempty)
         elif o == "csv":
             val = _csv_quote(val)
     if escape and not isinstance(val, str):
         val = _sql_escape(val, escape)
     return val
+
+
+def _jsonf_pair(fname: str, val, datatype: str = "string",
+                onempty: str = "keep"):
+    """jsonField (runtime/msg.c:3408-3476): '"name":<typed value>'.
+
+    onEmpty: keep (type rules decide), skip (whole field omitted — the
+    raw empty value, i.e. nothing, renders), null ('"name":null').
+    dataType: string (always quoted), number (unquoted; empty → 0 — and
+    non-numeric content emits unquoted exactly like the reference, which
+    never validates), bool ('0' → false, everything else incl. empty →
+    true), auto (unquoted iff all-digits, else quoted).
+    """
+    val = pc.fill_null(pc.cast(val, pa.string()), "")
+    empty = pc.equal(val, "")
+    prefix = pa.scalar(f'"{fname}":')
+    esc = _json_escape(val)
+    quoted = pc.binary_join_element_wise(
+        pa.scalar('"'), esc, pa.scalar('"'), "")
+    if datatype == "auto":
+        digits = pc.match_substring_regex(val, pattern=r"^[0-9]+$")
+        body = pc.if_else(digits, esc, quoted)
+    elif datatype == "number":
+        body = pc.if_else(empty, pa.scalar("0"), esc)
+    elif datatype == "bool":
+        body = pc.if_else(pc.equal(val, "0"),
+                          pa.scalar("false"), pa.scalar("true"))
+    else:  # string
+        body = quoted
+    pair = pc.binary_join_element_wise(prefix, body, "")
+    if onempty == "skip":
+        return pc.if_else(empty, pa.scalar(""), pair)
+    if onempty == "null":
+        return pc.if_else(
+            empty,
+            pc.binary_join_element_wise(prefix, pa.scalar("null"), ""),
+            pair)
+    return pair
 
 
 def _entry_from_property(p: dict) -> TplEntry:
@@ -421,6 +463,20 @@ def _entry_from_property(p: dict) -> TplEntry:
     fmt = str(p.get("format", "")).lower()
     if fmt in ("csv", "json", "jsonf", "jsonr"):
         e.options.append(fmt)
+    if "datatype" in p:
+        dt = str(p["datatype"]).lower()
+        if dt not in ("string", "number", "bool", "auto"):
+            raise ValueError(  # template.c:1507 LogError + ABORT
+                f"invalid dataType {p['datatype']!r} for property")
+        e.datatype = dt
+    if "onempty" in p:
+        oe = str(p["onempty"]).lower()
+        if oe not in ("keep", "skip", "null"):
+            raise ValueError(  # template.c:1521
+                f"invalid onEmpty value {p['onempty']!r} for property")
+        e.onempty = oe
+    if "mandatory" in p:
+        e.mandatory = _onoff(p["mandatory"])
     cc = str(p.get("controlcharacters", "")).lower()
     if cc in ("escape", "space", "drop"):
         e.options.append({"escape": "escape-cc", "space": "space-cc",
@@ -464,7 +520,9 @@ def entries_from_list(items: list[dict]) -> list[TplEntry]:
                         "constant with format=jsonf needs outname=")
                 txt = (f'"{p["outname"]}":'
                        + json.dumps(txt, ensure_ascii=True))
-            out.append(TplEntry("const", text=txt))
+            e = TplEntry("const", text=txt, outname=p.get("outname"))
+            e.const_raw = str(p.get("value", ""))
+            out.append(e)
         else:
             out.append(_entry_from_property(it))
     return out
@@ -534,5 +592,122 @@ class Template:
         return pc.cast(joined, pa.large_string())
 
 
+    def render_json(self, batch: pa.Table) -> pa.Array:
+        """tplToJSON analogue (template.c:270-338): render the template as
+        one JSON OBJECT text per row, for JSON-document sinks.
+
+        Per the reference: constants emit only when they carry an outname
+        (template.c:302); `$!`/`$.` fields embed their subtree as raw JSON
+        (msgGetJSONPropJSON), a missing subtree emitting `"name":null`
+        only when mandatory (template.c:316); all other fields emit as
+        JSON strings iff mandatory or non-empty (template.c:323 —
+        dataType/onEmpty are jsonField string-path options and do NOT
+        apply here, faithfully).
+        """
+        from dataclasses import replace as dc_replace
+        props = PropertyRegistry(batch)
+        n = batch.num_rows
+        if self.subtree is not None:
+            txt = self.render(batch)
+            return pc.cast(
+                pc.if_else(pc.equal(pc.cast(txt, pa.string()), ""),
+                           pa.scalar("{}"), pc.cast(txt, pa.string())),
+                pa.large_string())
+        parts = []  # each: string-array of '"name":value' or "" (omitted)
+        for e in self.entries:
+            if e.kind == "const":
+                if not e.outname:
+                    continue
+                raw = e.const_raw if e.const_raw is not None else e.text
+                pair = ('"%s":%s' % (e.outname, json.dumps(raw)))
+                parts.append(pa.array([pair] * n, pa.string()))
+                continue
+            fname = e.outname or e.prop.removeprefix("$!").removeprefix("!")
+            stripped = e.prop.lstrip("$")
+            if stripped.startswith("!") or stripped.startswith("."):
+                raw = _raw_json_values(props, e.prop, n)
+                if e.mandatory:
+                    pair = pc.binary_join_element_wise(
+                        pa.scalar(f'"{fname}":'),
+                        pc.fill_null(raw, "null"), "")
+                else:
+                    pair = pc.if_else(
+                        pc.is_null(raw), pa.scalar(""),
+                        pc.binary_join_element_wise(
+                            pa.scalar(f'"{fname}":'),
+                            pc.fill_null(raw, ""), ""))
+            else:
+                plain = dc_replace(e, options=[
+                    o for o in e.options
+                    if o not in ("json", "jsonf", "jsonr", "csv")])
+                val = _render_entry(plain, props, n, None)
+                if isinstance(val, str):
+                    val = pa.array([val] * n, pa.string())
+                val = pc.fill_null(pc.cast(val, pa.string()), "")
+                quoted = pc.binary_join_element_wise(
+                    pa.scalar(f'"{fname}":"'), _json_escape(val),
+                    pa.scalar('"'), "")
+                if e.mandatory:
+                    pair = quoted
+                else:
+                    pair = pc.if_else(pc.equal(val, ""),
+                                      pa.scalar(""), quoted)
+            parts.append(pc.cast(pair, pa.string()))
+        if not parts:
+            return pa.array(["{}"] * n, pa.large_string())
+        # comma-join only present fields: prefix each with "," when
+        # non-empty, concatenate, strip the leading comma, wrap in {}
+        pieces = [pc.if_else(pc.equal(p, ""), pa.scalar(""),
+                             pc.binary_join_element_wise(
+                                 pa.scalar(","), p, ""))
+                  for p in parts]
+        joined = (pieces[0] if len(pieces) == 1
+                  else pc.binary_join_element_wise(*pieces, ""))
+        joined = pc.replace_substring_regex(joined, pattern=r"^,",
+                                            replacement="")
+        return pc.cast(pc.binary_join_element_wise(
+            pa.scalar("{"), joined, pa.scalar("}"), ""), pa.large_string())
+
+
 def render_template(batch: pa.Table, spec: str) -> pa.Array:
     return Template(spec).render(batch)
+
+
+def _raw_json_values(props: PropertyRegistry, prop: str, n: int) -> pa.Array:
+    """Per-row raw-JSON encoding of a `$!`/`$.` property subtree
+    (msgGetJSONPropJSON): null where the path is absent.  Bounded per-row
+    loop — this is the JSON-document sink path, where each row becomes a
+    document anyway."""
+    stripped = prop.lstrip("$")
+    if stripped.startswith("."):
+        # local var: a string column by convention
+        arr = props.get(prop)
+        vals = pc.cast(arr, pa.string()).to_pylist()
+        return pa.array([json.dumps(v) if v not in (None, "") else None
+                         for v in vals], pa.string())
+    path = stripped[1:]
+    tbl = props.table
+    col = next((c for c in ("cee_json", "json_tree")
+                if c in tbl.column_names), None)
+    if col is None:
+        return pa.nulls(n, pa.string())
+    from .functions import loads_fast
+    out = []
+    for v in pc.cast(tbl[col], pa.string()).to_pylist():
+        cur = None
+        found = False
+        if v:
+            try:
+                cur = loads_fast(v)
+                found = True
+                for k in (path.split("!") if path else []):
+                    if isinstance(cur, dict) and k in cur:
+                        cur = cur[k]
+                    else:
+                        found = False
+                        break
+            except (ValueError, TypeError):
+                found = False
+        out.append(json.dumps(cur, separators=(",", ":"), sort_keys=True)
+                   if found else None)
+    return pa.array(out, pa.string())

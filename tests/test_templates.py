@@ -287,3 +287,101 @@ def test_list_template_property_options_parity():
         l = Template({"type": "list",
                       "entries": [entry]}).render(batch).to_pylist()
         assert l == s, (spec, l, s)
+
+
+def test_jsonf_datatype_onempty_matrix():
+    """jsonField typing (runtime/msg.c:3408-3476): 4 dataTypes x 3
+    onEmpty modes, value cases empty / digits / text / "0"."""
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+
+    def render(dt, oe, vals):
+        batch = pa.table({"msg": pa.array(vals, pa.string())})
+        t = Template({"type": "list", "entries": [
+            {"kind": "property", "name": "msg", "outname": "f",
+             "format": "jsonf", "datatype": dt, "onempty": oe}]})
+        return t.render(batch).to_pylist()
+
+    vals = ["", "123", "abc", "0"]
+    # string: always quoted; empty value renders per onEmpty
+    assert render("string", "keep", vals) == [
+        '"f":""', '"f":"123"', '"f":"abc"', '"f":"0"']
+    assert render("string", "skip", vals) == [
+        '', '"f":"123"', '"f":"abc"', '"f":"0"']
+    assert render("string", "null", vals) == [
+        '"f":null', '"f":"123"', '"f":"abc"', '"f":"0"']
+    # number: unquoted, empty -> 0 (msg.c:3459); non-numeric emits raw
+    # unquoted exactly like the reference (never validated)
+    assert render("number", "keep", vals) == [
+        '"f":0', '"f":123', '"f":abc', '"f":0']
+    assert render("number", "skip", vals) == [
+        '', '"f":123', '"f":abc', '"f":0']
+    assert render("number", "null", vals) == [
+        '"f":null', '"f":123', '"f":abc', '"f":0']
+    # bool: "0" -> false, everything else (incl. empty under keep) -> true
+    assert render("bool", "keep", vals) == [
+        '"f":true', '"f":true', '"f":true', '"f":false']
+    assert render("bool", "skip", vals) == [
+        '', '"f":true', '"f":true', '"f":false']
+    assert render("bool", "null", vals) == [
+        '"f":null', '"f":true', '"f":true', '"f":false']
+    # auto: unquoted iff all-digits (msg.c:3440-3452)
+    assert render("auto", "keep", vals) == [
+        '"f":""', '"f":123', '"f":"abc"', '"f":0']
+    assert render("auto", "skip", vals) == [
+        '', '"f":123', '"f":"abc"', '"f":0']
+    assert render("auto", "null", vals) == [
+        '"f":null', '"f":123', '"f":"abc"', '"f":0']
+
+
+def test_jsonf_invalid_datatype_onempty_rejected():
+    import pytest
+    from rsyslog_ray.templates import Template
+    with pytest.raises(ValueError):  # template.c:1507
+        Template({"type": "list", "entries": [
+            {"kind": "property", "name": "msg", "format": "jsonf",
+             "datatype": "float"}]})
+    with pytest.raises(ValueError):  # template.c:1521
+        Template({"type": "list", "entries": [
+            {"kind": "property", "name": "msg", "format": "jsonf",
+             "onempty": "drop"}]})
+
+
+def test_render_json_tpltojson_semantics():
+    """tplToJSON (template.c:270-338): constants need outname; $! subtrees
+    embed raw JSON (missing -> omitted, or null when mandatory); plain
+    fields emit iff mandatory or non-empty; dataType does NOT apply."""
+    import json as _json
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+    batch = pa.table({
+        "msg": pa.array(["hello", ""], pa.string()),
+        "hostname": pa.array(["h1", "h2"], pa.string()),
+        "cee_json": pa.array(['{"a":{"n":5},"s":"x"}', None], pa.string()),
+    })
+    t = Template({"type": "list", "entries": [
+        {"kind": "constant", "value": "c1", "outname": "tag"},
+        {"kind": "constant", "value": "dropped-no-outname"},
+        {"kind": "property", "name": "msg", "outname": "message"},
+        {"kind": "property", "name": "hostname", "outname": "host",
+         "mandatory": "on"},
+        {"kind": "property", "name": "$!a", "outname": "sub"},
+        {"kind": "property", "name": "$!missing", "outname": "gone"},
+        {"kind": "property", "name": "$!missing", "outname": "forced",
+         "mandatory": "on"},
+    ]})
+    out = t.render_json(batch).to_pylist()
+    assert _json.loads(out[0]) == {
+        "tag": "c1", "message": "hello", "host": "h1",
+        "sub": {"n": 5}, "forced": None}
+    # row 2: empty msg omitted (not mandatory), no JSON tree at all
+    assert _json.loads(out[1]) == {"tag": "c1", "host": "h2",
+                                   "forced": None}
+
+
+def test_render_json_subtree_template():
+    import pyarrow as pa
+    from rsyslog_ray.templates import Template
+    batch = pa.table({"cee_json": ['{"a":1}', None]})
+    t = Template({"type": "subtree", "subtree": "$!"})
+    assert t.render_json(batch).to_pylist() == ['{"a":1}', "{}"]
