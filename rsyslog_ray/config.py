@@ -129,15 +129,32 @@ def _load_tables(spec: dict) -> dict[str, LookupTable]:
     return out
 
 
-def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
+def _compile_ruleset(spec: dict, templates: dict[str, str],
+                     _memo: dict | None = None) -> Ruleset:
+    # _memo (id(spec) → Ruleset) shares one compiled object when the same
+    # ruleset spec is reachable both by `call` and through a
+    # call_indirect registry — validate() tolerates the same ACTION
+    # object twice but rejects two distinct same-named compiles
+    if _memo is None:
+        _memo = {}
+    cached = _memo.get(id(spec))
+    if cached is not None:
+        return cached
     actions = []
     for a in spec.get("actions", []):
         tpl = a.get("template")
         if tpl in templates:
             tpl = templates[tpl]            # custom named template → spec
         target = None
+        targets = None
         if a.get("kind") == "call":
-            target = _compile_ruleset(a["ruleset"], templates)
+            target = _compile_ruleset(a["ruleset"], templates, _memo)
+        elif a.get("kind") == "call_indirect":
+            # runtime/ruleset.c execCallIndirect: name expr resolves
+            # against the full ruleset registry at run time; compile
+            # every candidate target once here
+            targets = {name: _compile_ruleset(sub, templates, _memo)
+                       for name, sub in a.get("rulesets", {}).items()}
         elif a.get("kind") == "foreach":
             # loop body compiles like a nested ruleset (grammar.y S_FOREACH
             # block); `value` is the iterable expr, `var` the loop variable
@@ -159,8 +176,11 @@ def _compile_ruleset(spec: dict, templates: dict[str, str]) -> Ruleset:
             var=a.get("var"),
             value=_to_expr(a["value"]) if a.get("value") is not None
             else None,
+            targets=targets,
         ))
-    return Ruleset(spec.get("name", "main"), actions).validate()
+    rs = Ruleset(spec.get("name", "main"), actions)
+    _memo[id(spec)] = rs
+    return rs.validate()
 
 
 class CompiledConfig:

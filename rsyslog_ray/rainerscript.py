@@ -405,6 +405,17 @@ class _Parser:
                 raise ParseError(f"call of undefined ruleset {name!r}")
             return [{"name": f"call_{name}", "kind": "call",
                      "ruleset": self.rulesets[name]}]
+        if k == "word" and v == "call_indirect":
+            # grammar.y CALL_INDIRECT expr ';' (lexer.l:336): the target
+            # ruleset name is an arbitrary expression; it resolves at
+            # run time against every ruleset defined so far
+            self.next()
+            target_expr = self.expr()
+            self.accept("op", ";")
+            self._auto += 1
+            return [{"name": f"call_indirect_{self._auto}",
+                     "kind": "call_indirect", "value": target_expr,
+                     "rulesets": dict(self.rulesets)}]
         if k == "pfilt":
             # classic property-based filter line (lexer.l PROPFILT):
             #   :propname, [!]compare-op, "value" <statement-or-block>

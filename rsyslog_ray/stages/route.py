@@ -70,6 +70,11 @@ class Action:
     # (including stop filters and templates) see the update.
     var: str | None = None
     value: tuple | None = None
+    # kind="call_indirect" (runtime/ruleset.c:243-281 execCallIndirect):
+    # `value` is the expr whose per-row result names the target ruleset;
+    # `targets` is the name→Ruleset registry it resolves against
+    # (rulesetGetRuleset analogue). Unknown names are NOPs.
+    targets: "dict[str, Ruleset] | None" = None
 
 
 @dataclass
@@ -80,36 +85,57 @@ class Ruleset:
     # ("lookup", name, key) — bound by config.load_config
     tables: dict = dfield(default_factory=dict)
 
-    def compiled_templates(self) -> dict[str, Template]:
+    def compiled_templates(self, _seen: set | None = None
+                           ) -> dict[str, Template]:
+        if _seen is None:
+            _seen = set()
+        if id(self) in _seen:  # indirect registries may form cycles
+            return {}
+        _seen.add(id(self))
         out = {}
         for a in self.actions:
             if a.template:
                 out[a.name] = Template(a.template, name=a.name)
             if a.kind in ("call", "foreach") and a.target is not None:
-                out.update(a.target.compiled_templates())
+                out.update(a.target.compiled_templates(_seen))
+            if a.kind == "call_indirect" and a.targets:
+                for t in a.targets.values():
+                    out.update(t.compiled_templates(_seen))
         return out
 
-    def all_actions(self) -> list[Action]:
+    def all_actions(self, _seen: set | None = None) -> list[Action]:
         """Flattened statement list incl. call/foreach targets (for sink
         setup)."""
+        if _seen is None:
+            _seen = set()
+        if id(self) in _seen:  # indirect registries may form cycles
+            return []
+        _seen.add(id(self))
         out = []
         for a in self.actions:
             out.append(a)
             if a.kind in ("call", "foreach") and a.target is not None:
-                out.extend(a.target.all_actions())
+                out.extend(a.target.all_actions(_seen))
+            if a.kind == "call_indirect" and a.targets:
+                for t in a.targets.values():
+                    out.extend(t.all_actions(_seen))
         return out
 
     def validate(self) -> "Ruleset":
         """Reject duplicate action names across the flattened statement
         list — routed output is keyed by action name, so a callee action
         shadowing a caller action would silently drop the caller's rows."""
-        seen: set[str] = set()
+        seen: dict[str, int] = {}
         for a in self.all_actions():
-            if a.name in seen:
+            # the same Action OBJECT may legitimately appear twice (a
+            # ruleset reachable both by `call` and through a
+            # call_indirect registry); only distinct actions sharing a
+            # name are a conflict
+            if seen.get(a.name, id(a)) != id(a):
                 raise ValueError(
                     f"duplicate action name {a.name!r} in ruleset "
                     f"{self.name!r} (incl. called rulesets)")
-            seen.add(a.name)
+            seen[a.name] = id(a)
         return self
 
 
@@ -373,6 +399,36 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
             # only rows passing this statement's filter enter the callee
             batch = _exec_actions(batch, act.target.actions, alive,
                                   templates, out, gate=m, props=props)
+            continue
+        if act.kind == "call_indirect" and act.value is not None:
+            # execCallIndirect (runtime/ruleset.c:243-281): the ruleset
+            # name is an expression evaluated per MESSAGE; rows group by
+            # evaluated name and each known target runs on its rows'
+            # mask (name order sorted for batch-order determinism).
+            # Unknown names are NOPs ("we accept that a NOP will
+            # survive", ruleset.c:256-261).
+            from ..expr import compile_expr
+            vals = compile_expr(act.value, props)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if isinstance(vals, (pa.Array,)):
+                names_np = np.asarray(
+                    pc.fill_null(pc.cast(vals, pa.string()),
+                                 "").to_pylist(), dtype=object)
+            else:  # constant expr (var2CString of a scalar)
+                names_np = np.full(batch.num_rows, str(vals),
+                                   dtype=object)
+            for name in sorted({str(x) for x in names_np[m]}):
+                target = (act.targets or {}).get(name)
+                if target is None:
+                    continue  # NOP survives
+                gate_n = m & (names_np == name)
+                batch = _exec_actions(batch, target.actions, alive,
+                                      templates, out, gate=gate_n,
+                                      props=props)
+                # a set inside one target must be visible to the next
+                # target's rows and later caller statements
+                props.rebind(batch)
             continue
         if act.kind != "write" or out is None:
             continue
