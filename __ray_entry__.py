@@ -42,66 +42,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     ensure_transcripts("/root/testdata/sf0.01")  # oracle SQL reads this path
     return {
-        # Ordering contract (round-4 rotation policy): entries the
-        # driver has NEVER checked (rounds 1-3) come FIRST -- oracled
-        # never-checked (cheapest-first, measured sf0.01), then the
-        # three re-verify entries fixed this round are inside that
-        # block, then never-checked rows-only, then previously-green
-        # entries in their prior cheapest-first order. The driver
-        # checks ~50/round: this ordering spends the budget on the
-        # entries with no CORRECTNESS row yet. Future rounds: move
-        # freshly-checked entries to the tail and promote any that
-        # remain unchecked.
-        "char_entropy": Q.q_char_entropy,        # new in r4
-        "dedup_report": Q.q_dedup_report,        # new in r4
-        "length_batches": Q.q_length_batches,    # new in r4
-        "prf_quality": Q.q_prf_quality,          # new in r4
-        "event_patterns": Q.q_event_patterns,    # new in r4
-        "temperature_mix": Q.q_temperature_mix,  # new in r4
-        "ccnet_buckets": Q.q_ccnet_buckets,      # new in r4
-        "auc_quality": Q.q_auc_quality,          # new in r4
-        "contamination_report": Q.q_contamination_report,  # new in r4
-        "gopher_quality": Q.q_gopher_quality,  # new in r4 — never checked
-        "dsir_score": Q.q_dsir_score,     # new in r4 — never checked
-        "dsir_sample": Q.q_dsir_sample,   # new in r4 — never checked
-        "boilerplate": Q.q_boilerplate,   # new in r4 — never checked
-        "classifier_filter": Q.q_classifier_filter,  # new in r4
-        "cluster_sample": Q.q_cluster_sample,         # new in r4
-        "immark": Q.q_immark,                         # new in r4
-        "epoch_mix": Q.q_epoch_mix,                   # new in r4
-        "canonical_dedup": Q.q_canonical_dedup,       # new in r4
-        "centroids": Q.q_centroids,
-        "median_filter": Q.q_median_filter,
-        "top_ngrams": Q.q_top_ngrams,
-        "user_ntile": Q.q_user_ntile,
-        "running_total": Q.q_running_total,
-        "type_rank": Q.q_type_rank,
-        "event_gaps": Q.q_event_gaps,
-        "dup_ngrams": Q.q_dup_ngrams,
-        "range_join": Q.q_range_join,
-        "shuffle_shards": Q.q_shuffle_shards,
-        "zscore": Q.q_zscore,
-        "dedup_spans": Q.q_dedup_spans,
-        "conv_docs": Q.q_conv_docs,
-        "decontaminate_frac": Q.q_decontaminate_frac,
-        "tfidf": Q.q_tfidf,
-        "dedup_lines": Q.q_dedup_lines,
-        "sft_pairs": Q.q_sft_pairs,
-        "mad_outliers": Q.q_mad_outliers,
-        "lm_score": Q.q_lm_score,
-        "decontaminate": Q.q_decontaminate,
-        "dedup_lines_global": Q.q_dedup_lines_global,
-        "turn_windows": Q.q_turn_windows,
-        "set_vars": Q.q_set_vars,
-        "token_budget": Q.q_token_budget,
-        "equi_join": Q.q_equi_join,
-        "script_error": Q.q_script_error,
-        "conv_dedup": Q.q_conv_dedup,
-        "pack_sequences": Q.q_pack_sequences,
-        "ewma": Q.q_ewma,
-        "countmin_topk": Q.q_countmin_topk,
-        "tdigest": Q.q_tdigest,
-        "sq8": Q.q_sq8,
+        # Ordering contract (rotation policy, round 5): the 12
+        # entries that have NEVER had a driver row (rows-only by
+        # design, but a rows/err row is still signal) come FIRST;
+        # then the new-in-r5 entry; then the three re-verify
+        # entries whose oracles/gates changed this round
+        # (pack_sequences/token_budget BIGINT casts, neardup_pairs
+        # size gate); then entries last checked in rounds 1-3
+        # (oldest evidence, prior cheapest-first order); the 48
+        # checked in round 4 sit at the tail. ~50 driver checks
+        # per round -> every registry entry has at least one
+        # CORRECTNESS row after this round.
         "pca": Q.q_pca,
         "bloom_decontaminate": Q.q_bloom_decontaminate,
         "ivf_cosine": Q.q_ivf_cosine,
@@ -114,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": Q.q_semdedup,
         "image_dedup": Q.q_image_dedup,
         "logreg": Q.q_logreg,
+        "mmexternal": Q.q_mmexternal,
+        "pack_sequences": Q.q_pack_sequences,
+        "token_budget": Q.q_token_budget,
+        "neardup_pairs": Q.q_neardup_pairs,
         "sample_global": Q.q_sample_global,
         "topk_tools": Q.q_topk_tools,
         "global_topn": Q.q_global_topn,
@@ -180,7 +135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_cosine": Q.q_topk_cosine,
         "conv_rollup": Q.q_conv_rollup,
         "route_cee": Q.q_route_cee,
-        "neardup_pairs": Q.q_neardup_pairs,
         "dynstats_tool": Q.q_dynstats_tool,
         "sd_params": Q.q_sd_params,
         "distinct_users_hll": Q.q_distinct_users_hll,
@@ -191,6 +145,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_cosine": Q.q_lsh_cosine,
         "token_bucket": Q.q_token_bucket,
         "multimodal": Q.q_multimodal,
+        "char_entropy": Q.q_char_entropy,
+        "dedup_report": Q.q_dedup_report,
+        "length_batches": Q.q_length_batches,
+        "prf_quality": Q.q_prf_quality,
+        "event_patterns": Q.q_event_patterns,
+        "temperature_mix": Q.q_temperature_mix,
+        "ccnet_buckets": Q.q_ccnet_buckets,
+        "auc_quality": Q.q_auc_quality,
+        "contamination_report": Q.q_contamination_report,
+        "gopher_quality": Q.q_gopher_quality,
+        "dsir_score": Q.q_dsir_score,
+        "dsir_sample": Q.q_dsir_sample,
+        "boilerplate": Q.q_boilerplate,
+        "classifier_filter": Q.q_classifier_filter,
+        "cluster_sample": Q.q_cluster_sample,
+        "immark": Q.q_immark,
+        "epoch_mix": Q.q_epoch_mix,
+        "canonical_dedup": Q.q_canonical_dedup,
+        "centroids": Q.q_centroids,
+        "median_filter": Q.q_median_filter,
+        "top_ngrams": Q.q_top_ngrams,
+        "user_ntile": Q.q_user_ntile,
+        "running_total": Q.q_running_total,
+        "type_rank": Q.q_type_rank,
+        "event_gaps": Q.q_event_gaps,
+        "dup_ngrams": Q.q_dup_ngrams,
+        "range_join": Q.q_range_join,
+        "shuffle_shards": Q.q_shuffle_shards,
+        "zscore": Q.q_zscore,
+        "dedup_spans": Q.q_dedup_spans,
+        "conv_docs": Q.q_conv_docs,
+        "decontaminate_frac": Q.q_decontaminate_frac,
+        "tfidf": Q.q_tfidf,
+        "dedup_lines": Q.q_dedup_lines,
+        "sft_pairs": Q.q_sft_pairs,
+        "mad_outliers": Q.q_mad_outliers,
+        "lm_score": Q.q_lm_score,
+        "decontaminate": Q.q_decontaminate,
+        "dedup_lines_global": Q.q_dedup_lines_global,
+        "turn_windows": Q.q_turn_windows,
+        "set_vars": Q.q_set_vars,
+        "equi_join": Q.q_equi_join,
+        "script_error": Q.q_script_error,
+        "conv_dedup": Q.q_conv_dedup,
+        "ewma": Q.q_ewma,
+        "countmin_topk": Q.q_countmin_topk,
+        "tdigest": Q.q_tdigest,
+        "sq8": Q.q_sq8,
     }
 
 

@@ -1451,4 +1451,12 @@ FROM t ORDER BY doc_id"""
     q["gopher_quality"] = gopher_quality_sql(min_words=30, max_words=90,
                                              min_stop_hits=1)
 
+    # mmexternal: the external filter replies {"$!":{"mlen":len(line)}}
+    # per raw message — the SQL twin is the character length of text
+    # (1:1 with the engine's LF→space framing guard)
+    q["mmexternal"] = f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(LENGTH(text) AS BIGINT) AS mlen
+FROM read_parquet('{src}')"""
+
     return q

@@ -2092,3 +2092,55 @@ def q_decontaminate_frac(sf_dir: str) -> pa.Table:
     def proj(t: pa.Table) -> pa.Table:
         return t.select(["doc_id"])
     return _to_table(out.map_batches(proj, batch_format="pyarrow"))
+
+
+def q_mmexternal(sf_dir: str) -> pa.Table:
+    """mmexternal end-to-end through Ray (plugins/mmexternal/mmexternal.c):
+    an external Python filter reads each raw message line on stdin and
+    replies {"$!":{"mlen":<char length>}}; the engine merges the reply
+    into the JSON tree via the MsgSetPropsViaJSON path.  SQL-oracled:
+    mlen must equal LENGTH(text).
+
+    Scale shape: one warm child per map_batches actor (spawned in
+    __init__), batch pipelined through the pipe by a writer thread — the
+    subprocess round-trip is the inherent cost of the external-plugin
+    protocol, identical to the reference's worker-instance model.  The
+    filter script lives on local disk; on a multi-node cluster it ships
+    via runtime_env/shared storage (single-node here).
+    """
+    import os
+    import sys
+    import textwrap
+
+    from ..functions import json_get
+    from ..stages.external import MMExternal
+
+    tdir = ensure_transcripts(sf_dir)
+    script = "/tmp/rsyslog_ray_out/mmexternal_len.py"
+    os.makedirs(os.path.dirname(script), exist_ok=True)
+    with open(script, "w") as f:
+        f.write(f"#!{sys.executable}\n" + textwrap.dedent("""\
+            import json, sys
+            for line in sys.stdin:
+                n = len(line.rstrip("\\n"))
+                sys.stdout.write('{"$!":{"mlen":%d}}\\n' % n)
+                sys.stdout.flush()
+        """))
+    os.chmod(script, 0o755)
+
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    enriched = ds.map_batches(
+        MMExternal,
+        fn_constructor_kwargs={"binary": script,
+                               "interface_input": "rawmsg"},
+        batch_format="pyarrow", concurrency=4, batch_size=4096)
+
+    def proj(b: pa.Table) -> pa.Table:
+        mlen = pc.cast(json_get(pc.cast(b["cee_json"], pa.string()),
+                                "mlen"), pa.int64())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "mlen": mlen,
+        })
+    return _to_table(enriched.map_batches(proj, batch_format="pyarrow"))
