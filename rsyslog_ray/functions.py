@@ -57,9 +57,33 @@ def rtrim(arr):
     return pc.utf8_rtrim_whitespace(arr)
 
 
-def replace(arr, find: str, repl: str):
-    """grammar/rainerscript.c:2305 — literal global replace."""
-    return pc.replace_substring(arr, pattern=find, replacement=repl)
+def replace(arr, find, repl):
+    """grammar/rainerscript.c:2305 — literal global replace.  find/repl
+    are expressions in the reference (rscript_replace.sh nests replace
+    inside replace), so scalars/arrays coerce: constant patterns keep
+    the vectorized kernel, per-row patterns take a bounded row loop."""
+    if isinstance(find, pa.Scalar):
+        find = find.as_py()
+    if isinstance(repl, pa.Scalar):
+        repl = repl.as_py()
+    if isinstance(arr, str) and isinstance(find, str) \
+            and isinstance(repl, str):
+        return arr.replace(find, repl)  # constant-fold for nested calls
+    if isinstance(find, str) and isinstance(repl, str):
+        return pc.replace_substring(arr, pattern=find, replacement=repl)
+    n = None
+    for x in (arr, find, repl):
+        if isinstance(x, (pa.Array, pa.ChunkedArray)):
+            n = len(x)
+            break
+    def _vals(x):
+        if isinstance(x, (pa.Array, pa.ChunkedArray)):
+            return pc.cast(x, pa.string()).to_pylist()
+        return [x] * n
+    out = [None if s is None else
+           s.replace(f if f is not None else "", r if r is not None else "")
+           for s, f, r in zip(_vals(arr), _vals(find), _vals(repl))]
+    return pa.array(out, pa.string())
 
 
 def wrap(arr, wrapper: str, escape: str | None = None):
@@ -173,9 +197,18 @@ def _wrap_group(pattern: str, submatch_n: int) -> str:
     return "".join(out)
 
 
-def field(arr, delim: str, n: int):
+def field(arr, delim, n: int):
     """grammar/rainerscript.c:2422 / runtime/msg.c:3936-3960 — Nth field
-    (1-based) split by delimiter; miss → '***FIELD NOT FOUND***'."""
+    (1-based) split by delimiter; miss → '***FIELD NOT FOUND***'.
+    A NUMERIC delim is the decimal char code (rscript_field.sh uses
+    field($msg, 58, 2) for ':'); a string is a literal (multi-char ok)."""
+    if isinstance(delim, pa.Scalar):
+        delim = delim.as_py()
+    if isinstance(n, pa.Scalar):
+        n = int(n.as_py())
+    if isinstance(delim, (int, float)):
+        delim = chr(int(delim))
+    n = int(n)
     if n < 1:
         return pa.array([FIELD_NOT_FOUND] * len(arr), type=pa.string())
     parts = pc.split_pattern(arr, pattern=delim)

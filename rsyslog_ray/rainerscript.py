@@ -285,6 +285,17 @@ class _Parser:
             self.expect("op", "(")
             self.expect("op", ")")
             return [v]
+        if k == "word" and v == "exec_template":
+            # exec_template("name") (grammar/rainerscript.c:1697) — the
+            # named template must already be defined; resolves to the
+            # ("template", spec) expr op at parse time
+            self.expect("op", "(")
+            tname = self.expect("str")
+            self.expect("op", ")")
+            if tname not in self.templates:
+                raise ParseError(
+                    f"exec_template of undefined template {tname!r}")
+            return ["template", self.templates[tname]]
         if k == "word" and v == "lookup":
             # lookup("table", key-expr) (grammar doFunct_Lookup)
             self.expect("op", "(")
@@ -571,8 +582,17 @@ class _Parser:
                 self.next()
                 p = self.params()
                 ttype = p.get("type", "string")
+                # template-level escape options (template.h
+                # optFormatEscape: option.sql / option.stdsql /
+                # option.json, mutually exclusive in the reference)
+                esc = next((e for e in ("sql", "stdsql", "json")
+                            if str(p.get(f"option.{e}", "")).lower()
+                            in ("on", "1", "true", "yes")), None)
                 if ttype == "string":
-                    self.templates[p["name"]] = p["string"]
+                    self.templates[p["name"]] = (
+                        {"type": "string", "name": p["name"],
+                         "string": p["string"], "escape": esc}
+                        if esc else p["string"])
                 elif ttype == "list":
                     # template(type="list") { constant(...) property(...) }
                     # (template.c:1226 list path) → entry-dict spec that
@@ -592,7 +612,7 @@ class _Parser:
                         entries.append(ep)
                     self.templates[p["name"]] = {
                         "type": "list", "name": p["name"],
-                        "entries": entries}
+                        "entries": entries, "escape": esc}
                 elif ttype == "subtree":
                     # template(type="subtree" subtree="$!...") —
                     # template.c:1926

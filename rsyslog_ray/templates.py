@@ -518,7 +518,12 @@ def entries_from_list(items: list[dict]) -> list[TplEntry]:
                 if not p.get("outname"):
                     raise ValueError(
                         "constant with format=jsonf needs outname=")
-                txt = (f'"{p["outname"]}":'
+                # constant jsonf goes through json-c's object printer and
+                # strips "{ "/" }" (template.c:1433-1436) — that printer
+                # puts a SPACE after the colon, unlike property jsonf
+                # (jsonField writes "name": directly).  Byte-faithful:
+                # template-const-jsonf.sh expects '"@version": "1"'.
+                txt = (f'"{p["outname"]}": '
                        + json.dumps(txt, ensure_ascii=True))
             e = TplEntry("const", text=txt, outname=p.get("outname"))
             e.const_raw = str(p.get("value", ""))
@@ -545,6 +550,8 @@ class Template:
         if isinstance(spec, dict):
             self.name = name or spec.get("name", "")
             self.spec = spec
+            if escape is None:  # template-level option.sql/stdsql/json
+                escape = spec.get("escape")
             ttype = spec.get("type", "list")
             if ttype == "subtree":
                 st = spec.get("subtree", "$!")
@@ -552,6 +559,10 @@ class Template:
                 self.entries = []
             elif ttype == "list":
                 self.entries = entries_from_list(spec.get("entries", []))
+            elif ttype == "string":
+                s = spec.get("string", "")
+                self.spec = BUILTIN_TEMPLATES.get(s, s)
+                self.entries = parse_template(self.spec)
             else:
                 raise ValueError(f"unsupported template type {ttype!r}")
         else:

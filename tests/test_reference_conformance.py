@@ -536,3 +536,143 @@ def test_reference_mmanon_zero_128_ipv6_golden(ray_session):
         " 0:0:0:0:0:0:0:0",
         " 13:abd:45:",
         " textnoblank0:0:0:0:0:0:0:0stillnoblank"]
+
+
+def _inject_table(lines: list[str]) -> pa.Table:
+    n = len(lines)
+    return pa.table({
+        "conv_id": pa.array(["inj"] * n),
+        "turn_idx": pa.array(range(n), pa.int64()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(lines),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([dt.datetime(2026, 1, 1)] * n, pa.timestamp("us")),
+    })
+
+
+def _injectmsg(n: int) -> pa.Table:
+    """diag.sh injectmsg analogue: local4.=debug msgnum records."""
+    return _inject_table(
+        [f"<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:{i:08d}:"
+         for i in range(n)])
+
+
+@needs_ref
+def test_reference_rscript_replace_golden(ray_session):
+    """tests/rscript_replace.sh — nested replace() + exec_template of a
+    regex-extract list template over the date_time_msg fixture;
+    content_check 'date time: Thu 0ct0ber 30 13:20:18 IST 2014'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = open(f"{REF}/testsuites/date_time_msg").read().strip()
+    parsed = parse_table(_inject_table([line]))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$.replaced_msg%")
+template(name="date_time" type="list") {
+  property(name="msg" regex.Expression="Thu .+ 2014" regex.Type="ERE"
+           regex.Match="0")
+}
+set $.replaced_msg = replace("date time: " & exec_template("date_time"),
+                             "O" & "ct", replace("october", "o", "0"));
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "date time: Thu 0ct0ber 30 13:20:18 IST 2014"]
+
+
+@needs_ref
+def test_reference_rscript_field_golden(ray_session):
+    """tests/rscript_field.sh — set $!usr!msgnum = field($msg, 58, 2)
+    rendered through a list template; seq_check over injectmsg."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(50))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="$!usr!msgnum")
+}
+if $msg contains "msgnum" then {
+    set $!usr!msgnum = field($msg, 58, 2);
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(50)]
+
+
+@needs_ref
+def test_reference_rscript_prifilt_golden(ray_session):
+    """tests/rscript_prifilt.sh — prifilt("local4.*") passes the
+    injectmsg PRI (167 = local4.debug); field-mode template extracts the
+    msgnum (seq_check)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    # 40 local4 rows pass, 10 local3 (159) rows must not
+    lines = ([f"<167>Mar  1 01:00:00 h tag msgnum:{i:08d}:"
+              for i in range(40)]
+             + [f"<159>Mar  1 01:00:00 h tag msgnum:{i:08d}:"
+                for i in range(40, 50)])
+    parsed = parse_table(_inject_table(lines))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="msg" field.delimiter="58" field.number="2")
+}
+if prifilt("local4.*") then
+    action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(40)]
+
+
+@needs_ref
+def test_reference_template_const_jsonf_golden(ray_session):
+    """tests/template-const-jsonf.sh — cmp_exact '"@version": "1"':
+    constant jsonf goes through json-c's printer, which puts a SPACE
+    after the colon (template.c:1433-1436), unlike property jsonf."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    constant(outname="@version" value="1" format="jsonf")
+}
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ['"@version": "1"']
+
+
+@needs_ref
+def test_reference_template_json_option_golden(ray_session):
+    """tests/template-json.sh — option.json="on" escapes backslash and
+    quote in FIELD values but not '/' and not constants; cmp against
+    the script's printf-built expected line."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript(r'''
+set $!backslash = "a \\ \"b\" c / d";
+template(name="json" type="list" option.json="on") {
+        constant(value="{")
+        constant(value="\"backslash\":\"")
+        property(name="$!backslash")
+        constant(value="\"}")
+}
+:msg, contains, "msgnum:" action(type="omfile" name="out" template="json")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        '{"backslash":"a \\\\ \\"b\\" c / d"}']

@@ -238,8 +238,10 @@ def test_list_template_jsonf_golden():
         {"kind": "property", "name": "$!user", "format": "jsonf"},
         {"kind": "constant", "value": "}"},
     ]})
+    # constant jsonf carries json-c's colon-space (template.c:1433-1436,
+    # template-const-jsonf.sh golden); property jsonf has no space
     assert t.render(batch).to_pylist() == [
-        '{"ver":"v1","host":"h\\"1","user":"u1"}']
+        '{"ver": "v1","host":"h\\"1","user":"u1"}']
     import json
     assert json.loads(t.render(batch).to_pylist()[0]) == {
         "ver": "v1", "host": 'h"1', "user": "u1"}
