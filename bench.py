@@ -179,6 +179,8 @@ def bench_queries(sf_dir: str, only: set[str] | None = None,
     timed("length_batches", Q.q_length_batches, sf_dir)
     timed("prf_quality", Q.q_prf_quality, sf_dir)
     timed("event_patterns", Q.q_event_patterns, sf_dir)
+    # round-5: external-process enrichment (subprocess actor pool)
+    timed("mmexternal", Q.q_mmexternal, sf_dir)
 
     out["queries"] = timings
     return out

@@ -2133,7 +2133,7 @@ def q_mmexternal(sf_dir: str) -> pa.Table:
         MMExternal,
         fn_constructor_kwargs={"binary": script,
                                "interface_input": "rawmsg"},
-        batch_format="pyarrow", concurrency=4, batch_size=4096)
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
 
     def proj(b: pa.Table) -> pa.Table:
         mlen = pc.cast(json_get(pc.cast(b["cee_json"], pa.string()),

@@ -14,6 +14,8 @@ reproducible across runs and processes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -23,8 +25,22 @@ import ray
 from ray.data.aggregate import Min
 
 
+def resolve_by_hash(by_hash) -> bool:
+    """Engine-level scale switch for the 16 B-key dedup modes: an explicit
+    True/False wins; by_hash=None reads RSYSLOG_RAY_DEDUP_BY_HASH
+    (1/true/on).  Text-keyed mode stays the oracle-conformant default;
+    a 100 TB deployment exports the env var once and every
+    exact/canonical/line-level dedup ships 64-bit hashes instead of text
+    bytes (scripts/scale_probe.py --ops by_hash_equiv asserts the two
+    modes keep identical survivors)."""
+    if by_hash is None:
+        return os.environ.get("RSYSLOG_RAY_DEDUP_BY_HASH",
+                              "").lower() in ("1", "true", "on")
+    return bool(by_hash)
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                by_hash: bool = False):
+                by_hash: bool | None = None):
     """GROUP BY text → min(id). Partial pre-agg per batch keeps the shuffle
     at one row per distinct text per batch.
 
@@ -32,8 +48,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     instead of the text bytes (shuffle volume drops from corpus size to
     16 B/distinct-doc). Collision probability ~n²/2⁶⁵ (≈3e-9 at 10⁹
     docs) — the standard hash-dedup tradeoff (Bloom-filter dedup papers);
-    the exact (text-keyed) mode remains the oracle-conformant default."""
+    the exact (text-keyed) mode remains the oracle-conformant default.
+    by_hash=None defers to the RSYSLOG_RAY_DEDUP_BY_HASH engine switch."""
     from ..functions import hash64
+    by_hash = resolve_by_hash(by_hash)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select([text_col, id_col])
@@ -1035,7 +1053,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 def first_occurrence(ds, text_col: str = "text",
                      order_cols: list[str] | None = None,
                      n_buckets: int | None = None,
-                     by_hash: bool = False):
+                     by_hash: bool | None = None):
     """Corpus-level exact line dedup (the MassiveText/C4 "remove lines
     duplicated across documents" rule): keep, for every distinct value of
     `text_col`, ONLY the row that comes first in `order_cols` order.
@@ -1050,6 +1068,7 @@ def first_occurrence(ds, text_col: str = "text",
     100 TB path, same collision tradeoff as exact_dedup)."""
     from ..cluster import cluster_buckets
     from ..functions import hash64
+    by_hash = resolve_by_hash(by_hash)
     if order_cols is None:
         order_cols = ["conv_id", "turn_idx"]
     if n_buckets is None:
@@ -1101,7 +1120,7 @@ def canonicalize_text(arr) -> pa.Array:
 
 
 def canonical_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                    by_hash: bool = False):
+                    by_hash: bool | None = None):
     """Fuzzy-exact dedup: keep the min-id row per CANONICALIZED text —
     case, punctuation and whitespace variants of the same content
     collapse together (strictly more aggressive than exact_dedup,
@@ -1124,7 +1143,7 @@ def boilerplate_filter(ds, text_col: str = "text",
                        doc_col: str = "conv_id", min_docs: int = 10,
                        broadcast_threshold: int = 5_000_000,
                        n_buckets: int | None = None,
-                       by_hash: bool = False):
+                       by_hash: bool | None = None):
     """Boilerplate-line removal (the C4 / RefinedWeb line-level rule,
     complementary to first_occurrence's keep-first dedup): drop EVERY
     occurrence of any line whose text appears in ≥ min_docs distinct
@@ -1147,6 +1166,7 @@ def boilerplate_filter(ds, text_col: str = "text",
     of the line bytes through the pair shuffle, fold, broadcast set and
     filter — the 100 TB path, same collision tradeoff as exact_dedup."""
     from ..cluster import cluster_buckets
+    by_hash = resolve_by_hash(by_hash)
     if n_buckets is None:
         n_buckets = cluster_buckets()
 

@@ -285,6 +285,37 @@ def main() -> None:
           lambda: boilerplate_filter(_boiler_ds(), min_docs=2,
                                      by_hash=True,
                                      broadcast_threshold=0).count())
+    def _survivor_ids(out_ds, col="doc_id"):
+        t = out_ds.materialize()
+        ids = []
+        for ref in t.to_arrow_refs():
+            tb = ray.get(ref)
+            if col in tb.column_names:
+                ids.extend(tb[col].to_pylist())
+        return sorted(ids)
+
+    def _by_hash_equiv():
+        """Engine-switch equivalence: text-keyed vs 16 B-key modes (and
+        the RSYSLOG_RAY_DEDUP_BY_HASH default resolution) must keep
+        IDENTICAL survivors on this corpus — the documented guarantee
+        behind flipping the switch on for scale runs."""
+        a = _survivor_ids(exact_dedup(ds(), by_hash=False))
+        b = _survivor_ids(exact_dedup(ds(), by_hash=True))
+        assert a == b, (len(a), len(b))
+        os.environ["RSYSLOG_RAY_DEDUP_BY_HASH"] = "1"
+        try:
+            c = _survivor_ids(exact_dedup(ds()))  # env default → hash
+        finally:
+            del os.environ["RSYSLOG_RAY_DEDUP_BY_HASH"]
+        assert a == c, (len(a), len(c))
+        fa = boilerplate_filter(_boiler_ds(), min_docs=2,
+                                by_hash=False).count()
+        fb = boilerplate_filter(_boiler_ds(), min_docs=2,
+                                by_hash=True).count()
+        assert fa == fb, (fa, fb)
+        return len(a)
+
+    timed("by_hash_equiv", _by_hash_equiv)
     timed("epoch_mix", lambda: epoch_mix(
         ds().map_batches(lambda b: b.select(["doc_id", "source"]),
                          batch_format="pyarrow"),

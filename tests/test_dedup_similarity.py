@@ -720,3 +720,35 @@ def test_cluster_size_report_histogram(ray_session):
     got = cluster_size_report(rd.from_arrow(assign).repartition(4))
     assert got["cluster_size"].to_pylist() == [1, 2, 3]
     assert got["n_clusters"].to_pylist() == [2, 2, 1]
+
+
+def test_by_hash_engine_switch_equivalence(ray_session, monkeypatch):
+    """RSYSLOG_RAY_DEDUP_BY_HASH flips the 16 B-key mode on as the
+    engine default; survivors must match the text-keyed oracle mode
+    (scripts/scale_probe.py --ops by_hash_equiv is the at-scale twin)."""
+    import pyarrow as pa
+    import ray
+
+    from rsyslog_ray.stages.dedup import exact_dedup, resolve_by_hash
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"doc {i % 37}" for i in range(100)]),
+    })
+
+    def survivors(**kw):
+        out = exact_dedup(ray.data.from_arrow(t), **kw).materialize()
+        ids = []
+        for ref in out.to_arrow_refs():
+            ids.extend(ray.get(ref)["doc_id"].to_pylist())
+        return sorted(ids)
+
+    base = survivors(by_hash=False)
+    assert len(base) == 37
+    assert survivors(by_hash=True) == base
+    monkeypatch.setenv("RSYSLOG_RAY_DEDUP_BY_HASH", "1")
+    assert resolve_by_hash(None) is True
+    assert survivors() == base          # env default -> hash mode
+    monkeypatch.delenv("RSYSLOG_RAY_DEDUP_BY_HASH")
+    assert resolve_by_hash(None) is False
+    assert resolve_by_hash(True) is True
