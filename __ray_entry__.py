@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup": Q.q_image_dedup,
         "logreg": Q.q_logreg,
         "mmexternal": Q.q_mmexternal,
+        "omprog": Q.q_omprog,
         "pack_sequences": Q.q_pack_sequences,
         "token_budget": Q.q_token_budget,
         "neardup_pairs": Q.q_neardup_pairs,

@@ -1459,4 +1459,11 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
        CAST(LENGTH(text) AS BIGINT) AS mlen
 FROM read_parquet('{src}')"""
 
+    # omprog confirm protocol: the external consumer rejects lines
+    # containing 'error' and OKs the rest
+    q["omprog"] = f"""
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       NOT contains(text, 'error') AS confirmed
+FROM read_parquet('{src}')"""
+
     return q

@@ -2144,3 +2144,45 @@ def q_mmexternal(sf_dir: str) -> pa.Table:
             "mlen": mlen,
         })
     return _to_table(enriched.map_batches(proj, batch_format="pyarrow"))
+
+
+def q_omprog(sf_dir: str) -> pa.Table:
+    """omprog end-to-end through Ray (plugins/omprog/omprog.c): every raw
+    message feeds an external consumer via the confirm protocol; the
+    consumer rejects lines containing 'error' and OKs the rest, so the
+    confirmation column is SQL-oracled (confirmed = text NOT LIKE
+    '%error%').  Same subprocess actor-pool shape as mmexternal."""
+    import os
+    import sys
+    import textwrap
+
+    from ..stages.external import OmProg
+
+    tdir = ensure_transcripts(sf_dir)
+    script = "/tmp/rsyslog_ray_out/omprog_consumer.py"
+    os.makedirs(os.path.dirname(script), exist_ok=True)
+    with open(script, "w") as f:
+        f.write(f"#!{sys.executable}\n" + textwrap.dedent("""\
+            import sys
+            print("OK"); sys.stdout.flush()
+            for line in sys.stdin:
+                ok = "error" not in line
+                sys.stdout.write("OK\\n" if ok else "REJECT\\n")
+                sys.stdout.flush()
+        """))
+    os.chmod(script, 0o755)
+
+    ds = read_transcripts(tdir, columns=["conv_id", "turn_idx", "text"])
+    fed = ds.map_batches(
+        OmProg,
+        fn_constructor_kwargs={"binary": script, "template": "%rawmsg%",
+                               "confirm_messages": True},
+        batch_format="pyarrow", concurrency=(1, 8), batch_size=4096)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "confirmed": b["omprog_confirmed"],
+        })
+    return _to_table(fed.map_batches(proj, batch_format="pyarrow"))
