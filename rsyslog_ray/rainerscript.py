@@ -585,7 +585,7 @@ class _Parser:
                 # template-level escape options (template.h
                 # optFormatEscape: option.sql / option.stdsql /
                 # option.json, mutually exclusive in the reference)
-                esc = next((e for e in ("sql", "stdsql", "json")
+                esc = next((e for e in ("sql", "stdsql", "jsonf", "json")
                             if str(p.get(f"option.{e}", "")).lower()
                             in ("on", "1", "true", "yes")), None)
                 if ttype == "string":

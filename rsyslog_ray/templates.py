@@ -588,6 +588,24 @@ class Template:
             return pc.cast(pc.fill_null(tree, ""), pa.large_string())
         parts = [_render_entry(e, props, n, self.escape)
                  for e in self.entries]
+        if self.escape == "jsonf":
+            # option.jsonf (tplToString, template.c:194-240): '{' prefix;
+            # each entry's NON-EMPTY rendering is followed by ", ", the
+            # final entry's by '}\n' (the separator is skipped entirely
+            # for empty renderings — reference-faithful, including the
+            # missing-brace quirk when the last entry renders empty)
+            wrapped = ["{"]
+            for i, p in enumerate(parts):
+                sep = "}\n" if i == len(parts) - 1 else ", "
+                if isinstance(p, str):
+                    wrapped.append(p + sep if p else "")
+                else:
+                    p = pc.fill_null(pc.cast(p, pa.string()), "")
+                    wrapped.append(pc.if_else(
+                        pc.equal(p, ""), pa.scalar(""),
+                        pc.binary_join_element_wise(p, pa.scalar(sep),
+                                                    "")))
+            parts = wrapped
         arrays = []
         for p in parts:
             if isinstance(p, str):

@@ -676,3 +676,59 @@ template(name="json" type="list" option.json="on") {
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == [
         '{"backslash":"a \\\\ \\"b\\" c / d"}']
+
+
+@needs_ref
+def test_reference_rscript_replace_complex_golden(ray_session):
+    """tests/rscript_replace_complex.sh — chained replace() over the
+    complex_replace_input fixture; the script's four content_checks."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = [ln for ln in open(
+        f"{REF}/testsuites/complex_replace_input").read().splitlines()
+        if ln.strip()]
+    parsed = parse_table(_inject_table(lines))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$.replaced_msg%")
+set $.replaced_msg = replace($msg, "syslog", "rsyslog");
+set $.replaced_msg = replace($.replaced_msg, "hello", "hello_world");
+set $.replaced_msg = replace($.replaced_msg, "foo_bar_baz", "FBB");
+set $.replaced_msg = replace($.replaced_msg,
+    "as_longer_this_string_as_more_probability_to_catch_the_bug", "ss");
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    got = "\n".join(routed["out"]["rendered"].to_pylist())
+    for expected in (
+            "try to replace rsyslog and syrsyslog with rrsyslog",
+            "try to replace hello_world in hello_worldlo and "
+            "helhello_world with hello_world_world",
+            "try to FBB in FBB_quux and quux_FBB with FBB",
+            "in the end of msg; try to not lose "
+            "as_longer_this_string_as_more_probability_to_catch_the_bu"):
+        assert expected in got, expected
+
+
+@needs_ref
+def test_reference_template_pure_json_golden(ray_session):
+    """tests/template-pure-json.sh — option.jsonf="on" wraps the jsonf
+    fields in braces with ', ' separators and '}\\n' after the last
+    (tplToString template.c:194-240); cmp_exact
+    '{"message":" msgnum:00000000:", "@version": "1"}'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list" option.jsonf="on") {
+    property(outname="message" name="msg" format="jsonf")
+    constant(outname="@version" value="1" format="jsonf")
+}
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        '{"message":" msgnum:00000000:", "@version": "1"}\n']
