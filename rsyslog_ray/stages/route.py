@@ -416,6 +416,8 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
                     pc.fill_null(pc.cast(vals, pa.string()),
                                  "").to_pylist(), dtype=object)
             else:  # constant expr (var2CString of a scalar)
+                if isinstance(vals, pa.Scalar):
+                    vals = vals.as_py()
                 names_np = np.full(batch.num_rows, str(vals),
                                    dtype=object)
             for name in sorted({str(x) for x in names_np[m]}):

@@ -732,3 +732,72 @@ action(type="omfile" name="out" template="outfmt")
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == [
         '{"message":" msgnum:00000000:", "@version": "1"}\n']
+
+
+@needs_ref
+def test_reference_call_indirect_basic_golden(ray_session):
+    """tests/rscript_ruleset_call_indirect-basic.sh — the target name is
+    the constant expression "r" & "s"; seq_check 0 99."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(100))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="msg" field.delimiter="58" field.number="2")
+}
+ruleset(name="rs") {
+    action(type="omfile" name="out" template="outfmt")
+}
+if $msg contains "msgnum" then call_indirect "r" & "s";
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(100)]
+
+
+@needs_ref
+def test_reference_call_indirect_var_golden(ray_session):
+    """tests/rscript_ruleset_call_indirect-var.sh — target from a local
+    variable set earlier; seq_check 0 99."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(100))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="msg" field.delimiter="58" field.number="2")
+}
+ruleset(name="rs") {
+    action(type="omfile" name="out" template="outfmt")
+}
+set $.var = "rs";
+if $msg contains "msgnum" then call_indirect $.var;
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(100)]
+
+
+@needs_ref
+def test_reference_call_indirect_invld_golden(ray_session):
+    """tests/rscript_ruleset_call_indirect-invld.sh — an unknown target
+    is a NOP ("we accept that a NOP will survive", ruleset.c:256-261):
+    the message continues through later statements unharmed."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(5))
+    cc = load_rainerscript('''
+ruleset(name="rs") {
+    action(type="omfile" name="never" template="RSYSLOG_FileFormat")
+}
+if $msg contains "msgnum" then call_indirect "does-not-exist";
+action(type="omfile" name="after" template="RSYSLOG_FileFormat")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed.get("never") is None or routed["never"].num_rows == 0
+    assert routed["after"].num_rows == 5
