@@ -512,6 +512,20 @@ def compile_expr(expr, props: PropertyRegistry):
         # absent. No tree column → nothing exists.
         from .functions import json_exists
         path = expr[1].lstrip("$")
+        if path.startswith("."):
+            # local-variable tree (msg.c getJSONRootAndMutexByVarChar
+            # '.'): locals are flat "$.a!b" columns here, so a path
+            # exists iff its own column is set, or any deeper
+            # "$.a!b!…" column is (containers along a set path exist
+            # in the reference's local tree) — rscript_exists-yes2/not3
+            import numpy as np
+            base = "$." + path[1:]
+            out = np.zeros(props.table.num_rows, dtype=bool)
+            for c in props.table.column_names:
+                if c == base or c.startswith(base + "!"):
+                    out |= pc.is_valid(props._col(c)).to_numpy(
+                        zero_copy_only=False)
+            return pa.array(out)
         path = path[1:] if path.startswith("!") else path
         for c in ("cee_json", "json_tree"):
             if c in props.table.column_names:

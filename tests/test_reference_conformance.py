@@ -801,3 +801,81 @@ action(type="omfile" name="after" template="RSYSLOG_FileFormat")
     routed = route_table(parsed, cc.ruleset)
     assert routed.get("never") is None or routed["never"].num_rows == 0
     assert routed["after"].num_rows == 5
+
+
+@needs_ref
+@pytest.mark.parametrize("setup,probe,expected", [
+    ('set $!p1!p2!val="yes!";', "$!p1!p2!val", "on"),    # exists-yes
+    ("", "$!p1!p2!val", "off"),                          # exists-not1
+    ('set $!somevar = "test";', "$!p1!p2!val", "off"),   # exists-not2
+    ("", "$.p1!p2!val", "off"),                          # exists-not3
+    ('set $.p1!p2!val="yes!";', "$.p1!p2!val", "on"),    # exists-yes2
+])
+def test_reference_exists_goldens(ray_session, setup, probe, expected):
+    """tests/rscript_exists-{yes,not1,not2,not3,yes2}.sh — exists() over
+    JSON-tree and local-variable paths, cmp_exact on/off."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript(f'''
+template(name="outfmt" type="string" string="%!result%")
+{setup}
+if $msg contains "msgnum" then {{
+    if exists({probe}) then
+        set $!result = "on";
+    else
+        set $!result = "off";
+    action(type="omfile" name="out" template="outfmt")
+}}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [expected]
+
+
+@needs_ref
+def test_reference_exists_not4_golden(ray_session):
+    """tests/rscript_exists-not4.sh — `not exists(...)` on an unset
+    local path takes the then-branch (cmp_exact 'off')."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%!result%")
+if $msg contains "msgnum" then {
+    if not exists($.p1!p2!val) then
+        set $!result = "off";
+    else
+        set $!result = "on";
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["off"]
+
+
+@needs_ref
+def test_reference_set_modify_golden(ray_session):
+    """tests/rscript_set_modify.sh — the second set of the same tree
+    path wins (seq_check: field 2, not field 1)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(100))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="$!usr!msgnum")
+}
+if $msg contains "msgnum" then {
+    set $!usr!msgnum = field($msg, 58, 1);
+    set $!usr!msgnum = field($msg, 58, 2);
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(100)]
