@@ -132,9 +132,11 @@ class PropertyRegistry:
                 if c in self.table.column_names:
                     return json_get(pc.cast(self._col(c), pa.string()),
                                     stripped[1:])
-            raise KeyError(
-                f"property {name!r} needs a parsed JSON tree column "
-                f"(cee_json) — run mmjsonparse/parse_json first")
+            # no tree column at all: every $! path reads as the empty
+            # string, exactly like a missing path in a present tree
+            # (msgGetJSONPropJSON not-found → "";
+            # template-pos-from-to-missing-jsonvar.sh)
+            return pa.array([""] * self.table.num_rows, pa.string())
         if stripped.startswith("."):
             # local variable `$.name` (grammar/rainerscript.c VAR_LOCAL):
             # stored as a batch column under its literal spelling by the
@@ -338,6 +340,14 @@ def _coerce_pair(a, b):
     """Implicit coercion: prefer numeric compare when either side is numeric
     (var2Number semantics, grammar/rainerscript.c:1413); non-numeric strings
     coerce to 0 rather than raising (the reference's var2Number default)."""
+    def _str_to_num(v):
+        # var2Number on a python-string literal: "  -12  " → -12,
+        # anything else (incl. "") → 0 (rscript_str2num_empty.sh: 1+""
+        # must evaluate to 1)
+        import re as _re
+        m = _re.match(r"^\s*(-?\d+)\s*$", v)
+        return int(m.group(1)) if m else 0
+
     a_num = isinstance(a, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(a.type)
     b_num = isinstance(b, (pa.Array, pa.ChunkedArray)) and pa.types.is_integer(b.type)
     a_scalar_num = isinstance(a, (int, float)) and not isinstance(a, bool)
@@ -348,6 +358,10 @@ def _coerce_pair(a, b):
         return a, pc.fill_null(_try_num(b)[0], 0)
     if _is_str(a) and (b_num or b_scalar_num):
         return pc.fill_null(_try_num(a)[0], 0), b
+    if (a_num or a_scalar_num) and isinstance(b, str):
+        return a, _str_to_num(b)
+    if isinstance(a, str) and (b_num or b_scalar_num):
+        return _str_to_num(a), b
     return a, b
 
 

@@ -303,6 +303,84 @@ def _pc_mod_u64(arr: pa.Array, mod: int) -> pa.Array:
     return pa.array(np_arr % np.uint64(mod))
 
 
+# ---- reference-exact script hashes (contrib/fmhash/fmhash.c) -------------
+# The SCRIPT functions hash32/hash64(+mod) reproduce the reference's
+# no-xxhash build bit-for-bit (rscript_hash64.sh golden): hash64 = djb2
+# 33*h^c over uint64 + seed (fmhash.c:116-147), hash32 = FNV-1 with the
+# caller's seed as offset over uint32 (fmhash.c:85-101).  The engine's
+# INTERNAL hash64 above (pandas xxhash — C speed, used by dedup/uuid)
+# is unchanged; only the fm* registry binds these.
+
+def _iter_bytes_hash(vals: list, fold, init) -> np.ndarray:
+    """Vectorized-across-rows byte fold: loop over byte POSITIONS (max
+    string length), numpy ops across all rows at each step."""
+    bs = [v.encode("utf-8") if isinstance(v, str) else b"" for v in vals]
+    n = len(bs)
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((maxlen, n), dtype=np.uint64)
+    for i, b in enumerate(bs):
+        if b:
+            mat[:len(b), i] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, init, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            h = np.where(i < lens, fold(h, mat[i]), h)
+    return h
+
+
+def _rs_hash_u64(arr, fold, init):
+    scalar = isinstance(arr, str)
+    vals = [arr] if scalar else _pylist(arr)
+    return scalar, _iter_bytes_hash(vals, fold, init)
+
+
+def rs_hash64(arr, seed=0):
+    """fmhash hash64 (djb build): h=5381; h=33*h^c; +seed. Rendered as
+    rsyslog numbers (signed int64)."""
+    seed = np.uint64(int(_scalar_num(seed)) & 0xFFFFFFFF)
+    scalar, h = _rs_hash_u64(
+        arr, lambda h, c: (np.uint64(33) * h) ^ c, 5381)
+    with np.errstate(over="ignore"):
+        out = (h + seed).astype(np.int64)
+    return int(out[0]) if scalar else pa.array(out)
+
+
+def rs_hash32(arr, seed=0):
+    """fmhash hash32 (fnv build): FNV-1 with `seed` as the running value
+    over uint32 (fmhash.c:85-101 — seed*16777619, then ^c)."""
+    seed = int(_scalar_num(seed)) & 0xFFFFFFFF
+
+    def fold(h, c):
+        h32 = (h * np.uint64(16777619)) & np.uint64(0xFFFFFFFF)
+        return h32 ^ c
+    scalar, h = _rs_hash_u64(arr, fold, seed)
+    out = h.astype(np.int64)
+    return int(out[0]) if scalar else pa.array(out)
+
+
+def _scalar_num(v):
+    if isinstance(v, pa.Scalar):
+        v = v.as_py()
+    return 0 if v is None else v
+
+
+def _rs_mod(h, mod):
+    mod = np.uint64(int(_scalar_num(mod)))
+    if isinstance(h, pa.Array):
+        u = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.array((u % mod).astype(np.int64))
+    return int(np.uint64(h) % mod)
+
+
+def rs_hash64mod(arr, mod, seed=0):
+    return _rs_mod(rs_hash64(arr, seed), mod)
+
+
+def rs_hash32mod(arr, mod, seed=0):
+    return _rs_mod(rs_hash32(arr, seed), mod)
+
+
 # --------------------------------------------------------------------------
 # time functions
 # --------------------------------------------------------------------------
@@ -852,8 +930,9 @@ REGISTRY = {
     "toupper": toupper, "ltrim": ltrim, "rtrim": rtrim, "replace": replace,
     "wrap": wrap, "cstr": cstr, "cnum": cnum, "re_match": re_match,
     "re_extract": re_extract, "field": field, "int2hex": int2hex,
-    "num2ipv4": num2ipv4, "ipv42num": ipv42num, "hash32": hash32,
-    "hash64": hash64, "hash32mod": hash32mod, "hash64mod": hash64mod,
+    "num2ipv4": num2ipv4, "ipv42num": ipv42num, "hash32": rs_hash32,
+    "hash64": rs_hash64, "hash32mod": rs_hash32mod,
+    "hash64mod": rs_hash64mod,
     "format_time": format_time, "parse_time": parse_rfc3339,
     "is_time": is_time, "prifilt": prifilt, "json_get": json_get,
     "unflatten": unflatten, "parse_json": parse_json,

@@ -139,6 +139,8 @@ def test_json_tree_property_access():
                      batch).to_pylist() == [True, False, False]
     assert Template("ev=%$!Event% n=%$!n%").render(batch).to_pylist() == \
         ["ev=login n=5", "ev=logout n=2", "ev= n="]
-    import pytest as _pytest
-    with _pytest.raises(KeyError, match="cee_json"):
-        PropertyRegistry(pa.table({"msg": pa.array(["x"])})).get("$!a")
+    # no tree column at all: every $! path reads as "" (msg.c
+    # msgGetJSONPropJSON not-found semantics — reference's
+    # template-pos-from-to-missing-jsonvar.sh renders '--')
+    assert PropertyRegistry(
+        pa.table({"msg": pa.array(["x"])})).get("$!a").to_pylist() == [""]

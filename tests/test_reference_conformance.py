@@ -879,3 +879,90 @@ if $msg contains "msgnum" then {
     routed = route_table(parsed, cc.ruleset)
     assert sorted(routed["out"]["rendered"].to_pylist()) == [
         f"{i:08d}" for i in range(100)]
+
+
+@needs_ref
+def test_reference_hash64_golden(ray_session):
+    """tests/rscript_hash64.sh — content-pattern-check accepts the djb
+    build's values: hash64(uuid) = -50452361579464591, hash64mod 100 =
+    25 (fmhash.c:116-147; we reproduce the no-xxhash build exactly)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(3))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$.hash_no_1% -  %$.hash_no_2%")
+set $.hash_no_1 = hash64("0f9a1d07-a8c9-43a7-a6f7-198dca3d932e");
+set $.hash_no_2 = hash64mod("0f9a1d07-a8c9-43a7-a6f7-198dca3d932e", 100);
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "-50452361579464591 -  25"] * 3
+
+
+@needs_ref
+def test_reference_unaffected_reset_golden(ray_session):
+    """tests/rscript_unaffected_reset.sh — setting a SIBLING tree path
+    must not clobber the first path (seq_check)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(100))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="$!usr!msgnum")
+}
+if $msg contains "msgnum" then {
+    set $!usr!msgnum = field($msg, 58, 2);
+    set $!usr!msgnum_reset = "dummy";
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(100)]
+
+
+@needs_ref
+def test_reference_str2num_empty_golden(ray_session):
+    """tests/rscript_str2num_empty.sh — `set $!ip!v1 = 1+"";` coerces ""
+    to 0 and stores NUMBER 1 in the tree. (The reference's json-c
+    printer spaces `{ "v1": 1 }`; the engine normalizes JSON text
+    compactly — compared semantically, documented deviation.)"""
+    import json as _json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+set $!ip!v1 = 1+"";
+template(name="outfmt" type="subtree" subtree="$!ip")
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    tree = _json.loads(routed["out"]["rendered"].to_pylist()[0])
+    assert tree == {"v1": 1} and isinstance(tree["v1"], int)
+
+
+@needs_ref
+def test_reference_template_missing_jsonvar_golden(ray_session):
+    """tests/template-pos-from-to-missing-jsonvar.sh — a position window
+    over a MISSING $! var renders empty ('--' line)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string"
+         string="-%$!non!existing!var:109:116:%-")
+:msg, contains, "msgnum:" action(type="omfile" name="out"
+                                 template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["--"]
