@@ -137,6 +137,35 @@ class PropertyRegistry:
             # (msgGetJSONPropJSON not-found → "";
             # template-pos-from-to-missing-jsonvar.sh)
             return pa.array([""] * self.table.num_rows, pa.string())
+        if stripped == ".":
+            # bare `$.` (rscript_bare_var_root.sh `set $! = $.;`): the
+            # whole LOCAL tree as a JSON object string, assembled from
+            # the flat "$.a!b" columns (unset/null vars omitted)
+            import json as _json
+            cols = [c for c in self.table.column_names
+                    if c.startswith("$.")]
+            n = self.table.num_rows
+            if not cols:
+                return pa.array([""] * n, pa.string())
+            data = {c[2:]: pc.cast(self._col(c), pa.string()).to_pylist()
+                    for c in cols}
+            out = []
+            for i in range(n):
+                tree: dict = {}
+                for path, vals in data.items():
+                    if vals[i] is None:
+                        continue
+                    node = tree
+                    keys = path.split("!")
+                    for k in keys[:-1]:
+                        node = node.setdefault(k, {})
+                        if not isinstance(node, dict):
+                            break
+                    else:
+                        node[keys[-1]] = vals[i]
+                out.append(_json.dumps(tree, separators=(",", ":"),
+                                       sort_keys=True))
+            return pa.array(out, pa.string())
         if stripped.startswith("."):
             # local variable `$.name` (grammar/rainerscript.c VAR_LOCAL):
             # stored as a batch column under its literal spelling by the

@@ -161,6 +161,44 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
                                     name, col)
         return batch.append_column(name, col)
 
+    if stripped == "!":
+        # bare root `set $! = <tree>` (rscript_bare_var_root.sh;
+        # msgSetJSONFromVar '!' root): the value must be a JSON object
+        # string — it REPLACES the whole tree for masked rows
+        # (normalized re-dump); non-object values leave the row as-is.
+        import json as _json
+
+        from ..functions import loads_fast
+        col_name = ("json_tree" if "json_tree" in batch.column_names
+                    and "cee_json" not in batch.column_names
+                    else "cee_json")
+        base = (pc.cast(_col(col_name), pa.string())
+                if col_name in batch.column_names
+                else pa.nulls(n, pa.string()))
+        if act.kind == "unset":
+            return _replace(col_name,
+                            pc.if_else(mask_arr, pa.nulls(n, pa.string()),
+                                       base))
+        vals = compile_expr(act.value, props)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if isinstance(vals, pa.Array):
+            vlist = pc.cast(vals, pa.string()).to_pylist()
+        else:
+            if isinstance(vals, pa.Scalar):
+                vals = vals.as_py()
+            vlist = [str(vals)] * n
+        out = base.to_numpy(zero_copy_only=False).astype(object)
+        for i in np.flatnonzero(mask):
+            try:
+                obj = loads_fast(vlist[i]) if vlist[i] else None
+            except ValueError:
+                continue
+            if isinstance(obj, dict):
+                out[i] = _json.dumps(obj, separators=(",", ":"),
+                                     sort_keys=True)
+        return _replace(col_name, pa.array(out, pa.string()))
+
     if stripped.startswith("!"):
         # message JSON tree: $!a!b → cee_json (msgAddJSON overwrite
         # semantics; absent/null trees start from {}). The JSON edit runs
@@ -196,6 +234,51 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
         allv = base.to_numpy(zero_copy_only=False).astype(object)
         allv[idx] = np.asarray(sub_new.to_pylist(), dtype=object)
         return _replace(col_name, pa.array(allv, pa.string()))
+
+    if stripped == ".":
+        # bare `set $. = <tree>` (rscript_bare_var_root-empty.sh): the
+        # value's JSON object flattens into the flat "$.a!b" local
+        # columns for masked rows; empty/non-object values are no-ops
+        from ..functions import loads_fast
+
+        def _flatten(obj, prefix=""):
+            out = {}
+            for k, v in obj.items():
+                key = f"{prefix}!{k}" if prefix else k
+                if isinstance(v, dict):
+                    out.update(_flatten(v, key))
+                else:
+                    out[key] = (v if isinstance(v, str)
+                                else json.dumps(v))
+            return out
+
+        vals = compile_expr(act.value, props)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if isinstance(vals, pa.Array):
+            vlist = pc.cast(vals, pa.string()).to_pylist()
+        else:
+            if isinstance(vals, pa.Scalar):
+                vals = vals.as_py()
+            vlist = [str(vals)] * n
+        updates: dict[str, dict[int, str]] = {}
+        for i in np.flatnonzero(mask):
+            try:
+                obj = loads_fast(vlist[i]) if vlist[i] else None
+            except ValueError:
+                continue
+            if isinstance(obj, dict):
+                for key, v in _flatten(obj).items():
+                    updates.setdefault("$." + key, {})[i] = v
+        for col_name, rows in updates.items():
+            old = (_col(col_name) if col_name in batch.column_names
+                   else pa.nulls(n, pa.string()))
+            ov = pc.cast(old, pa.string()).to_numpy(
+                zero_copy_only=False).astype(object)
+            for i, v in rows.items():
+                ov[i] = v
+            batch = _replace(col_name, pa.array(ov, pa.string()))
+        return batch
 
     if stripped.startswith("."):
         # local variable $.name → batch column under its literal spelling

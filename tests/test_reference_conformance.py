@@ -966,3 +966,83 @@ template(name="outfmt" type="string"
 ''')
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == ["--"]
+
+
+@needs_ref
+@pytest.mark.parametrize("script", [
+    # rscript_stop.sh — stop inside the nested if
+    '''
+template(name="outfmt" type="list") { property(name="$!usr!msgnum") }
+if $msg contains "msgnum" then {
+    set $!usr!msgnum = field($msg, 58, 2);
+    if cnum($!usr!msgnum) >= 50 then
+        stop
+    action(type="omfile" name="out" template="outfmt")
+}
+''',
+    # rscript_stop2.sh — guard-style stops at top level, bare action
+    '''
+template(name="outfmt" type="list") { property(name="$!usr!msgnum") }
+if not ($msg contains "msgnum") then
+    stop
+set $!usr!msgnum = field($msg, 58, 2);
+if cnum($!usr!msgnum) >= 50 then
+    stop
+action(type="omfile" name="out" template="outfmt")
+''',
+], ids=["stop", "stop2"])
+def test_reference_stop_goldens(ray_session, script):
+    """tests/rscript_stop.sh / rscript_stop2.sh — STOP keeps only
+    msgnum < threshold (seq_check 0 49 of 80 injected)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(80))
+    cc = load_rainerscript(script)
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(50)]
+
+
+@needs_ref
+def test_reference_bare_var_root_golden(ray_session):
+    """tests/rscript_bare_var_root.sh — `set $! = $.;` replaces the
+    whole message tree with the local tree; template %$!% renders it.
+    (json-c spacing normalized compactly — compared semantically.)"""
+    import json as _json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$!%")
+set $!a = "TEST1";
+set $.a = "TEST-overwritten";
+set $! = $.;
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert _json.loads(routed["out"]["rendered"].to_pylist()[0]) == {
+        "a": "TEST-overwritten"}
+
+
+@needs_ref
+def test_reference_bare_var_root_empty_golden(ray_session):
+    """tests/rscript_bare_var_root-empty.sh — `set $. = $!; set $! = $.;`
+    with both trees empty renders 'empty--' (cmp_exact)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="empty-%$!%-")
+set $. = $!;
+set $! = $.;
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["empty--"]
