@@ -177,6 +177,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str],
             value=_to_expr(a["value"]) if a.get("value") is not None
             else None,
             targets=targets,
+            raw_json=bool(a.get("raw_json", False)),
         ))
     rs = Ruleset(spec.get("name", "main"), actions)
     _memo[id(spec)] = rs

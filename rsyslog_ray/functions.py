@@ -823,7 +823,7 @@ def _json_set_fast(arr, key: str, values) -> pa.Array | None:
         pa.array(["{" + head] * n), sval, pa.array(["}"] * n), "")
 
 
-def json_set(arr, path: str, values) -> pa.Array:
+def json_set(arr, path: str, values, raw: bool = False) -> pa.Array:
     """set $!a!b = value (v6 grammar `set` statement writing into the
     message JSON tree, grammar/rainerscript.c cnfstmtNewSet): returns the
     tree column with the path set per row. `values` may be a scalar or a
@@ -838,7 +838,7 @@ def json_set(arr, path: str, values) -> pa.Array:
         # value so the tree edit and json.dumps see a plain type
         values = values.as_py()
     keys = path.split("!")
-    if len(keys) == 1:
+    if not raw and len(keys) == 1:
         fast = _json_set_fast(arr, keys[0], values)
         if fast is not None:
             return fast
@@ -848,6 +848,17 @@ def json_set(arr, path: str, values) -> pa.Array:
     out = []
     for i, v in enumerate(_pylist(arr)):
         val = vals[i] if vals is not None else values
+        if raw:
+            # raw mode (two-arg parse_json): the value is JSON text to
+            # embed as a SUBTREE; unparseable/null → no write
+            # (doFunct_ParseJSON leaves the tree untouched on error)
+            try:
+                val = loads_fast(val) if val else None
+            except (ValueError, TypeError):
+                val = None
+            if val is None:
+                out.append(v)
+                continue
         try:
             obj = _edit_tree(v if v is not None else "{}", keys, val, False)
         except (ValueError, TypeError):

@@ -399,6 +399,23 @@ class _Parser:
             val = self.expr()
             self.accept("op", ";")
             self._auto += 1
+            if (isinstance(val, list) and len(val) == 4
+                    and val[:2] == ["call", "parse_json"]
+                    and isinstance(val[3], list) and val[3]
+                    and val[3][0] == "lit"):
+                # two-arg parse_json(str, "$!path") (grammar/
+                # rainerscript.c:1781 / rscript_parse_json.sh): parses
+                # into the NAMED tree path and yields errno — desugars
+                # to `set <path> = parse_json(s); set var =
+                # script_error();` (parse_json sets the errno state)
+                path = str(val[3][1]).lstrip("\\")
+                return [
+                    {"name": f"set_{self._auto}", "kind": "set",
+                     "var": path, "raw_json": True,
+                     "value": ["call", "parse_json", val[2]]},
+                    {"name": f"set_{self._auto}_err", "kind": "set",
+                     "var": var, "value": ["script_error"]},
+                ]
             return [{"name": f"set_{self._auto}", "kind": "set",
                      "var": var, "value": val}]
         if k == "word" and v == "unset":

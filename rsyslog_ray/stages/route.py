@@ -70,6 +70,9 @@ class Action:
     # (including stop filters and templates) see the update.
     var: str | None = None
     value: tuple | None = None
+    # set: store the value as RAW JSON subtree (two-arg parse_json
+    # desugaring) instead of a string leaf
+    raw_json: bool = False
     # kind="call_indirect" (runtime/ruleset.c:243-281 execCallIndirect):
     # `value` is the expr whose per-row result names the target ruleset;
     # `targets` is the name→Ruleset registry it resolves against
@@ -213,7 +216,8 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
                 else pa.nulls(n, pa.string()))
         if mask.all():
             if act.kind == "set":
-                new = json_set(base, path, compile_expr(act.value, props))
+                new = json_set(base, path, compile_expr(act.value, props),
+                               raw=act.raw_json)
             else:
                 new = json_unset(base, path)
             return _replace(col_name, new)
@@ -228,7 +232,7 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
                 if isinstance(vals, pa.ChunkedArray):
                     vals = vals.combine_chunks()
                 vals = vals.take(take)
-            sub_new = json_set(sub_base, path, vals)
+            sub_new = json_set(sub_base, path, vals, raw=act.raw_json)
         else:
             sub_new = json_unset(sub_base, path)
         allv = base.to_numpy(zero_copy_only=False).astype(object)

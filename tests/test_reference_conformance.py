@@ -1046,3 +1046,25 @@ action(type="omfile" name="out" template="outfmt")
 ''')
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == ["empty--"]
+
+
+@needs_ref
+def test_reference_parse_json_function_golden(ray_session):
+    """tests/rscript_parse_json.sh — two-arg parse_json stores at the
+    named tree path; %$!% renders the tree (semantic compare; the
+    engine normalizes json-c's spacing)."""
+    import json as _json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript(r'''
+template(name="outfmt" type="string" string="%$!%")
+set $.ret = parse_json("{ \"c1\":\"data\" }", "\$!parsed");
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert _json.loads(routed["out"]["rendered"].to_pylist()[0]) == {
+        "parsed": {"c1": "data"}}
