@@ -102,6 +102,13 @@ class PropertyRegistry:
         import numpy as np
         if isinstance(ok, pa.ChunkedArray):
             ok = ok.combine_chunks()
+        if isinstance(ok, pa.Scalar):
+            ok = ok.as_py()
+        if isinstance(ok, (bool, type(None))):
+            # constant-argument call: one verdict for every row
+            ok = np.full(self.table.num_rows, bool(ok))
+            self.script_errno = np.where(ok, 0, 1).astype(np.int64)
+            return
         okn = pc.fill_null(ok, False).to_numpy(zero_copy_only=False)
         self.script_errno = np.where(okn, 0, 1).astype(np.int64)
 
@@ -529,11 +536,20 @@ def compile_expr(expr, props: PropertyRegistry):
                 for a in expr[2:]]
         res = fn(*args)
         if fname in ERRNO_FUNCTIONS:
-            # wtiSetScriptErrno analogue: is_time's boolean result IS the
-            # ok mask; parse_time/parse_json fail as nulls
-            ok = (res if (isinstance(res, (pa.Array, pa.ChunkedArray))
-                          and pa.types.is_boolean(res.type))
-                  else pc.is_valid(res))
+            # wtiSetScriptErrno analogue: is_time's 1/0 NUMBER result is
+            # the ok mask (doFunc_is_time); parse_time/parse_json fail
+            # as nulls
+            if fname == "is_time":
+                ok = (pc.not_equal(res, 0)
+                      if isinstance(res, (pa.Array, pa.ChunkedArray))
+                      else bool(res))
+            elif (isinstance(res, (pa.Array, pa.ChunkedArray))
+                  and pa.types.is_boolean(res.type)):
+                ok = res
+            else:
+                ok = pc.is_valid(res) \
+                    if isinstance(res, (pa.Array, pa.ChunkedArray)) \
+                    else res is not None
             props.set_errno(ok)
         return res
     if op == "lookup":

@@ -560,11 +560,53 @@ def _format_wday_week(secs: pa.Array, fmt: str) -> pa.Array:
     return pc.ascii_lpad(pa.array(week.astype(str), pa.string()), 2, "0")
 
 
-def is_time(arr, fmt: str = "rfc3339") -> pa.Array:
-    if fmt == "rfc3339":
-        return pc.is_valid(parse_rfc3339(arr))
-    return pc.match_substring_regex(pc.cast(arr, pa.string()),
-                                    pattern=RFC3164_TS_RE)
+_RFC3164_VALID_RE = (r"^(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+                     r" [ 0-3]?\d \d{2}:\d{2}:\d{2}$")
+_UNIX_NUM_RE = r"^\s*-?\d+\s*$"
+
+
+def is_time(arr, fmt=None) -> pa.Array:
+    """doFunc_is_time (grammar/rainerscript.c:2682-2752): NUMBER 1/0.
+
+    Explicit fmt must be date-rfc3164 / date-rfc3339 / date-unix —
+    anything else is 0 with errno set (rscript_is_time.sh
+    date-spoonix); without fmt, rfc3164 → rfc3339 → unix are tried in
+    the reference's order.  date-unix succeeds iff var2Number does
+    (signed integer text; numeric inputs always pass)."""
+    if isinstance(fmt, pa.Scalar):
+        fmt = fmt.as_py()
+    if isinstance(arr, (int, float)) and not isinstance(arr, bool):
+        arr = pa.array([str(int(arr))], pa.string())
+        squeeze = True
+    elif isinstance(arr, str):
+        arr = pa.array([arr], pa.string())
+        squeeze = True
+    else:
+        arr = pc.cast(arr, pa.string())
+        squeeze = False
+    s = pc.fill_null(arr, "")
+
+    def m3164():
+        return pc.match_substring_regex(s, pattern=_RFC3164_VALID_RE)
+
+    def m3339():
+        return pc.is_valid(parse_rfc3339(s))
+
+    def munix():
+        return pc.match_substring_regex(s, pattern=_UNIX_NUM_RE)
+
+    if fmt is None:
+        ok = pc.or_(pc.or_(m3164(), m3339()), munix())
+    elif fmt == "date-rfc3164":
+        ok = m3164()
+    elif fmt == "date-rfc3339":
+        ok = m3339()
+    elif fmt == "date-unix":
+        ok = munix()
+    else:  # DATE_INVALID: unknown specifier → 0 / errno
+        ok = pa.array([False] * len(s))
+    out = pc.cast(ok, pa.int64())
+    return out[0].as_py() if squeeze else out
 
 
 # --------------------------------------------------------------------------

@@ -1068,3 +1068,53 @@ action(type="omfile" name="out" template="outfmt")
     routed = route_table(parsed, cc.ruleset)
     assert _json.loads(routed["out"]["rendered"].to_pylist()[0]) == {
         "parsed": {"c1": "data"}}
+
+
+@needs_ref
+def test_reference_is_time_golden(ray_session):
+    """tests/rscript_is_time.sh — all 18 is_time probes (auto, explicit
+    format, failures incl. unknown format) with the per-statement
+    script_error() sequencing; values are NUMBERS 1/0 in the tree."""
+    import json as _json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    cases = [
+        ("date_auto_1", 'is_time("Oct  5 01:10:11")', 1),
+        ("date_auto_2", 'is_time("2017-10-05T01:10:11Z")', 1),
+        ("date_auto_3", 'is_time("2017-10-05T01:10:11-03:00")', 1),
+        ("date_auto_4", 'is_time("90210")', 1),
+        ("date_explicit_1", 'is_time("Oct  5 01:10:11", "date-rfc3164")', 1),
+        ("date_explicit_2",
+         'is_time("2017-10-05T01:10:11Z", "date-rfc3339")', 1),
+        ("date_explicit_3",
+         'is_time("2017-10-05T01:10:11+04:00", "date-rfc3339")', 1),
+        ("date_explicit_4", 'is_time(90210, "date-unix")', 1),
+        ("date_explicit_5", 'is_time(-88, "date-unix")', 1),
+        ("date_explicit_6", 'is_time(0, "date-unix")', 1),
+        ("date_explicit_7", 'is_time("90210", "date-unix")', 1),
+        ("date_explicit_8", 'is_time("-88", "date-unix")', 1),
+        ("date_fail_1", 'is_time("Oct 88 01:10:11")', 0),
+        ("date_fail_2", 'is_time("not at all a date")', 0),
+        ("date_fail_3", 'is_time("Oct  5 01:10:11", "date-rfc3339")', 0),
+        ("date_fail_4",
+         'is_time("2017-10-05T01:10:11Z", "date-rfc3164")', 0),
+        ("date_fail_5", 'is_time("Oct  5 01:10:11", "date-unix")', 0),
+        ("date_fail_6", 'is_time("90210", "date-spoonix")', 0),
+    ]
+    script = ['template(name="outfmt" type="subtree" subtree="$!result")']
+    for name, call, _ok in cases:
+        script.append(f"set $!result!{name} = {call};")
+        script.append(f"set $!result!errno_{name} = script_error();")
+    script.append('action(type="omfile" name="out" template="outfmt")')
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript("\n".join(script))
+    routed = route_table(parsed, cc.ruleset)
+    got = _json.loads(routed["out"]["rendered"].to_pylist()[0])
+    expected = {}
+    for name, _call, ok in cases:
+        expected[name] = ok
+        expected[f"errno_{name}"] = 0 if ok else 1
+    assert got == expected
