@@ -159,11 +159,58 @@ def re_extract_i(arr, pattern: str, match_n: int = 0, submatch_n: int = 0,
                       else f"(?i){pattern}", match_n, submatch_n, nomatch)
 
 
-def get_property(arr, name: str) -> pa.Array:
-    """get_property(var, name) (grammar/rainerscript.c doFunct_GetProperty)
-    — dynamic key access on a JSON variable; key resolved at eval time
-    (vs the static `$!name` syntax). Same path rules as json_get."""
-    return json_get(arr, name)
+def get_property(arr, name) -> pa.Array:
+    """get_property(var, name) (grammar/rainerscript.c:1834-1933
+    doFunc_get_property) — dynamic access on a variable's value:
+    object + "" → the whole object; object + key → member (missing →
+    "", errno); array + numeric name → element (bad/out-of-range →
+    "", errno); bool/int/double → the number regardless of name;
+    plain (non-JSON) string → the string itself.  `name` may be a
+    per-row expression (rscript_get_property.sh)."""
+    if isinstance(name, pa.Scalar):
+        name = name.as_py()
+    if isinstance(arr, str):
+        # a string LITERAL source is ignored (rainerscript.c:1846-1849
+        # "ignore string literals" → EINVAL, empty result; res16)
+        return ""
+    vals = _pylist(arr)
+    if isinstance(name, (pa.Array, pa.ChunkedArray)):
+        names = _pylist(name)
+    else:
+        names = [("" if name is None else str(name))] * len(vals)
+
+    def render(cur):
+        if cur is None:
+            return ""
+        if isinstance(cur, str):
+            return cur
+        if isinstance(cur, bool):
+            return "1" if cur else "0"
+        if isinstance(cur, (dict, list)):
+            return json.dumps(cur, separators=(",", ":"), sort_keys=True)
+        return str(cur)
+
+    out = []
+    for v, k in zip(vals, names):
+        k = "" if k is None else str(k)
+        if v is None:
+            out.append("")
+            continue
+        try:
+            cur = loads_fast(v)
+        except (ValueError, TypeError):
+            out.append(v)  # 'S' datatype: the string itself
+            continue
+        if isinstance(cur, dict):
+            out.append(render(cur) if k == "" else render(cur.get(k)))
+        elif isinstance(cur, list):
+            m = re.match(r"^\s*(-?\d+)\s*$", k)
+            idx = int(m.group(1)) if m else -1
+            out.append(render(cur[idx])
+                       if m and 0 <= idx < len(cur) else "")
+        else:  # bool/int/float scalar: name ignored
+            out.append(render(cur))
+    return pa.array(out, pa.string())
 
 
 def _wrap_group(pattern: str, submatch_n: int) -> str:
@@ -739,9 +786,32 @@ def parse_json(arr) -> pa.Array:
     return parse_json_column(arr)[0]
 
 
+_PATH_IDX_RE = re.compile(r"^(.*)\[(\d+)\]$")
+
+
+def _path_step(cur, k):
+    """One path segment incl. the `key[idx]` array form (runtime/msg.c
+    jsonVarExtract:4786-4814)."""
+    m = _PATH_IDX_RE.match(k)
+    if m and m.group(1):
+        if isinstance(cur, dict):
+            cur = cur.get(m.group(1))
+        else:
+            return None
+        idx = int(m.group(2))
+        if isinstance(cur, list) and idx < len(cur):
+            return cur[idx]
+        return None
+    if isinstance(cur, dict):
+        return cur.get(k)
+    return None
+
+
 def json_get(arr, path: str) -> pa.Array:
     """Extract a (possibly nested) path 'a!b!c' from a JSON string column —
-    the `$!a!b!c` property access analogue (runtime/msg.c msgGetJSONPropJSON)."""
+    the `$!a!b!c` property access analogue (runtime/msg.c
+    msgGetJSONPropJSON); `key[N]` segments index arrays
+    (jsonVarExtract)."""
     keys = path.split("!")
     vals = _pylist(arr)
     out = []
@@ -751,10 +821,8 @@ def json_get(arr, path: str) -> pa.Array:
             try:
                 cur = loads_fast(v)
                 for k in keys:
-                    if isinstance(cur, dict):
-                        cur = cur.get(k)
-                    else:
-                        cur = None
+                    cur = _path_step(cur, k)
+                    if cur is None:
                         break
             except (ValueError, TypeError):
                 cur = None

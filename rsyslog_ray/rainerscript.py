@@ -76,7 +76,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<ltarget>-?/[^\s;{}]+|@@?[A-Za-z0-9_.:*-]+|:[A-Za-z0-9]+:[^\s;{}]*)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
-  | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+)
+  | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+(?:\[\d+\])?|\$[!.])
   | (?P<op><>|==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
 """, re.VERBOSE)
@@ -391,8 +391,10 @@ class _Parser:
             self._auto += 1
             return [{"name": f"foreach_{self._auto}", "kind": "foreach",
                      "var": var, "value": it, "body": body}]
-        if k == "word" and v == "set":
-            # set $!a!b = expr; / set $.local = expr;
+        if k == "word" and v in ("set", "reset"):
+            # set $!a!b = expr; / set $.local = expr; — `reset` is the
+            # overwrite-allowed spelling (grammar.y RESET), identical
+            # here since set already overwrites
             self.next()
             var = self.expect("prop")
             self.expect("op", "=")

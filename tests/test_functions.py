@@ -183,7 +183,11 @@ def test_case_insensitive_regex_and_get_property():
     assert L(F.re_extract_i(a, "o", 1, 0)) == ["o", "o", ""]  # 2nd match
     j = pa.array(['{"k":"v","n":{"x":1}}'])
     assert L(F.get_property(j, "k")) == ["v"]
-    assert L(F.get_property(j, "n!x")) == ["1"]
+    # reference get_property is a SINGLE member lookup (json-c
+    # json_object_object_get_ex of the literal key) — "n!x" is a miss;
+    # nested access chains two calls (rainerscript.c:1877-1886)
+    assert L(F.get_property(j, "n!x")) == [""]
+    assert L(F.get_property(F.get_property(j, "n"), "x")) == ["1"]
     assert F.REGISTRY["ip42num"] is F.ipv42num
 
 

@@ -1118,3 +1118,66 @@ def test_reference_is_time_golden(ray_session):
         expected[name] = ok
         expected[f"errno_{name}"] = 0 if ok else 1
     assert got == expected
+
+
+@needs_ref
+def test_reference_get_property_golden(ray_session):
+    """tests/rscript_get_property.sh — dynamic object/array access,
+    `key[idx]` paths, reset statements, dynamic keys; res1..res16
+    compared as rendered strings (the engine's $. locals are string
+    columns — typed-tree rendering is a documented deviation)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    tmpl = "|".join(f"%$.res{i}%" for i in range(1, 17))
+    cc = load_rainerscript(r'''
+template(name="outfmt" type="string" string="''' + tmpl + r'''")
+set $.ret = parse_json("{\"offsets\": [ { \"a\": 9, \"b\": 0, \"c\": \"boo\", \"d\": null }, { \"a\": 9, \"b\": 3, \"c\": null, \"d\": null } ], \"booltest\": true, \"int64\": 1234567890, \"nulltest\": null, \"foo\": 3, \"bar\": 28 }", "\$!parsed");
+if $.ret == 0 then {
+    set $!foo!bar = 3;
+    set $.index = "1";
+    set $.test = "a";
+    set $.res1 = get_property($!parsed!offsets, $.index);
+    set $.res2 = get_property($!parsed!offsets[1], $.test);
+    reset $.test = "bar";
+    set $.res3 = get_property($!foo, $.test);
+    reset $.index = 5;
+    set $.res4 = get_property($!parsed!offsets, $.index);
+    set $.key = "test";
+    set $.res5 = get_property($., $.key);
+    reset $.key = "foo";
+    set $.res6 = get_property($!, $.key);
+    set $.res7 = get_property($!foo, "bar");
+    reset $.key = "ar";
+    set $.res8 = get_property($!foo, "b" & $.key);
+    set $.res9 = get_property($!foo!bar, "");
+    reset $.key = "";
+    set $.res10 = get_property($!foo!bar, $.key);
+    set $.res11 = get_property($!parsed!booltest, "");
+    reset $.key = "int64";
+    set $.res12 = get_property($!parsed, $.key);
+    reset $.key = "nulltest";
+    set $.res13 = get_property($!parsed, $.key);
+    set $.res15 = get_property($msg, "");
+    set $.res16 = get_property("string literal", "");
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    got = routed["out"]["rendered"].to_pylist()[0].split("|")
+    assert got[0] == '{"a":9,"b":3,"c":null,"d":null}'   # res1
+    assert got[1] == "9"                                  # res2
+    assert got[2] == "3"                                  # res3
+    assert got[3] == ""                                   # res4 (oob)
+    assert got[4] == "bar"                                # res5 ($. tree)
+    assert got[5] == '{"bar":3}'                          # res6 ($! tree)
+    assert got[6] == "3" and got[7] == "3"                # res7/res8
+    assert got[8] == "3" and got[9] == "3"                # res9/res10
+    assert got[10] == "1"                                 # res11 bool
+    assert got[11] == "1234567890"                        # res12
+    assert got[12] == ""                                  # res13 null
+    # res14 (double) omitted: C double printing differs, documented
+    assert got[14] == " msgnum:00000000:"                 # res15 ($msg)
+    assert got[15] == ""                                  # res16 literal
