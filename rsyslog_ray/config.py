@@ -147,6 +147,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str],
             tpl = templates[tpl]            # custom named template → spec
         target = None
         targets = None
+        else_target = None
         if a.get("kind") == "call":
             target = _compile_ruleset(a["ruleset"], templates, _memo)
         elif a.get("kind") == "call_indirect":
@@ -155,6 +156,13 @@ def _compile_ruleset(spec: dict, templates: dict[str, str],
             # every candidate target once here
             targets = {name: _compile_ruleset(sub, templates, _memo)
                        for name, sub in a.get("rulesets", {}).items()}
+        elif a.get("kind") == "if":
+            # grammar.y S_IF: then/else branch statement lists compile as
+            # nested rulesets; the condition stays this statement's
+            # filter and is evaluated once at run time
+            target = _compile_ruleset(a["then"], templates, _memo)
+            if a.get("else"):
+                else_target = _compile_ruleset(a["else"], templates, _memo)
         elif a.get("kind") == "foreach":
             # loop body compiles like a nested ruleset (grammar.y S_FOREACH
             # block); `value` is the iterable expr, `var` the loop variable
@@ -177,6 +185,7 @@ def _compile_ruleset(spec: dict, templates: dict[str, str],
             value=_to_expr(a["value"]) if a.get("value") is not None
             else None,
             targets=targets,
+            else_target=else_target,
             raw_json=bool(a.get("raw_json", False)),
         ))
     rs = Ruleset(spec.get("name", "main"), actions)

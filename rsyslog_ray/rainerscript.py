@@ -487,12 +487,31 @@ class _Parser:
             else_stmts = []
             if self.accept("word", "else"):
                 else_stmts = self.block_or_stmt()
-            out = []
-            for s in then_stmts:
-                out.append(self._and_filter(s, cond))
-            for s in else_stmts:
-                out.append(self._and_filter(s, ["not", cond]))
-            return out
+            # statements with NO possible mutation-after-condition hazard
+            # flatten via filter-conjunction (cheap, no extra statement);
+            # the general case compiles to a first-class `if` statement
+            # whose condition is evaluated ONCE at this position (grammar.y
+            # S_IF semantics) — a branch mutating a condition variable
+            # must not re-route rows (rscript_eq_var.sh)
+            muts = ("set", "unset", "call", "call_indirect", "foreach",
+                    "if")
+
+            def _no_muts(stmts):
+                return not any(s.get("kind") in muts for s in stmts)
+
+            if not else_stmts and _no_muts(then_stmts):
+                return [self._and_filter(s, cond) for s in then_stmts]
+            if not then_stmts and _no_muts(else_stmts):
+                return [self._and_filter(s, ["not", cond])
+                        for s in else_stmts]
+            self._auto += 1
+            return [{"name": f"if_{self._auto}", "kind": "if",
+                     "filter": cond,
+                     "then": {"name": f"if_{self._auto}_then",
+                              "actions": then_stmts},
+                     "else": ({"name": f"if_{self._auto}_else",
+                               "actions": else_stmts}
+                              if else_stmts else None)}]
         raise ParseError(f"unexpected statement start {v!r}")
 
     def _include(self, pattern: str | None, optional: bool = False) -> None:

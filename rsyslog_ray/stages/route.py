@@ -78,6 +78,11 @@ class Action:
     # `targets` is the name→Ruleset registry it resolves against
     # (rulesetGetRuleset analogue). Unknown names are NOPs.
     targets: "dict[str, Ruleset] | None" = None
+    # kind="if" (grammar.y S_IF): `filter` is the condition, evaluated
+    # ONCE at this statement's position; `target` is the then-branch,
+    # `else_target` the else-branch. A branch mutating a condition
+    # variable must not re-route rows (rscript_eq_var.sh).
+    else_target: "Ruleset | None" = None
 
 
 @dataclass
@@ -99,8 +104,10 @@ class Ruleset:
         for a in self.actions:
             if a.template:
                 out[a.name] = Template(a.template, name=a.name)
-            if a.kind in ("call", "foreach") and a.target is not None:
+            if a.kind in ("call", "foreach", "if") and a.target is not None:
                 out.update(a.target.compiled_templates(_seen))
+            if a.kind == "if" and a.else_target is not None:
+                out.update(a.else_target.compiled_templates(_seen))
             if a.kind == "call_indirect" and a.targets:
                 for t in a.targets.values():
                     out.update(t.compiled_templates(_seen))
@@ -117,8 +124,10 @@ class Ruleset:
         out = []
         for a in self.actions:
             out.append(a)
-            if a.kind in ("call", "foreach") and a.target is not None:
+            if a.kind in ("call", "foreach", "if") and a.target is not None:
                 out.extend(a.target.all_actions(_seen))
+            if a.kind == "if" and a.else_target is not None:
+                out.extend(a.else_target.all_actions(_seen))
             if a.kind == "call_indirect" and a.targets:
                 for t in a.targets.values():
                     out.extend(t.all_actions(_seen))
@@ -461,13 +470,31 @@ def _exec_actions(batch: pa.Table, actions: list[Action], alive: np.ndarray,
         if act.kind == "write" and out is None:
             continue  # stop-only walk: write filters never touch `alive`
         if act.filter is not None:
-            m = eval_mask(act.filter, batch,
-                          props=props).to_numpy(zero_copy_only=False)
+            filt = eval_mask(act.filter, batch,
+                             props=props).to_numpy(zero_copy_only=False)
         else:
-            m = np.ones(batch.num_rows, dtype=bool)
-        m = m & alive
+            filt = np.ones(batch.num_rows, dtype=bool)
+        m = filt & alive
         if gate is not None:
             m = m & gate
+        if act.kind == "if":
+            # S_IF: condition evaluated ONCE (the `filt` above); the
+            # then-branch runs on it, the else-branch on its complement
+            # — branch-side mutation of condition variables cannot
+            # re-route rows (rscript_eq_var.sh)
+            if act.target is not None:
+                batch = _exec_actions(batch, act.target.actions, alive,
+                                      templates, out, gate=m, props=props)
+                props.rebind(batch)
+            if act.else_target is not None:
+                m_else = (~filt) & alive
+                if gate is not None:
+                    m_else &= gate
+                batch = _exec_actions(batch, act.else_target.actions,
+                                      alive, templates, out, gate=m_else,
+                                      props=props)
+                props.rebind(batch)
+            continue
         if act.kind == "stop":
             alive &= ~m
             continue

@@ -71,12 +71,16 @@ if prifilt('local0.err') then {
 action(name="always")
 """)
     acts = cfg["ruleset"]["actions"]
-    assert [a.get("kind", "write") for a in acts] == \
-        ["call", "stop", "write", "write"]
-    assert acts[0]["ruleset"]["actions"][0]["name"] == "inner"
+    # a then-branch containing a mutating statement (call) compiles to a
+    # first-class `if` statement — condition evaluated ONCE at this
+    # position (S_IF; rscript_eq_var.sh)
+    assert [a.get("kind", "write") for a in acts] == ["if", "write"]
     assert acts[0]["filter"] == ["prifilt", "local0.err"]
-    assert acts[2]["filter"] == ["not", ["prifilt", "local0.err"]]
-    assert acts[3].get("filter") is None
+    then_acts = acts[0]["then"]["actions"]
+    assert [a.get("kind") for a in then_acts] == ["call", "stop"]
+    assert then_acts[0]["ruleset"]["actions"][0]["name"] == "inner"
+    assert acts[0]["else"]["actions"][0]["name"] == "other"
+    assert acts[1].get("filter") is None
     # nested if compounds with and; else negates
     cfg2 = parse_rainerscript("""
 if $a == 1 then { if $b != 2 then action(name="n") }

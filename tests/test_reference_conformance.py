@@ -1181,3 +1181,73 @@ if $.ret == 0 then {
     # res14 (double) omitted: C double printing differs, documented
     assert got[14] == " msgnum:00000000:"                 # res15 ($msg)
     assert got[15] == ""                                  # res16 literal
+
+
+@needs_ref
+@pytest.mark.parametrize("cond,stop_form,expected", [
+    ('$!usr!msgnum == "00000050" or $!usr!msgnum == "00000051" '
+     'or $!usr!msgnum == "00000052"', False, [50, 51, 52]),     # eq
+    ('$!usr!msgnum != "00000050" and $!usr!msgnum != "00000051" '
+     'and $!usr!msgnum != "00000052"', True, [50, 51, 52]),     # ne
+    ('$!usr!msgnum > "00000049"', False, list(range(50, 100))),  # gt
+    ('$!usr!msgnum >= "00000050"', True, list(range(50))),       # ge
+    ('$!usr!msgnum < "00000050"', False, list(range(50))),       # lt
+    ('$!usr!msgnum <= "00000050"', False, list(range(51))),      # le
+], ids=["eq", "ne", "gt", "ge", "lt", "le"])
+def test_reference_compare_goldens(ray_session, cond, stop_form, expected):
+    """tests/rscript_{eq,ne,gt,ge,lt,le}.sh — tree-var comparisons over
+    zero-padded msgnum fields (each script's seq_check window, scaled
+    to 100 injected messages)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    body = (f"if {cond} then\n    stop\n"
+            'action(type="omfile" name="out" template="outfmt")'
+            if stop_form else
+            f"if {cond} then\n"
+            '    action(type="omfile" name="out" template="outfmt")')
+    parsed = parse_table(_injectmsg(100))
+    cc = load_rainerscript(f'''
+template(name="outfmt" type="list") {{ property(name="$!usr!msgnum") }}
+if $msg contains "msgnum" then {{
+    set $!usr!msgnum = field($msg, 58, 2);
+    {body}
+}}
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in expected]
+
+
+@needs_ref
+def test_reference_eq_var_golden(ray_session):
+    """tests/rscript_eq_var.sh — var-to-var equality with mutation and
+    unset between compares; every message must survive to the sink."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(20))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="msg" field.delimiter="58" field.number="2")
+}
+set $!var1 = "value";
+set $!var2 = "value";
+if $!var1 == $!var2 then {
+    set $!var2 = "bad";
+    if $!var1 == $!var2 then {
+        stop
+    } else {
+        unset $!var1;
+        unset $!var2;
+    }
+} else {
+    stop
+}
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(20)]
