@@ -188,6 +188,22 @@ class PropertyRegistry:
                                      or pa.types.is_large_string(c.type)):
                     return pc.fill_null(c, "")
                 return c
+            # locals are a TREE in the reference (local var root '.'):
+            # a path read $.a!b whose own column is absent descends into
+            # the longest-prefix column's JSON value (foreach loop vars
+            # hold array elements as JSON text — json_array_looping.sh
+            # reads $.quux!bar)
+            rest = stripped[1:]
+            best = None
+            for c in self.table.column_names:
+                if (c.startswith("$.") and rest.startswith(c[2:] + "!")
+                        and (best is None or len(c) > len(best))):
+                    best = c
+            if best is not None:
+                from .functions import json_get
+                sub = json_get(pc.cast(self._col(best), pa.string()),
+                               rest[len(best) - 2 + 1:])
+                return pc.fill_null(sub, "")
             n = self.table.num_rows
             return pa.array([""] * n, pa.string())
         name_l = name.lower().lstrip("$")

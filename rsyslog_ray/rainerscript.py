@@ -76,7 +76,8 @@ _TOKEN_RE = re.compile(r"""
   | (?P<ltarget>-?/[^\s;{}]+|@@?[A-Za-z0-9_.:*-]+|:[A-Za-z0-9]+:[^\s;{}]*)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
-  | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+(?:\[\d+\])?|\$[!.])
+  | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+(?:\[\d+\](?:[A-Za-z0-9_!./-]+)?)*
+             |\$[!.])
   | (?P<op><>|==|!=|<=|>=|<|>|\(|\)|\{|\}|\[|\]|,|=|&|\+|-|\*|~|;)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.]*)
 """, re.VERBOSE)

@@ -1251,3 +1251,79 @@ action(type="omfile" name="out" template="outfmt")
     routed = route_table(parsed, cc.ruleset)
     assert sorted(routed["out"]["rendered"].to_pylist()) == [
         f"{i:08d}" for i in range(20)]
+
+
+@needs_ref
+def test_reference_json_array_looping_golden(ray_session):
+    """tests/json_array_looping.sh — nested foreach over a JSON array
+    (incl. reading paths INTO the loop variable: $.quux!bar,
+    $.grault!baz), call inside the loop body, and a cross-iteration
+    string accumulator; the script's content_checks."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = open(f"{REF}/testsuites/json_array_input").read().strip()
+    parsed = mmjsonparse_table(parse_table(_inject_table([line])))
+    cc = load_rainerscript('''
+template(name="garply" type="string" string="garply: %$.garply%")
+template(name="grault" type="string" string="grault: %$.grault%")
+template(name="prefixed_grault" type="string"
+         string="prefixed_grault: %$.grault%")
+template(name="quux" type="string" string="quux: %$.quux%")
+set $.garply = "";
+ruleset(name="prefixed_writer") {
+  action(type="omfile" name="prefixed" template="prefixed_grault")
+}
+foreach ($.quux in $!foo) do {
+  action(type="omfile" name="quux_out" template="quux")
+  foreach ($.corge in $.quux!bar) do {
+     reset $.grault = $.corge;
+     action(type="omfile" name="async" template="grault")
+     call prefixed_writer
+     if ($.garply != "") then
+         set $.garply = $.garply & ", ";
+     reset $.garply = $.garply & $.grault!baz;
+  }
+}
+action(type="omfile" name="out" template="garply")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    quux = routed["quux_out"]["rendered"].to_pylist()
+    assert "quux: abc0" in quux and "quux: def1" in quux \
+        and "quux: ghi2" in quux
+    # the 4th element renders as the (normalized) object text
+    assert any(q.startswith('quux: {"bar":') for q in quux)
+    for key in ("async", "prefixed"):
+        got = routed[key]["rendered"].to_pylist()
+        assert any("important_msg" in g for g in got), key
+        assert any("other_msg" in g for g in got), key
+    assert routed["out"]["rendered"].to_pylist() == [
+        "garply: important_msg, other_msg"]
+
+
+@needs_ref
+def test_reference_json_array_subscripting_golden(ray_session):
+    """tests/json_array_subscripting.sh — [N] subscripts in template
+    property paths and set sources, incl. chained array hops
+    ($!foo[3]!bar[1]!baz); object renders normalized-compact."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = open(f"{REF}/testsuites/json_array_input").read().strip()
+    parsed = mmjsonparse_table(parse_table(_inject_table([line])))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string"
+  string="msg: %$!foo[1]% | %$.quux% | %$.corge% | %$.grault% | %$!foo[3]!bar[1]!baz%")
+set $.quux = $!foo[2];
+set $.corge = $!foo[3]!bar[0]!baz;
+set $.grault = $!foo[3]!bar[1];
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        'msg: def1 | ghi2 | important_msg | {"baz":"other_msg"} | '
+        'other_msg']
