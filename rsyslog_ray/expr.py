@@ -96,6 +96,38 @@ class PropertyRegistry:
         set/unset never add or drop rows."""
         self.table = table
 
+    def _assemble_local_tree(self, prefix: str) -> pa.Array:
+        """The local-variable tree (or the subtree under `prefix`) as a
+        JSON object string per row, assembled from the flat "$.a!b"
+        columns; unset/null vars omitted, rows with nothing set read ""
+        (MsgGetProp empty-string fallback)."""
+        import json as _json
+        head = "$." + (prefix + "!" if prefix else "")
+        cols = [c for c in self.table.column_names if c.startswith(head)]
+        n = self.table.num_rows
+        if not cols:
+            return pa.array([""] * n, pa.string())
+        data = {c[len(head):]: pc.cast(self._col(c),
+                                       pa.string()).to_pylist()
+                for c in cols}
+        out = []
+        for i in range(n):
+            tree: dict = {}
+            for path, vals in data.items():
+                if vals[i] is None:
+                    continue
+                node = tree
+                keys = path.split("!")
+                for k in keys[:-1]:
+                    node = node.setdefault(k, {})
+                    if not isinstance(node, dict):
+                        break
+                else:
+                    node[keys[-1]] = vals[i]
+            out.append(_json.dumps(tree, separators=(",", ":"),
+                                   sort_keys=True) if tree else "")
+        return pa.array(out, pa.string())
+
     def set_errno(self, ok) -> None:
         """Record per-row errno from an errno-setting function's ok mask
         (EOK=0 / EINVAL=1, grammar/rainerscript.h:334-335)."""
@@ -148,31 +180,7 @@ class PropertyRegistry:
             # bare `$.` (rscript_bare_var_root.sh `set $! = $.;`): the
             # whole LOCAL tree as a JSON object string, assembled from
             # the flat "$.a!b" columns (unset/null vars omitted)
-            import json as _json
-            cols = [c for c in self.table.column_names
-                    if c.startswith("$.")]
-            n = self.table.num_rows
-            if not cols:
-                return pa.array([""] * n, pa.string())
-            data = {c[2:]: pc.cast(self._col(c), pa.string()).to_pylist()
-                    for c in cols}
-            out = []
-            for i in range(n):
-                tree: dict = {}
-                for path, vals in data.items():
-                    if vals[i] is None:
-                        continue
-                    node = tree
-                    keys = path.split("!")
-                    for k in keys[:-1]:
-                        node = node.setdefault(k, {})
-                        if not isinstance(node, dict):
-                            break
-                    else:
-                        node[keys[-1]] = vals[i]
-                out.append(_json.dumps(tree, separators=(",", ":"),
-                                       sort_keys=True))
-            return pa.array(out, pa.string())
+            return self._assemble_local_tree("")
         if stripped.startswith("."):
             # local variable `$.name` (grammar/rainerscript.c VAR_LOCAL):
             # stored as a batch column under its literal spelling by the
@@ -204,6 +212,13 @@ class PropertyRegistry:
                 sub = json_get(pc.cast(self._col(best), pa.string()),
                                rest[len(best) - 2 + 1:])
                 return pc.fill_null(sub, "")
+            # container read: $.x with only deeper "$.x!..." columns
+            # assembles the subtree object (the reference's local tree
+            # has real container nodes — rscript_unflatten_conflict2.sh
+            # passes $.x after `set $.x!a = 21`)
+            if any(c.startswith("$." + rest + "!")
+                   for c in self.table.column_names):
+                return self._assemble_local_tree(rest)
             n = self.table.num_rows
             return pa.array([""] * n, pa.string())
         name_l = name.lower().lstrip("$")

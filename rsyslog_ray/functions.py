@@ -958,7 +958,18 @@ def json_set(arr, path: str, values, raw: bool = False) -> pa.Array:
     out = []
     for i, v in enumerate(_pylist(arr)):
         val = vals[i] if vals is not None else values
-        if raw:
+        if raw == "auto":
+            # J-datatype propagation (msgSetJSONFromVar): a value read
+            # from another tree variable embeds object/array text as a
+            # SUBTREE; scalar text stays a string leaf
+            if isinstance(val, str) and val[:1] in ("{", "["):
+                try:
+                    parsed = loads_fast(val)
+                    if isinstance(parsed, (dict, list)):
+                        val = parsed
+                except (ValueError, TypeError):
+                    pass
+        elif raw:
             # raw mode (two-arg parse_json): the value is JSON text to
             # embed as a SUBTREE; unparseable/null → no write
             # (doFunct_ParseJSON leaves the tree untouched on error)
@@ -1009,9 +1020,18 @@ def unflatten(arr, sep: str = ".") -> pa.Array:
             nested: dict = {}
             for k, val in flat.items():
                 cur = nested
-                parts = k.split(sep)
+                # key segments truncate at 255 chars (fmunflatten.c's
+                # 256-byte key buffer — rscript_unflatten_key_truncated)
+                parts = [p[:255] for p in k.split(sep)]
                 for p in parts[:-1]:
-                    cur = cur.setdefault(p, {})
+                    nxt = cur.get(p)
+                    if not isinstance(nxt, dict):
+                        # existing non-object intermediate is overridden
+                        # by an object (fmunflatten.c warning path —
+                        # rscript_unflatten_conflict1.sh)
+                        nxt = {}
+                        cur[p] = nxt
+                    cur = nxt
                 cur[parts[-1]] = val
             out.append(json.dumps(nested, separators=(",", ":"), sort_keys=True))
         except (ValueError, TypeError, AttributeError):

@@ -151,6 +151,19 @@ class Ruleset:
         return self
 
 
+def _tree_source_mode(value):
+    """J-datatype propagation (msgSetJSONFromVar): a set whose source is
+    a bare read of another tree variable ($!path / $.path) embeds
+    object/array values as subtrees ('auto' raw mode) — conflict2's
+    `set $!a.b = $.x` must store {"a":...}, not its text."""
+    if (isinstance(value, tuple) and len(value) == 2
+            and value[0] == "prop"):
+        name = str(value[1]).lstrip("$")
+        if name[:1] in ("!", "."):
+            return "auto"
+    return False
+
+
 def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
                   props: PropertyRegistry) -> pa.Table:
     """One `set`/`unset` statement: rewrite the target variable's column
@@ -223,10 +236,11 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
         base = (pc.cast(_col(col_name), pa.string())
                 if col_name in batch.column_names
                 else pa.nulls(n, pa.string()))
+        raw_mode = act.raw_json or _tree_source_mode(act.value)
         if mask.all():
             if act.kind == "set":
                 new = json_set(base, path, compile_expr(act.value, props),
-                               raw=act.raw_json)
+                               raw=raw_mode)
             else:
                 new = json_unset(base, path)
             return _replace(col_name, new)
@@ -241,7 +255,7 @@ def _apply_setvar(batch: pa.Table, act: Action, mask: np.ndarray,
                 if isinstance(vals, pa.ChunkedArray):
                     vals = vals.combine_chunks()
                 vals = vals.take(take)
-            sub_new = json_set(sub_base, path, vals, raw=act.raw_json)
+            sub_new = json_set(sub_base, path, vals, raw=raw_mode)
         else:
             sub_new = json_unset(sub_base, path)
         allv = base.to_numpy(zero_copy_only=False).astype(object)

@@ -1327,3 +1327,41 @@ action(type="omfile" name="out" template="outfmt")
     assert routed["out"]["rendered"].to_pylist() == [
         'msg: def1 | ghi2 | important_msg | {"baz":"other_msg"} | '
         'other_msg']
+
+
+@needs_ref
+@pytest.mark.parametrize("sets,expected_a", [
+    # conflict1: intermediate string node overridden by an object
+    ('set $!a!b = "foo";\nset $!a.b.c = "bar";',
+     {"b": {"c": "bar"}}),
+    # conflict2: final node overridden by an OBJECT from a local subtree
+    ('set $.x!a = 21;\nset $!a!b = "foo";\nset $!a.b = $.x;',
+     {"b": {"a": "21"}}),
+    # conflict3: final node plain override
+    ('set $!a!b = "foo";\nset $!a.b = "bar";',
+     {"b": "bar"}),
+], ids=["conflict1", "conflict2", "conflict3"])
+def test_reference_unflatten_conflicts(ray_session, sets, expected_a):
+    """tests/rscript_unflatten_conflict{1,2,3}.sh — flat dotted keys
+    override existing nested values during unflatten; script_error
+    stays 0. (conflict2's 21 renders as "21": locals are string
+    columns, documented deviation.)"""
+    import json as _json
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(1))
+    cc = load_rainerscript(f'''
+template(name="outfmt" type="string" string="%$.ret% %$.unflatten%")
+{sets}
+set $.unflatten = unflatten($!, ".");
+set $.ret = script_error();
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    ret, _, tree_txt = routed["out"]["rendered"].to_pylist()[0].partition(
+        " ")
+    assert ret == "0"
+    assert _json.loads(tree_txt)["a"] == expected_a
