@@ -62,7 +62,7 @@ class PropertyRegistry:
         "msg": "msg", "rawmsg": "text", "hostname": "hostname",
         "source": "hostname", "fromhost": "hostname",
         "syslogtag": "syslogtag",
-        "programname": "tag", "pri": "pri",
+        "pri": "pri",
         "syslogfacility": "facility", "syslogseverity": "severity",
         "syslogpriority": "severity", "app-name": "appname",
         "procid": "procid", "msgid": "msgid",
@@ -252,6 +252,14 @@ class PropertyRegistry:
         names = np.asarray(SEVERITY_NAMES, dtype=object)
         return pa.array(names[np.clip(sev, 0, 7)], pa.string())
 
+    def _programname(self):
+        # msg.c aquireProgramName:1562-1575: TAG up to the first ':',
+        # '[', '/' (bPermitSlashInProgramname off) or non-printable —
+        # prop-programname.sh: 'tag/with/slashes' -> 'tag'
+        tag = pc.fill_null(pc.cast(self._syslogtag(), pa.string()), "")
+        return pc.struct_field(
+            pc.extract_regex(tag, pattern=r"^(?P<g>[^:\[/ ]*)"), "g")
+
     def _pri_text(self):
         # msg.c textpri(): "<facility-text>.<severity-text>"
         return pc.binary_join_element_wise(self._fac_text(),
@@ -336,6 +344,7 @@ class PropertyRegistry:
         "syslogseverity-text": _sev_text,
         "syslogpriority-text": _sev_text,
         "pri-text": _pri_text,
+        "programname": lambda self: self._programname(),
         "fromhost-ip": _fromhost_ip,
         "inputname": _inputname,
         "bom": _bom,

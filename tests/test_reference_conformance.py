@@ -1365,3 +1365,47 @@ action(type="omfile" name="out" template="outfmt")
         " ")
     assert ret == "0"
     assert _json.loads(tree_txt)["a"] == expected_a
+
+
+@needs_ref
+def test_reference_prop_programname_golden(ray_session):
+    """tests/prop-programname.sh — programname is the TAG up to the
+    first ':', '[', '/' (aquireProgramName, slashes not permitted by
+    default); cmp_exact 'tag/with/slashes,tag'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_inject_table(
+        ["<133>2011-03-01T11:22:12Z host tag/with/slashes msgh ...x"]))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%syslogtag%,%programname%")
+local0.* action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "tag/with/slashes,tag"]
+
+
+@needs_ref
+def test_reference_empty_prop_comparison_golden(ray_session):
+    """tests/empty-prop-comparison.sh — an empty-string tree var
+    compares equal to "" (the stop guard passes only the msgnum:0
+    row); %msg:F,58:2% field template."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = ["<167>Mar  6 16:57:54 172.20.245.8 test: msgnum:0",
+             "<167>Mar  6 16:57:54 172.20.245.8 test: msgnum:"]
+    parsed = parse_table(_inject_table(lines))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%msg:F,58:2%")
+set $!doOutput = "";
+if $msg contains "msgnum:0" then
+    set $!doOutput = "1";
+if $!doOutput == "" then stop
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == ["0"]
