@@ -151,12 +151,30 @@ def parse_structured_data(sd: str):
     return out or None
 
 
-def mmpstrucdata_table(batch: pa.Table, col: str = "structured_data") -> pa.Table:
+def mmpstrucdata_table(batch: pa.Table, col: str = "structured_data",
+                       sd_name_lowercase: bool = True) -> pa.Table:
+    """mmpstrucdata (plugins/mmpstrucdata/mmpstrucdata.c): SD → JSON
+    under the `rfc5424_sd` column. Reference-faithful naming:
+    `sd_name.lowercase` (default ON, mmpstrucdata.c:132) lowercases
+    BOTH SD-IDs and param names; names truncate at 32 chars
+    (parseSD_NAME's 33-byte buffer, mmpstrucdata.c:241).  The exploded
+    sd_params op keeps verbatim names by design (its own SQL twin)."""
     vals = pc.cast(batch[col], pa.string()).to_pylist()
+
+    def xf(name: str) -> str:
+        name = name[:32]
+        return name.lower() if sd_name_lowercase else name
+
     out = []
     for v in vals:
         d = parse_structured_data(v) if v else None
-        out.append(json.dumps(d, separators=(",", ":"), sort_keys=True) if d else None)
+        if d:
+            d = {xf(sd_id): {xf(k): pv for k, pv in params.items()}
+                 for sd_id, params in d.items()}
+            out.append(json.dumps(d, separators=(",", ":"),
+                                  sort_keys=True))
+        else:
+            out.append(None)
     return batch.append_column("rfc5424_sd", pa.array(out, pa.string()))
 
 

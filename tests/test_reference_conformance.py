@@ -1409,3 +1409,32 @@ action(type="omfile" name="out" template="outfmt")
 ''')
     routed = route_table(parsed, cc.ruleset)
     assert routed["out"]["rendered"].to_pylist() == ["0"]
+
+
+@needs_ref
+def test_reference_mmpstrucdata_case_goldens(ray_session):
+    """tests/mmpstrucdata.sh + mmpstrucdata-case.sh — sd_name.lowercase
+    defaults ON (eventID → eventid); off keeps case; names truncate at
+    32 chars (parseSD_NAME buffer)."""
+    import json as _json
+
+    from rsyslog_ray.stages.enrich import mmpstrucdata_table
+    from rsyslog_ray.stages.parse import parse_table
+
+    line = ('<161>1 2003-03-01T01:00:00.000Z mymachine.example.com '
+            'tcpflood - tag [tcpflood@32473 eventID="1011"] '
+            'valid structured data')
+    parsed = parse_table(_inject_table([line]))
+    on = mmpstrucdata_table(parsed)
+    assert _json.loads(on["rfc5424_sd"].to_pylist()[0]) == {
+        "tcpflood@32473": {"eventid": "1011"}}
+    off = mmpstrucdata_table(parsed, sd_name_lowercase=False)
+    assert _json.loads(off["rfc5424_sd"].to_pylist()[0]) == {
+        "tcpflood@32473": {"eventID": "1011"}}
+    # 32-char name truncation
+    long = parse_table(_inject_table([
+        '<161>1 2003-03-01T01:00:00.000Z h t - g '
+        '[sd@1 ' + "k" * 40 + '="v"] m']))
+    t = mmpstrucdata_table(long)
+    assert _json.loads(t["rfc5424_sd"].to_pylist()[0]) == {
+        "sd@1": {"k" * 32: "v"}}
