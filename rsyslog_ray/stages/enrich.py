@@ -100,10 +100,17 @@ def mmfields_table(batch: pa.Table, col: str = "msg", sep: str = ",",
 
 
 def mmjsonparse_table(batch: pa.Table, col: str = "msg",
-                      cookie: str = "@cee:") -> pa.Table:
+                      cookie: str = "@cee:",
+                      container: str = "!") -> pa.Table:
     """`cookie` as in mmjsonparse.c: rows must start with it (after
     leading whitespace) to be parsed; cookie="" attempts JSON on every
-    message (mmjsonparse-w-o-cookie.sh)."""
+    message (mmjsonparse-w-o-cookie.sh).
+
+    `container` (mmjsonparse.c container param): "!" (default) parses
+    into the tree ROOT; "!name" nests the object under $!name
+    (mmjsonparse_cim.sh); "$." / "." stores the parsed object's keys as
+    LOCAL variables — flat "$.a!b" columns in this engine
+    (mmjsonparse_localvar.sh)."""
     msg = pc.cast(batch[col], pa.string())
     stripped = pc.utf8_ltrim_whitespace(msg)
     if cookie:
@@ -112,19 +119,56 @@ def mmjsonparse_table(batch: pa.Table, col: str = "msg",
     else:
         np_mask = np.ones(len(stripped), dtype=bool)
     vals = stripped.to_pylist()
-    out = [None] * len(vals)
-    ok = np.zeros(len(vals), dtype=bool)
+    n = len(vals)
+    container = container.lstrip("$")
+    to_locals = container == "."
+    subkey = container[1:] if container.startswith("!") else ""
+    out = [None] * n
+    local_cols: dict[str, list] = {}
+    ok = np.zeros(n, dtype=bool)
     for i in np.flatnonzero(np_mask):
         payload = vals[i][len(cookie):].lstrip()
         try:
             obj = loads_fast(payload)
-            out[i] = json.dumps(obj, separators=(",", ":"), sort_keys=True)
-            ok[i] = True
         except ValueError:
-            out[i] = None
-    batch = batch.append_column("cee_json", pa.array(out, pa.string()))
+            continue
+        ok[i] = True
+        if to_locals:
+            if isinstance(obj, dict):
+                flat = _flatten_bang(obj)
+                for k, v in flat.items():
+                    local_cols.setdefault(k, [None] * n)[i] = v
+            continue
+        if subkey:
+            obj = {subkey: obj}
+        out[i] = json.dumps(obj, separators=(",", ":"), sort_keys=True)
+    if not to_locals:
+        batch = batch.append_column("cee_json", pa.array(out, pa.string()))
+    else:
+        for k, col_vals in local_cols.items():
+            name = "$." + k
+            arr = pa.array(col_vals, pa.string())
+            if name in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(name), name, arr)
+            else:
+                batch = batch.append_column(name, arr)
     batch = batch.append_column("cee_parsesuccess", pa.array(ok))
     return batch
+
+
+def _flatten_bang(obj: dict, prefix: str = "") -> dict:
+    """Nested dict → flat {a!b: str-value} (the engine's local-column
+    path spelling)."""
+    out = {}
+    for k, v in obj.items():
+        key = f"{prefix}!{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten_bang(v, key))
+        else:
+            out[key] = (v if isinstance(v, str)
+                        else json.dumps(v, separators=(",", ":")))
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1438,3 +1438,40 @@ def test_reference_mmpstrucdata_case_goldens(ray_session):
     t = mmpstrucdata_table(long)
     assert _json.loads(t["rfc5424_sd"].to_pylist()[0]) == {
         "sd@1": {"k" * 32: "v"}}
+
+
+@needs_ref
+def test_reference_mmjsonparse_container_goldens(ray_session):
+    """tests/mmjsonparse_cim.sh (+_cim2) and mmjsonparse_localvar.sh —
+    cookie="@cim:" with container="!cim" nests under $!cim; container
+    "$." stores into local variables."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = [f'<167>Mar  1 01:00:00 h tag: @cim: {{"msgnum":"{i:08d}"}}'
+             for i in range(5)]
+    parsed = parse_table(_inject_table(lines))
+
+    cim = mmjsonparse_table(parsed, cookie="@cim:", container="!cim")
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$!cim!msgnum%")
+if $parsesuccess == "OK" then {
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed = route_table(cim, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(5)]
+
+    loc = mmjsonparse_table(parsed, cookie="@cim:", container="$.")
+    cc2 = load_rainerscript('''
+template(name="outfmt" type="string" string="%$.msgnum%")
+if $parsesuccess == "OK" then {
+    action(type="omfile" name="out" template="outfmt")
+}
+''')
+    routed2 = route_table(loc, cc2.ruleset)
+    assert sorted(routed2["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(5)]
