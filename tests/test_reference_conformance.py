@@ -1475,3 +1475,98 @@ if $parsesuccess == "OK" then {
     routed2 = route_table(loc, cc2.ruleset)
     assert sorted(routed2["out"]["rendered"].to_pylist()) == [
         f"{i:08d}" for i in range(5)]
+
+
+@needs_ref
+def test_reference_lookup_table_reload_golden(ray_session, tmp_path):
+    """tests/lookup_table.sh — the reference's OWN xlate fixtures
+    through lookup() + HUP hot reload: old table, reloaded table, then
+    the duplicates+nomatch table (last-wins per the reference's sorted
+    load; nomatch string for misses)."""
+    import shutil
+
+    from rsyslog_ray.lookup import ReloadableLookup
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.config import load_config
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    tbl_path = tmp_path / "xlate.lkp_tbl"
+    shutil.copy(f"{REF}/testsuites/xlate.lkp_tbl", tbl_path)
+    cfg = parse_rainerscript(f'''
+lookup_table(name="xlate" file="{tbl_path}" reloadOnHUP="on")
+template(name="outfmt" type="string" string="%msg% %$.lkp%")
+set $.lkp = lookup("xlate", $msg);
+action(type="omfile" name="out" template="outfmt")
+''')
+    compiled = load_config(cfg)
+
+    def run(n):
+        parsed = parse_table(_injectmsg(n))
+        routed = route_table(parsed, compiled.ruleset)
+        return dict(r.rsplit(" ", 1) for r in
+                    routed["out"]["rendered"].to_pylist())
+
+    got = run(3)
+    assert got[" msgnum:00000000:"] == "foo_old"
+    assert got[" msgnum:00000001:"] == "bar_old"
+    assert "baz" not in got.values()
+
+    shutil.copy(f"{REF}/testsuites/xlate_more.lkp_tbl", tbl_path)
+    for t in compiled.tables.values():
+        if isinstance(t, ReloadableLookup):
+            t.reload()
+    # plain LookupTable loaded from file: rebuild the config's tables
+    compiled2 = load_config(cfg)
+    got = {}
+    parsed = parse_table(_injectmsg(3))
+    routed = route_table(parsed, compiled2.ruleset)
+    got = dict(r.rsplit(" ", 1) for r in
+               routed["out"]["rendered"].to_pylist())
+    assert got[" msgnum:00000000:"] == "foo_new"
+    assert got[" msgnum:00000001:"] == "bar_new"
+    assert got[" msgnum:00000002:"] == "baz"
+
+    shutil.copy(
+        f"{REF}/testsuites/xlate_more_with_duplicates_and_nomatch.lkp_tbl",
+        tbl_path)
+    compiled3 = load_config(cfg)
+    parsed = parse_table(_injectmsg(10))
+    routed = route_table(parsed, compiled3.ruleset)
+    got = dict(r.rsplit(" ", 1) for r in
+               routed["out"]["rendered"].to_pylist())
+    expected = {0: "foo_latest", 1: "quux", 2: "baz_latest",
+                3: "foo_latest", 4: "foo_latest", 5: "baz_latest",
+                6: "foo_latest", 7: "baz_latest", 8: "baz_latest",
+                9: "quux"}
+    for i, v in expected.items():
+        assert got[f" msgnum:{i:08d}:"] == v, i
+
+
+@needs_ref
+def test_reference_array_lookup_table_golden(ray_session, tmp_path):
+    """tests/array_lookup_table.sh (first phase) — type=array lookup
+    over the numeric field key, with the reference's own fixture."""
+    import shutil
+
+    from rsyslog_ray.rainerscript import parse_rainerscript
+    from rsyslog_ray.config import load_config
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    tbl_path = tmp_path / "xlate_array.lkp_tbl"
+    shutil.copy(f"{REF}/testsuites/xlate_array.lkp_tbl", tbl_path)
+    cfg = parse_rainerscript(f'''
+lookup_table(name="xlate" file="{tbl_path}")
+template(name="outfmt" type="string" string="%msg% %$.lkp%")
+set $.num = field($msg, 58, 2);
+set $.lkp = lookup("xlate", $.num);
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parse_table(_injectmsg(3)),
+                         load_config(cfg).ruleset)
+    got = dict(r.rsplit(" ", 1) for r in
+               routed["out"]["rendered"].to_pylist())
+    assert got[" msgnum:00000000:"] == "foo_old"
+    assert got[" msgnum:00000001:"] == "bar_old"
+    assert "baz" not in got.values()
