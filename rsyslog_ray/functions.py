@@ -29,7 +29,14 @@ FIELD_NOT_FOUND = "***FIELD NOT FOUND***"
 
 
 def strlen(arr):
-    """grammar/rainerscript.c:2371 — length in characters."""
+    """grammar/rainerscript.c:2371 — length in characters. A missing
+    variable reads as "" (var2CString of an unset var), so its strlen
+    is 0, not null — the imfile-endmsg k8s assembly loop guards on
+    strlen($!stream) == 0 before the first set."""
+    if isinstance(arr, (pa.Array, pa.ChunkedArray)) and (
+            pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)):
+        arr = pc.fill_null(arr, "")
     return pc.utf8_length(arr)
 
 

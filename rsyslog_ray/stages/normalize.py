@@ -28,6 +28,7 @@ everything else stays string. `-` field names are matched but discarded
 
 from __future__ import annotations
 
+import json
 import re
 
 import numpy as np
@@ -170,6 +171,95 @@ def _compile_sample(tag: str, sample: str, allow_regex: bool) -> Rule:
     return Rule(tag, "".join(out), fields, types)
 
 
+class V2RepeatRule:
+    """liblognorm v2 `repeat` rule (the k8s CRI-O / docker-json multiline
+    shape, imfile-endmsg.regex.{crio,json}.rulebase): parse the `parser`
+    step sequence repeatedly, matching `while` between iterations; the
+    field value is the JSON array of per-iteration objects.
+
+    Supported step types: literal (text=), word, char-sep (extradata=,
+    optional name), json (name "." merges the parsed object into the
+    iteration). option.permitMismatchInParser ends the loop gracefully
+    on a parser mismatch. Runs per row (sequential parsing is inherent
+    to `repeat`); rows are only the ones earlier regex rules left
+    unmatched."""
+
+    __slots__ = ("tag", "field", "parser", "while_steps",
+                 "permit_mismatch", "fields", "types")
+
+    def __init__(self, tag: str, spec: dict):
+        self.tag = tag
+        self.field = spec["name"]
+        self.parser = spec.get("parser", [])
+        self.while_steps = spec.get("while", [])
+        self.permit_mismatch = bool(
+            spec.get("option.permitMismatchInParser", False))
+        self.fields = [self.field]
+        self.types = ["json"]
+
+    @staticmethod
+    def _steps(s: str, pos: int, steps: list):
+        obj: dict = {}
+        for st in steps:
+            t = st.get("type")
+            if t == "literal":
+                txt = st.get("text", "")
+                if not s.startswith(txt, pos):
+                    return None
+                pos += len(txt)
+            elif t == "word":
+                m = re.match(r"[^ ]+", s[pos:])
+                if not m:
+                    return None
+                if st.get("name") not in (None, "-"):
+                    obj[st["name"]] = m.group(0)
+                pos += m.end()
+            elif t == "char-sep":
+                seps = st.get("extradata", "")
+                i = pos
+                while i < len(s) and s[i] not in seps:
+                    i += 1
+                if st.get("name") not in (None, "-"):
+                    obj[st["name"]] = s[pos:i]
+                pos = i
+            elif t == "json":
+                dec = json.JSONDecoder()
+                try:
+                    v, end = dec.raw_decode(s, pos)
+                except ValueError:
+                    return None
+                name = st.get("name")
+                if name == "." and isinstance(v, dict):
+                    obj.update(v)
+                elif name not in (None, "-", "."):
+                    obj[name] = v
+                pos = end
+            else:
+                return None
+        return obj, pos
+
+    def parse(self, s: str):
+        pos = 0
+        items: list = []
+        while True:
+            r = self._steps(s, pos, self.parser)
+            if r is None:
+                if self.permit_mismatch:
+                    break
+                if not items:
+                    return None
+                break
+            obj, pos = r
+            items.append(obj)
+            w = self._steps(s, pos, self.while_steps)
+            if w is None:
+                break
+            _, pos = w
+        if s[pos:].strip(" \n"):
+            return None  # the whole-sample rule must consume the input
+        return items if items else None
+
+
 class RuleBase:
     """Parsed liblognorm rulebase: ordered rules + per-tag annotations."""
 
@@ -180,15 +270,49 @@ class RuleBase:
 
     @classmethod
     def from_string(cls, text: str, allow_regex: bool = False) -> "RuleBase":
-        rules: list[Rule] = []
+        rules: list = []
         ann: dict[str, list[tuple[str, str]]] = {}
-        for raw in text.splitlines():
+        # v2 rules may span lines (the reference's repeat rulebases do):
+        # a rule whose sample opens a %{...} JSON field but has not yet
+        # closed it absorbs following lines until it ends with }%
+        lines_in = text.splitlines()
+        joined: list[str] = []
+        buf = None
+        for raw in lines_in:
             line = raw.strip()
+            if buf is not None:
+                buf += " " + line
+                if line.endswith("}%"):
+                    joined.append(buf)
+                    buf = None
+                continue
+            if (line.startswith("rule=") and "%{" in line
+                    and not line.endswith("}%")):
+                buf = line
+                continue
+            joined.append(line)
+        if buf is not None:
+            joined.append(buf)
+        for line in joined:
             if not line or line.startswith("#"):
                 continue
             if line.startswith("rule="):
                 body = line[len("rule="):]
                 tag, _, sample = body.partition(":")
+                stripped_sample = sample.strip()
+                if (stripped_sample.startswith("%{")
+                        and stripped_sample.endswith("}%")):
+                    # liblognorm's spec reader tolerates trailing commas
+                    # (the reference crio rulebase has one)
+                    spec_txt = re.sub(r",\s*([\]}])", r"\1",
+                                      stripped_sample[1:-1])
+                    spec = json.loads(spec_txt)
+                    if spec.get("type") == "repeat":
+                        rules.append(V2RepeatRule(tag, spec))
+                        continue
+                    raise ValueError(
+                        f"unsupported v2 field type {spec.get('type')!r}"
+                        " (only 'repeat' whole-sample rules)")
                 rules.append(_compile_sample(tag, sample, allow_regex))
             elif line.startswith("annotate="):
                 body = line[len("annotate="):]
@@ -351,9 +475,23 @@ class NormalizeStage:
         vals: dict[str, np.ndarray] = {
             f: np.full(n, None, dtype=object) for f, _ in self._fields}
 
+        s_py = None
         for ri, rule in enumerate(self.rb.rules):
             if not unmatched.any():
                 break
+            if isinstance(rule, V2RepeatRule):
+                # sequential `repeat` parsing is per row by nature; only
+                # rows every earlier regex rule left unmatched pay it
+                if s_py is None:
+                    s_py = s.to_pylist()
+                for i in np.flatnonzero(unmatched):
+                    items = rule.parse(s_py[i] or "")
+                    if items is not None:
+                        vals[rule.field][i] = json.dumps(
+                            items, separators=(",", ":"), sort_keys=True)
+                        rule_of[i] = ri
+                        unmatched[i] = False
+                continue
             idx = np.flatnonzero(unmatched)
             sub = s.take(pa.array(idx, pa.int64()))
             st = pc.extract_regex(sub, pattern=rule.regex)

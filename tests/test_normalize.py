@@ -168,3 +168,95 @@ def test_mmnormalize_table_cache_identity():
     a = nz._cached_stage("rule=a:%x:word%", "msg", "", False, True)
     b = nz._cached_stage("rule=a:%x:word%", "msg", "", False, True)
     assert a is b
+
+
+def test_v2_repeat_rulebases_crio_and_json():
+    """liblognorm v2 `repeat` rules over the reference's OWN k8s
+    multiline rulebases (tests/imfile-endmsg.regex.{crio,json}.rulebase)
+    with the shell test's input shapes."""
+    import json as _json
+    import os
+
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.normalize import NormalizeStage, RuleBase
+
+    ref = "/root/reference/tests"
+    if not os.path.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not present")
+
+    crio = RuleBase.from_file(f"{ref}/imfile-endmsg.regex.crio.rulebase")
+    jsonrb = RuleBase.from_file(f"{ref}/imfile-endmsg.regex.json.rulebase")
+
+    crio_msg = ("date stdout P msgnum:3\n"
+                "date stdout P msgnum:4\n"
+                "date stdout P msgnum:5\n"
+                "date stdout F msgnum:6")
+    st = NormalizeStage(crio, source="msg")
+    out = st(pa.table({"msg": [crio_msg, "not crio ="]}))
+    assert out["parse_success"].to_pylist() == [True, False]
+    items = _json.loads(out["multilinecrio"].to_pylist()[0])
+    assert [it["log"] for it in items] == [
+        "msgnum:3", "msgnum:4", "msgnum:5", "msgnum:6"]
+    assert {it["stream"] for it in items} == {"stdout"}
+    assert [it["partial"] for it in items] == ["P", "P", "P", "F"]
+
+    json_msg = ('{"time":"date", "stream":"stdout", "log":"msgnum:3"}\n'
+                '{"time":"date", "stream":"stdout", "log":"msgnum:4"}\n'
+                '{"time":"date", "stream":"stdout", "log":"msgnum:6\\n"}')
+    st2 = NormalizeStage(jsonrb, source="msg")
+    out2 = st2(pa.table({"msg": [json_msg]}))
+    assert out2["parse_success"].to_pylist() == [True]
+    items2 = _json.loads(out2["multilinejson"].to_pylist()[0])
+    assert [it["log"] for it in items2] == [
+        "msgnum:3", "msgnum:4", "msgnum:6\n"]
+
+
+def test_v2_repeat_k8s_assembly_end_to_end(ray_session):
+    """The imfile-endmsg.regex-with-example.sh assembly loop: foreach
+    over the normalized array accumulates partial CRI-O lines into one
+    $!log — replayed through the language front-end."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.normalize import NormalizeStage, RuleBase
+    from rsyslog_ray.stages.route import route_table
+
+    ref = "/root/reference/tests"
+    import os
+    if not os.path.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not present")
+    crio = RuleBase.from_file(f"{ref}/imfile-endmsg.regex.crio.rulebase")
+    msg = ("date stdout P msgnum:3\n"
+           "date stdout P msgnum:4\n"
+           "date stdout F msgnum:6")
+    st = NormalizeStage(crio, source="msg", keep=[])
+    parsed = st(pa.table({"msg": [msg]}))
+    # mmnormalize-action shape: parsed array into the message tree
+    batch = pa.table({
+        "msg": pa.array([msg]),
+        "cee_json": pa.array([_json.dumps(
+            {"multilinecrio": _json.loads(
+                parsed["multilinecrio"].to_pylist()[0])})]),
+    })
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%$!stream%|%$!log%")
+foreach ($.ii in $!multilinecrio) do {
+    if strlen($!stream) == 0 then {
+        set $!stream = $.ii!stream;
+    }
+    if strlen($!log) == 0 then {
+        set $!log = $.ii!log;
+    } else {
+        reset $!log = $!log & $.ii!log;
+    }
+}
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(batch, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "stdout|msgnum:3msgnum:4msgnum:6"]
