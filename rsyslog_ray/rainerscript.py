@@ -73,7 +73,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<pfilt>:\$?[A-Za-z][A-Za-z0-9_-]*[ \t]*,[ \t]*!?[a-z]+[ \t]*,
               [ \t]*"(?:\\.|[^"\\])*")
   | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
-  | (?P<ltarget>-?/[^\s;{}]+|@@?[A-Za-z0-9_.:*-]+|:[A-Za-z0-9]+:[^\s;{}]*)
+  | (?P<ltarget>\??-?/[^\s;{}]+(?:;[A-Za-z0-9_.-]+)?|\?[A-Za-z0-9_.-]+(?:;[A-Za-z0-9_.-]+)?|@@?[A-Za-z0-9_.:*-]+|:[A-Za-z0-9]+:[^\s;{}]*)
   | (?P<num>-?\d+(?:\.\d+)?)
   | (?P<sel>[A-Za-z0-9*,]+\.[A-Za-z*!=]+(?:;[A-Za-z0-9*,]+\.[A-Za-z*!=]+)*)
   | (?P<prop>\$[!.]?[A-Za-z0-9_!./-]+(?:\[\d+\](?:[A-Za-z0-9_!./-]+)?)*
@@ -570,8 +570,28 @@ class _Parser:
         text roots under the run's out_root (wire targets stand in as
         named text sinks, the repo-wide transport substitution)."""
         self._auto += 1
+        # classic ';template' suffix (conf.c cflineDoAction): selects the
+        # output template; '?name' is an omfile DYNAFILE whose name
+        # template renders the path (our sinks are per-action roots, so
+        # the dynafile name becomes the sink name)
+        tplsuffix = None
+        if ";" in target and not target.startswith(":"):
+            target, _, tplsuffix = target.partition(";")
+        dynafile = target.startswith("?")
+        if dynafile:
+            target = target[1:]
         name = re.sub(r"[^A-Za-z0-9_.-]+", "_", target).strip("_") \
             or f"action_{self._auto}"
+        if dynafile:
+            name = f"dyn_{name}"
+            tpl = tplsuffix or self.file_default_template
+            if not hasattr(self, "_legacy_names"):
+                self._legacy_names = {}
+            seen = self._legacy_names.get(name, 0)
+            self._legacy_names[name] = seen + 1
+            if seen:
+                name = f"{name}_{seen + 1}"
+            return {"name": name, "template": tpl, "format": "text"}
         if target == "*" or target.startswith(":omusrmsg:"):
             tpl = "RSYSLOG_TraditionalFileFormat"   # wall-message text
             name = f"usrmsg_{name}" if target != "*" else "usrmsg_all"
@@ -579,7 +599,7 @@ class _Parser:
             tpl = "RSYSLOG_ForwardFormat"           # omfwd @/@@ target
             name = f"fwd_{name.lstrip('@')}"
         else:
-            tpl = self.file_default_template        # omfile path
+            tpl = tplsuffix or self.file_default_template  # omfile path
             if target.startswith("-"):              # '-' async flag
                 name = name.lstrip("-_")
         # the same target on several selector lines is idiomatic sysklogd

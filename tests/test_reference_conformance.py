@@ -1570,3 +1570,49 @@ action(type="omfile" name="out" template="outfmt")
     assert got[" msgnum:00000000:"] == "foo_old"
     assert got[" msgnum:00000001:"] == "bar_old"
     assert "baz" not in got.values()
+
+
+@needs_ref
+def test_reference_fieldtest_golden(ray_session):
+    """tests/fieldtest.sh — %msg:F,32:2% field extraction bound through
+    an input ruleset; cmp 'DROP_url_www.sina.com.cn:IN=eth1'."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = ("<167>Mar  6 16:57:54 172.20.245.8 %PIX-7-710005: "
+            "DROP_url_www.sina.com.cn:IN=eth1 OUT=eth0 SRC=192.168.10.78 "
+            "DST=61.172.201.194 LEN=1182 TOS=0x00 PREC=0x00 TTL=63 "
+            "ID=14368 DF PROTO=TCP SPT=33343 DPT=80 WINDOW=92 RES=0x00 "
+            "ACK PSH URGP=0")
+    parsed = parse_table(_inject_table([line]))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="%msg:F,32:2%")
+action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "DROP_url_www.sina.com.cn:IN=eth1"]
+
+
+@needs_ref
+def test_reference_discard_golden(ray_session):
+    """tests/discard.sh — the classic `~` discard selector plus a
+    `?dynfile;outfmt` dynafile action with a legacy \$template;
+    seq_check 1..N-1 (msgnum 0 discarded)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(30))
+    cc = load_rainerscript('''
+:msg, contains, "00000000" ~
+
+$template outfmt,"%msg:F,58:2%\\n"
+template(name="dynfile" type="string" string="out")
+:msg, contains, "msgnum:" ?dynfile;outfmt
+''')
+    routed = route_table(parsed, cc.ruleset)
+    got = sorted(r.rstrip("\\n").rstrip("\n")
+                 for r in routed["dyn_dynfile"]["rendered"].to_pylist())
+    assert got == [f"{i:08d}" for i in range(1, 30)]
