@@ -121,6 +121,13 @@ def mmjsonparse_table(batch: pa.Table, col: str = "msg",
     vals = stripped.to_pylist()
     n = len(vals)
     container = container.lstrip("$")
+    if not container.startswith(("!", ".")):
+        # mmjsonparse.c checkVarName: "invalid container name '%s',
+        # name must start with '$.' or '$!'" — config-time error
+        # (mmjsonparse-invalid-containerName.sh)
+        raise ValueError(
+            f"mmjsonparse: invalid container name {container!r}, name "
+            "must start with '$!' or '$.'")
     to_locals = container == "."
     subkey = container[1:] if container.startswith("!") else ""
     out = [None] * n

@@ -1616,3 +1616,35 @@ template(name="dynfile" type="string" string="out")
     got = sorted(r.rstrip("\\n").rstrip("\n")
                  for r in routed["dyn_dynfile"]["rendered"].to_pylist())
     assert got == [f"{i:08d}" for i in range(1, 30)]
+
+
+@needs_ref
+def test_reference_mmjsonparse_cookie_empty_multispace_golden(ray_session):
+    """tests/mmjsonparse-w-o-cookie-multi-spaces.sh — cookie='' parses
+    JSON after arbitrary leading spaces in MSG."""
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.functions import json_get
+
+    lines = [f'<167>Mar  1 01:00:00 h tag:       {{"msgnum":"{i:08d}"}}'
+             for i in range(5)]
+    parsed = mmjsonparse_table(parse_table(_inject_table(lines)),
+                               cookie="")
+    assert parsed["cee_parsesuccess"].to_pylist() == [True] * 5
+    got = json_get(parsed["cee_json"].combine_chunks(),
+                   "msgnum").to_pylist()
+    assert sorted(got) == [f"{i:08d}" for i in range(5)]
+
+
+@needs_ref
+def test_reference_mmjsonparse_invalid_container_rejected(ray_session):
+    """tests/mmjsonparse-invalid-containerName.sh — a container not
+    starting with '!' or '.' (or '$'-prefixed forms) is a config
+    error."""
+    import pyarrow as pa
+    import pytest
+
+    from rsyslog_ray.stages.enrich import mmjsonparse_table
+
+    with pytest.raises(ValueError, match="container"):
+        mmjsonparse_table(pa.table({"msg": ["x"]}), container="foobar")
