@@ -1648,3 +1648,64 @@ def test_reference_mmjsonparse_invalid_container_rejected(ray_session):
 
     with pytest.raises(ValueError, match="container"):
         mmjsonparse_table(pa.table({"msg": ["x"]}), container="foobar")
+
+
+@needs_ref
+def test_reference_optimizer1_golden(ray_session):
+    """tests/rscript_optimizer1.sh — `if prifilt("syslog.*") then stop
+    else <action>` with local4 traffic: nothing matches syslog.*, every
+    message takes the else branch (seq_check)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_injectmsg(40))
+    cc = load_rainerscript('''
+template(name="outfmt" type="list") {
+    property(name="msg" field.delimiter="58" field.number="2")
+}
+if prifilt("syslog.*") then
+    stop
+else
+    action(type="omfile" name="out" template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert sorted(routed["out"]["rendered"].to_pylist()) == [
+        f"{i:08d}" for i in range(40)]
+
+
+@needs_ref
+def test_reference_template_pos_variants_goldens(ray_session):
+    """tests/template-pos-from-to-{lowercase,oversize,
+    oversize-lowercase}.sh — case conversion composes with the position
+    window; an out-of-range window renders empty in BOTH string and
+    list forms."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    parsed = parse_table(_inject_table(
+        ["<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:0000000A:"]))
+
+    def render(tpl_block):
+        cc = load_rainerscript(tpl_block + '''
+:msg, contains, "msg" action(type="omfile" name="out" template="outfmt")
+''')
+        return route_table(parsed, cc.ruleset)["out"][
+            "rendered"].to_pylist()
+
+    # chars 9..16 of " msgnum:0000000A:" are the digits+'A'; lowercase
+    # composes after the window (msg.c case conv order)
+    assert render('template(name="outfmt" type="string" '
+                  'string="%msg:9:16:%")') == ["0000000A"]
+    assert render('template(name="outfmt" type="string" '
+                  'string="%msg:9:16:lowercase%")') == ["0000000a"]
+    assert render('template(name="outfmt" type="string" '
+                  'string="-%msg:109:116:%-")') == ["--"]
+    assert render('template(name="outfmt" type="string" '
+                  'string="-%msg:109:116:lowercase%-")') == ["--"]
+    assert render('''template(name="outfmt" type="list") {
+    constant(value="-")
+    property(name="msg" position.from="109" position.to="116")
+    constant(value="-")
+}''') == ["--"]
