@@ -542,7 +542,7 @@ SELECT doc_id,
            || CAST(doc_id % 119 AS VARCHAR)
     || ' dst=10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 '
     || substr(text, 1, 16),
-    '\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b',
+    '(25[0-5]|2[0-4]\d|[01]?\d?\d)\.(25[0-5]|2[0-4]\d|[01]?\d?\d)\.(25[0-5]|2[0-4]\d|[01]?\d?\d)\.(25[0-5]|2[0-4]\d|[01]?\d?\d)',
     '\1.\2.0.0', 'g') AS line
 FROM documents"""
 

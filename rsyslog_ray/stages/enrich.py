@@ -234,7 +234,14 @@ def mmpstrucdata_table(batch: pa.Table, col: str = "structured_data",
 # (plugins/mmanon/mmanon.c:53-126: zero / simple modes, bit count)
 # --------------------------------------------------------------------------
 
-_IPV4_RE = r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b"
+# octet-strict, boundary-free scan — the reference's char scanner
+# (mmanon.c getipv4): an invalid octet fails the parse and the scan
+# advances ONE char ('256.0.0.0' -> '2' + anonymized '56.0.0.0';
+# '1111.1.1.8.1' -> '1' + anonymized '111.1.1.8' + '.1'); embedded
+# addresses with no word boundary anonymize too
+# (mmanon_recognize_ipv4.sh)
+_OCT = r"(25[0-5]|2[0-4]\d|[01]?\d?\d)"
+_IPV4_RE = rf"{_OCT}\.{_OCT}\.{_OCT}\.{_OCT}"
 
 
 def _anon_rand(ip_num: int, bits: int, seed: int) -> int:

@@ -88,11 +88,15 @@ def test_mmanon_random_consistent_and_prefix():
     assert again == out
 
 
-def test_mmanon_invalid_octet_untouched():
+def test_mmanon_invalid_octet_advances_one_char():
+    """The reference scanner (mmanon.c getipv4) fails an invalid octet
+    and advances ONE char — '999.1.2.3' keeps the leading '9' and
+    anonymizes '99.1.2.3' (mmanon_recognize_ipv4.sh's '256.0.0.0' →
+    '20.0.0.0' pattern)."""
     from rsyslog_ray.stages.enrich import mmanon_table
     t = pa.table({"line": pa.array(["v=999.1.2.3"], pa.string())})
     out = mmanon_table(t, col="line", mode="zero", bits=12)["line"][0].as_py()
-    assert out == "v=999.1.2.3"
+    assert out == "v=999.1.0.0"
 
 
 def test_mmanon_ipv6_zero_and_random():

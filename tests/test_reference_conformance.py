@@ -1709,3 +1709,37 @@ def test_reference_template_pos_variants_goldens(ray_session):
     property(name="msg" position.from="109" position.to="116")
     constant(value="-")
 }''') == ["--"]
+
+
+@needs_ref
+def test_reference_mmanon_recognize_ipv4_golden(ray_session):
+    """tests/mmanon_recognize_ipv4.sh — the char scanner's full
+    recognition matrix (mode=zero ipv4.bits=32): invalid octets fail
+    and the scan advances one char ('256.0.0.0' → '20.0.0.0',
+    '1111.1.1.8.1' → '10.0.0.0.1'), embedded addresses with no word
+    boundary anonymize, malformed dot runs pass through — the script's
+    exact 26-line cmp."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmanon_table
+
+    msgs = [" asdfghjk", " before 172.9.6.4", " 75.123.123.0 after",
+            " before 181.23.1.4 after", " nothingnothingnothing",
+            " before 181.23.1.4 after 172.1.3.4", " 1.1.1.8", " 1.1.1.8",
+            " 1.1.1.9", " 0.0.0.0", " 1.2.3.4.5.6.7.8.76",
+            " 172.0.234.255", " 1.0.0.0", " 1.225.225.225",
+            " 172.0.234.255", " 3.4.5.6", " 256.0.0.0",
+            " 1....1....1....8", " 1..1..1..8", " 1..1.1.8",
+            " 1.1..1.8", " 1.1.1..8", " 1111.1.1.8.1", " 111.1.1.8.1",
+            " 111.1.1.8.", " textnoblank1.1.1.9stillnoblank"]
+    expected = [" asdfghjk", " before 0.0.0.0", " 0.0.0.0 after",
+                " before 0.0.0.0 after", " nothingnothingnothing",
+                " before 0.0.0.0 after 0.0.0.0", " 0.0.0.0", " 0.0.0.0",
+                " 0.0.0.0", " 0.0.0.0", " 0.0.0.0.0.0.0.0.76",
+                " 0.0.0.0", " 0.0.0.0", " 0.0.0.0", " 0.0.0.0",
+                " 0.0.0.0", " 20.0.0.0", " 1....1....1....8",
+                " 1..1..1..8", " 1..1.1.8", " 1.1..1.8", " 1.1.1..8",
+                " 10.0.0.0.1", " 0.0.0.0.1", " 0.0.0.0.",
+                " textnoblank0.0.0.0stillnoblank"]
+    out = mmanon_table(pa.table({"msg": msgs}), mode="zero", bits=32)
+    assert out["msg"].to_pylist() == expected
