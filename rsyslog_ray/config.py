@@ -63,6 +63,7 @@ register_stage("mmfields", _enrich_mod.mmfields_table)
 register_stage("mmpstrucdata", _enrich_mod.mmpstrucdata_table)
 register_stage("mmanon", _enrich_mod.mmanon_table)
 register_stage("mmanon_ipv6", _enrich_mod.mmanon_ipv6_table)
+register_stage("mmanon_embedded", _enrich_mod.mmanon_embedded_table)
 register_stage("mmrm1stspace", _enrich_mod.mmrm1stspace_table)
 register_stage("mmutf8fix", _enrich_mod.mmutf8fix_table)
 register_stage("mmtaghostname", _enrich_mod.mmtaghostname_table)

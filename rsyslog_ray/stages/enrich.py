@@ -743,3 +743,164 @@ def mmsnmptrapd_table(batch: pa.Table, tag_name: str = "snmptrapd",
             out = out.set_column(out.schema.get_field_index(sev_col),
                                  sev_col, new)
     return out
+
+
+# --------------------------------------------------------------------------
+# mmanon embeddedipv4.* — IPv4-embedded-in-IPv6 anonymization
+# (mmanon.c syntax_embedded:1127-1190, isValidHexNum:463-523,
+#  syntax_ipv4:414-459, findV4Start:1113-1124, num2embedded:990-1007)
+# --------------------------------------------------------------------------
+
+_HEXDIGITS = set("0123456789abcdefABCDEF")
+
+
+def _emb_hexnum(s: str, pos: int, handle_dot: bool):
+    """isValidHexNum port: (cyc, newpos) — cyc>0 hex-digit count (max 4;
+    a 5th digit returns 0 with 4 consumed), -1 ':' consumed, -2 '.'
+    consumed (handle_dot), 0 none."""
+    cyc = 0
+    i = pos
+    while i < len(s):
+        c = s[i]
+        if c in _HEXDIGITS:
+            cyc += 1
+            if cyc == 5:
+                return 0, i
+            i += 1
+        elif c == ".":
+            if handle_dot and cyc == 0:
+                return -2, i + 1
+            return cyc, i
+        elif c == ":":
+            if cyc == 0:
+                return -1, i + 1
+            return cyc, i
+        else:
+            return cyc, i
+    return cyc, i
+
+
+def _emb_ipv4(s: str, pos: int):
+    """syntax_ipv4 port: 4 dot-separated decimal octets <=255 starting
+    at pos → (True, endpos)."""
+    i = pos
+    vals = []
+    for k in range(4):
+        j = i
+        while j < len(s) and s[j].isdigit():
+            j += 1
+        if j == i:
+            return False, pos
+        v = int(s[i:j])
+        if v > 255:
+            return False, pos
+        vals.append(v)
+        i = j
+        if k < 3:
+            if i >= len(s) or s[i] != ".":
+                return False, pos
+            i += 1
+    return True, i
+
+
+def _emb_syntax(s: str, pos: int):
+    """syntax_embedded port → (matched, endpos)."""
+    i = pos
+    last_sep = False
+    had_abbrev = False
+    ip_parts = 0
+    while i < len(s):
+        cyc, i = _emb_hexnum(s, i, True)
+        if cyc > 0:
+            if (ip_parts == 6 and had_abbrev) or ip_parts > 6:
+                return False, pos
+            if ip_parts == 0 and last_sep and not had_abbrev:
+                return False, pos
+            last_sep = False
+            ip_parts += 1
+        elif cyc == -1:
+            if last_sep:
+                if had_abbrev:
+                    return False, pos
+                had_abbrev = True
+            last_sep = True
+        elif cyc == -2:
+            if last_sep or (ip_parts == 0 and had_abbrev) \
+                    or (ip_parts <= 6 and not had_abbrev):
+                return False, pos
+            v4s = s.rfind(":", 0, i - 1) + 1
+            ok4, end4 = _emb_ipv4(s, v4s)
+            if ok4:
+                return True, end4
+            return False, pos
+        else:
+            return False, pos
+    return False, pos
+
+
+def _emb_to_num(text: str) -> int:
+    v6part, _, v4 = text.rpartition(":")
+    o = [int(x) for x in v4.split(".")]
+    v4num = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
+    groups = v6part.split(":")
+    # '::' abbreviation → empty strings; expand to six 16-bit groups
+    if "" in groups:
+        first_empty = groups.index("")
+        tail = [g for g in groups[first_empty:] if g != ""]
+        head = groups[:first_empty]
+        groups = head + ["0"] * (6 - len(head) - len(tail)) + tail
+    groups = (["0"] * (6 - len(groups)) + groups)[:6]
+    high = 0
+    for g in groups:
+        high = (high << 16) | int(g or "0", 16)
+    return (high << 32) | v4num
+
+
+def _emb_render(num: int) -> str:
+    """num2embedded: six lowercase hex groups + dotted quad."""
+    groups = [(num >> (112 - 16 * i)) & 0xFFFF for i in range(6)]
+    v4 = num & 0xFFFFFFFF
+    return (":".join(format(g, "x") for g in groups) + ":"
+            + f"{v4 >> 24 & 255}.{v4 >> 16 & 255}"
+            + f".{v4 >> 8 & 255}.{v4 & 255}")
+
+
+def mmanon_embedded_table(batch: pa.Table, col: str = "msg",
+                          mode: str = "zero", bits: int = 96,
+                          seed: int = 4242) -> pa.Table:
+    """mmanon embeddedipv4.* (defaults per setInstParamDefaults:223-226):
+    the reference char scanner — at each position try syntax_embedded;
+    a match replaces the span with the anonymized render, a failure
+    advances ONE char (so '13:abd:45:1:1:1:1:0.0.0.0' keeps '13:' and
+    anonymizes the 6-group tail — mmanon_recognize_ipembedded.sh).
+    Candidate rows prefiltered by regex; non-candidates never pay the
+    scan."""
+    if mode not in ("zero", "random", "random-consistent"):
+        raise ValueError(f"unknown embeddedipv4 mode {mode!r}")
+    src = pc.cast(batch[col], pa.string())
+    cand = pc.match_substring_regex(
+        pc.fill_null(src, ""),
+        pattern=r"[0-9A-Fa-f:]*:[0-9A-Fa-f]*[0-9]\.[0-9]")
+    cand_np = cand.to_numpy(zero_copy_only=False)
+    vals = src.to_pylist()
+    mask = ~((1 << bits) - 1) & ((1 << 128) - 1)
+    for ri in np.flatnonzero(cand_np):
+        s = vals[ri]
+        out = []
+        i = 0
+        while i < len(s):
+            ok, end = _emb_syntax(s, i)
+            if ok:
+                num = _emb_to_num(s[i:end]) & mask
+                if mode.startswith("random"):
+                    num |= _anon_rand(_emb_to_num(s[i:end]),
+                                      min(bits, 32), seed)
+                out.append(_emb_render(num))
+                i = end
+            else:
+                out.append(s[i])
+                i += 1
+        vals[ri] = "".join(out)
+    arr = pa.array(vals, pa.string())
+    return batch.set_column(batch.schema.get_field_index(col), col,
+                            pc.cast(arr, batch[col].type))

@@ -1743,3 +1743,57 @@ def test_reference_mmanon_recognize_ipv4_golden(ray_session):
                 " textnoblank0.0.0.0stillnoblank"]
     out = mmanon_table(pa.table({"msg": msgs}), mode="zero", bits=32)
     assert out["msg"].to_pylist() == expected
+
+
+@needs_ref
+def test_reference_mmanon_recognize_ipembedded_golden(ray_session):
+    """tests/mmanon_recognize_ipembedded.sh — the embedded-IPv4-in-IPv6
+    recognizer matrix (embeddedipv4.bits=128, zero): 6-group + dotted
+    quad forms (plain and '::'-abbreviated) anonymize to the reference
+    render '0:0:0:0:0:0:0.0.0.0'; prefixes before an invalid extra
+    group survive; >4-hex-digit groups, hex 'octets' and plain IPv6
+    pass through — the script's exact 20-line cmp."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmanon_embedded_table
+
+    msgs = [" asdfghjk",
+            " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:255.255.255.255",
+            " 61:34:ad::7:F aa:ff43::756:172.2.3.4",
+            " ::", " 0::", " ::0.0.0.0",
+            " 13:abd:45:1:1:1:0.0.0.0",
+            " 13:abd:45::1:1:0.0.0.0",
+            " 13:abd:45:1:1:1:1:0.0.0.0",
+            " 13:abd:45:1:1:1::1:0.0.0.0",
+            " 13:abd:45:0.0.0.0",
+            " 13:abd:45::. test",
+            " 13:abd:45::1.2.3.4 test",
+            " *13:abd:45::ac.2.3.5* test",
+            " ewirnwem aa:ff43:756:99:ff:445:cc.1.2.3.4",
+            " aa::ff:bb:122:0:44.1.23.4.0",
+            " 12:12345::a.3.4.12.7",
+            " textnoblank72:8374:adc7:47FF::43:172.1.1.0",
+            " 72:8374:adc7:47FF::43:172.1.1.0stillnoblank",
+            " textnoblank72:8374:adc7:47FF::43:172.1.1.0stillnoblank"]
+    expected = [" asdfghjk",
+                " 0:0:0:0:0:0:0.0.0.0",
+                " 61:34:ad::7:F 0:0:0:0:0:0:0.0.0.0",
+                " ::", " 0::",
+                " 0:0:0:0:0:0:0.0.0.0",
+                " 0:0:0:0:0:0:0.0.0.0",
+                " 0:0:0:0:0:0:0.0.0.0",
+                " 13:0:0:0:0:0:0:0.0.0.0",
+                " 13:abd:0:0:0:0:0:0:0.0.0.0",
+                " 13:abd:45:0.0.0.0",
+                " 13:abd:45::. test",
+                " 0:0:0:0:0:0:0.0.0.0 test",
+                " *13:abd:45::ac.2.3.5* test",
+                " ewirnwem aa:ff43:756:99:ff:445:cc.1.2.3.4",
+                " 0:0:0:0:0:0:0.0.0.0.0",
+                " 12:12345::a.3.4.12.7",
+                " textnoblank0:0:0:0:0:0:0.0.0.0",
+                " 0:0:0:0:0:0:0.0.0.0stillnoblank",
+                " textnoblank0:0:0:0:0:0:0.0.0.0stillnoblank"]
+    out = mmanon_embedded_table(pa.table({"msg": msgs}), mode="zero",
+                                bits=128)
+    assert out["msg"].to_pylist() == expected
