@@ -1797,3 +1797,40 @@ def test_reference_mmanon_recognize_ipembedded_golden(ray_session):
     out = mmanon_embedded_table(pa.table({"msg": msgs}), mode="zero",
                                 bits=128)
     assert out["msg"].to_pylist() == expected
+
+
+@needs_ref
+def test_reference_mmanon_recognize_ipv6_golden(ray_session):
+    """tests/mmanon_recognize_ipv6.sh — the plain-IPv6 recognizer
+    matrix (ipv6.bits=128, zero): full/abbreviated/embedded-in-text
+    addresses anonymize to the explicit eight-group render; partial
+    group runs and '*'-adjacent non-addresses survive; '12:12345::a'
+    keeps '12:1' and anonymizes '2345::a' — the script's exact 16-line
+    cmp."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmanon_ipv6_table
+
+    msgs = [" asdfghjk", " FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF",
+            " 61:34:ad::7:F aa:ff43::756:99:0", " ::", " 0::",
+            " 13:abd:45:", " 13:abd:45::. test", " 13:abd:45::* test",
+            " *13:abd:45::* test", " 13:abd:45:* test",
+            " ewirnwemaa:ff43::756:99:0", " a::, cc:: LLL",
+            " 12:12345::a",
+            " textnoblank72:8374:adc7:47FF::43:0:1AFE",
+            " 72:8374:adc7:47FF::43:0:1AFEstillnoblank",
+            " textnoblank72:8374:adc7:47FF::43:0:1AFEstillnoblank"]
+    expected = [" asdfghjk", " 0:0:0:0:0:0:0:0",
+                " 0:0:0:0:0:0:0:0 0:0:0:0:0:0:0:0", " 0:0:0:0:0:0:0:0",
+                " 0:0:0:0:0:0:0:0", " 13:abd:45:",
+                " 0:0:0:0:0:0:0:0. test", " 0:0:0:0:0:0:0:0* test",
+                " *0:0:0:0:0:0:0:0* test", " 13:abd:45:* test",
+                " ewirnwem0:0:0:0:0:0:0:0",
+                " 0:0:0:0:0:0:0:0, 0:0:0:0:0:0:0:0 LLL",
+                " 12:10:0:0:0:0:0:0:0",
+                " textnoblank0:0:0:0:0:0:0:0",
+                " 0:0:0:0:0:0:0:0stillnoblank",
+                " textnoblank0:0:0:0:0:0:0:0stillnoblank"]
+    out = mmanon_ipv6_table(pa.table({"msg": msgs}), mode="zero",
+                            bits=128)
+    assert out["msg"].to_pylist() == expected
