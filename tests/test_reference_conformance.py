@@ -1834,3 +1834,24 @@ def test_reference_mmanon_recognize_ipv6_golden(ray_session):
     out = mmanon_ipv6_table(pa.table({"msg": msgs}), mode="zero",
                             bits=128)
     assert out["msg"].to_pylist() == expected
+
+
+@needs_ref
+def test_reference_mmanon_simple_mode_goldens(ray_session):
+    """tests/mmanon_simple_{8,12,33}_ipv4.sh — SIMPLE mode overwrites
+    the digits of the last ceil(bits/8) octets with the replacement
+    char, preserving layout; bits=33 clamps to whole-address."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import mmanon_table
+
+    msgs = [" 1.1.1.8", " 0.0.0.0", " 172.0.234.255", " 111.1.1.8."]
+    t = pa.table({"msg": msgs})
+    assert mmanon_table(t, mode="simple", bits=12)["msg"].to_pylist() == \
+        [" 1.1.x.x", " 0.0.x.x", " 172.0.xxx.xxx", " 111.1.x.x."]
+    assert mmanon_table(t, mode="simple", bits=8)["msg"].to_pylist() == \
+        [" 1.1.1.x", " 0.0.0.x", " 172.0.234.xxx", " 111.1.1.x."]
+    t2 = pa.table({"msg": [" before 172.9.6.4", " 12.123.123.1 after"]})
+    assert mmanon_table(t2, mode="simple", bits=33,
+                        replace_char="*")["msg"].to_pylist() == \
+        [" before ***.*.*.*", " **.***.***.* after"]
