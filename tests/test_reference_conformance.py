@@ -1855,3 +1855,53 @@ def test_reference_mmanon_simple_mode_goldens(ray_session):
     assert mmanon_table(t2, mode="simple", bits=33,
                         replace_char="*")["msg"].to_pylist() == \
         [" before ***.*.*.*", " **.***.***.* after"]
+
+
+@needs_ref
+def test_reference_mmrm1stspace_basic_golden(ray_session):
+    """tests/mmrm1stspace-basic.sh — exactly ONE leading space strips
+    (double space keeps one; no space and empty msg unchanged), with a
+    :syslogtag, contains filter."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmrm1stspace_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    lines = ["<129>Mar 10 01:00:00 172.20.245.8 tag: msgnum:1",
+             "<129>Mar 10 01:00:00 172.20.245.8 tag:  msgnum:2",
+             "<129>Mar 10 01:00:00 172.20.245.8 tag:msgnum:3",
+             "<129>Mar 10 01:00:00 172.20.245.8 tag4:"]
+    parsed = mmrm1stspace_table(parse_table(_inject_table(lines)))
+    cc = load_rainerscript('''
+template(name="outfmt" type="string" string="-%msg%-")
+:syslogtag, contains, "tag" action(type="omfile" name="out"
+                                   template="outfmt")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "-msgnum:1-", "- msgnum:2-", "-msgnum:3-", "--"]
+
+
+@needs_ref
+def test_reference_mmtaghostname_tag_golden(ray_session):
+    """tests/mmtaghostname_tag.sh — forced TAG on an RFC5424 message;
+    hostname and msg untouched (cmp line)."""
+    from rsyslog_ray.rainerscript import load_rainerscript
+    from rsyslog_ray.stages.enrich import mmtaghostname_table
+    from rsyslog_ray.stages.parse import parse_table
+    from rsyslog_ray.stages.route import route_table
+
+    line = ("<189>1 2019-03-03T16:09:56.185+00:00 server app 123.4 "
+            "msgid - %SYS-5-CONFIG_I: Configured from console by "
+            "adminsepp on vty0 (10.23.214.226)")
+    parsed = mmtaghostname_table(parse_table(_inject_table([line])),
+                                 tag="source-imtcp")
+    cc = load_rainerscript('''
+template(name="test" type="string"
+         string="tag: %syslogtag%, server: %hostname%, msg: %msg%")
+action(type="omfile" name="out" template="test")
+''')
+    routed = route_table(parsed, cc.ruleset)
+    assert routed["out"]["rendered"].to_pylist() == [
+        "tag: source-imtcp, server: server, msg: %SYS-5-CONFIG_I: "
+        "Configured from console by adminsepp on vty0 (10.23.214.226)"]
