@@ -1905,3 +1905,21 @@ action(type="omfile" name="out" template="test")
     assert routed["out"]["rendered"].to_pylist() == [
         "tag: source-imtcp, server: server, msg: %SYS-5-CONFIG_I: "
         "Configured from console by adminsepp on vty0 (10.23.214.226)"]
+
+
+@needs_ref
+def test_reference_imfile_readmode2_golden(ray_session, tmp_path):
+    """tests/imfile-readmode2.sh — ReadMode=2 joins indented
+    continuation lines with the #012 LF escape (the script's grep
+    checks for msgnum:1..4 inside joined records). Batch deviation,
+    documented: EOF flushes the final record, where streaming imfile
+    holds it for a possible continuation."""
+    from rsyslog_ray.sources.files import read_syslog_text
+
+    p = tmp_path / "in.input"
+    p.write_text("msgnum:0\n msgnum:1\nmsgnum:2\n"
+                 "msgnum:3\n msgnum:4\nmsgnum:5\n")
+    got = [r["text"] for r in
+           read_syslog_text([str(p)], read_mode=2).take_all()]
+    assert got == ["msgnum:0#012 msgnum:1", "msgnum:2",
+                   "msgnum:3#012 msgnum:4", "msgnum:5"]
