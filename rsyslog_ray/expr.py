@@ -266,8 +266,14 @@ class PropertyRegistry:
                                            self._sev_text(), ".")
 
     def _fromhost_ip(self):
-        # file/parquet source has no socket peer; the reference resolves
-        # the local sender to 127.0.0.1 (imdiag injection path)
+        # a parser that extracted the peer (pmnormalize fromhost-ip
+        # field → fromhost_ip column) wins; otherwise the file/parquet
+        # source has no socket peer and the reference resolves the
+        # local sender to 127.0.0.1 (imdiag injection path)
+        if "fromhost_ip" in self.table.column_names:
+            return pc.fill_null(
+                pc.cast(self._col("fromhost_ip"), pa.string()),
+                "127.0.0.1")
         import numpy as np
         return pa.array(np.full(self.table.num_rows, "127.0.0.1",
                                 dtype=object), pa.string())

@@ -1923,3 +1923,52 @@ def test_reference_imfile_readmode2_golden(ray_session, tmp_path):
            read_syslog_text([str(p)], read_mode=2).take_all()]
     assert got == ["msgnum:0#012 msgnum:1", "msgnum:2",
                    "msgnum:3#012 msgnum:4", "msgnum:5"]
+
+
+@needs_ref
+def test_reference_pmnormalize_basic_golden(ray_session):
+    """tests/pmnormalize-basic.sh — pmnormalize as a PARSER: the
+    reference's own rulebase extracts pri/hostname/syslogtag/
+    fromhost-ip/msg from the raw line; the script's exact 3-line
+    cmp_exact through the property template."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rsyslog_ray.stages.normalize import NormalizeStage, RuleBase
+    from rsyslog_ray.templates import Template
+
+    rb = RuleBase.from_file(
+        f"{REF}/testsuites/pmnormalize_basic.rulebase")
+    lines = ["<189> ubuntu tag1: is no longer listening on "
+             "127.0.0.1 test",
+             "<112> debian tag2: is no longer listening on "
+             "255.255.255.255 test",
+             "<177> centos tag3: is no longer listening on "
+             "192.168.0.9 test"]
+    st = NormalizeStage(rb, source="text", keep=[])
+    out = st(pa.table({"text": lines}))
+    assert out["parse_success"].to_pylist() == [True] * 3
+    # pmnormalize maps the well-known field names onto the message
+    # (pmnormalize.c): pri decomposes into facility/severity
+    pri = pc.cast(out["pri"], pa.int64())
+    batch = pa.table({
+        "msg": out["msg"],
+        "hostname": out["hostname"],
+        "tag": out["syslogtag"],
+        "appname": pa.array([""] * 3, pa.string()),
+        "pri": pri,
+        "facility": pc.divide(pri, 8),
+        "severity": pc.bit_wise_and(pri, 7),
+        "fromhost_ip": out["fromhost-ip"],
+    })
+    tpl = Template("host: %hostname%, ip: %fromhost-ip%, "
+                   "tag: %syslogtag%, pri: %pri%, "
+                   "syslogfacility: %syslogfacility%, "
+                   "syslogseverity: %syslogseverity% msg: %msg%")
+    assert tpl.render(batch).to_pylist() == [
+        "host: ubuntu, ip: 127.0.0.1, tag: tag1, pri: 189, "
+        "syslogfacility: 23, syslogseverity: 5 msg: test",
+        "host: debian, ip: 255.255.255.255, tag: tag2, pri: 112, "
+        "syslogfacility: 14, syslogseverity: 0 msg: test",
+        "host: centos, ip: 192.168.0.9, tag: tag3, pri: 177, "
+        "syslogfacility: 22, syslogseverity: 1 msg: test"]
