@@ -1972,3 +1972,48 @@ def test_reference_pmnormalize_basic_golden(ray_session):
         "syslogfacility: 14, syslogseverity: 0 msg: test",
         "host: centos, ip: 192.168.0.9, tag: tag3, pri: 177, "
         "syslogfacility: 22, syslogseverity: 1 msg: test"]
+
+
+@needs_ref
+def test_reference_pmlastmsg_golden(ray_session):
+    """tests/pmlastmsg.sh — the rsyslog.lastline → rfc5424 → rfc3164
+    parser chain: strict 'last message repeated N times' markers keep
+    the WHOLE message as MSG; near-misses (double space, trailing data,
+    non-integer N) fall through to the regular parsers; a 5424 message
+    whose SD-msg is a marker text parses as 5424 (the chain checks the
+    RAW message)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rsyslog_ray.stages.parse import PMLASTMSG_RE, parse_table
+
+    lines = ["<13>last message repeated 5 times",
+             "<13>last message repeated 0090909787348927349875 times",
+             "<13>last message  repeated 5 times",
+             "<13>last message repeated 5 times -- more data",
+             "<13>last message repeated 5.2 times",
+             "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+             "<34>1 2003-11-11T22:14:15.003Z mymachine.example.com su - "
+             "ID47 last message repeated 5 times"]
+    t = _inject_table(lines)
+    parsed = parse_table(t)
+    # chain front: pmlastmsg claims rows whose raw (after PRI) matches
+    raw = pc.replace_substring_regex(
+        pc.cast(t["text"], pa.string()), pattern=r"^<\d{1,3}>",
+        replacement="")
+    is_marker = pc.match_substring_regex(raw, pattern=PMLASTMSG_RE)
+    msg = pc.if_else(is_marker, raw,
+                     pc.cast(parsed["msg"], pa.string())).to_pylist()
+    assert msg[0] == "last message repeated 5 times"
+    assert msg[1] == "last message repeated 0090909787348927349875 times"
+    # rows 2-4 are the critical pmlastmsg NEGATIVES: double space,
+    # trailing data and non-integer N must NOT match the marker (they
+    # fell to rfc3164 in the reference; our headerless-3164 fallback
+    # keeps the full text as MSG — documented deviation in how the
+    # NON-marker remainder parses, not in marker recognition)
+    assert is_marker.to_pylist() == [True, True, False, False, False,
+                                     False, False]
+    assert msg[3].endswith("repeated 5 times -- more data")
+    assert msg[4].endswith("repeated 5.2 times")
+    assert msg[5] == " Rest of message..."
+    assert msg[6] == "last message repeated 5 times"
