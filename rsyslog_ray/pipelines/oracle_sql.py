@@ -14,8 +14,11 @@ from ..datagen import transcripts_path
 TRANSCRIPTS_GLOB = transcripts_path("sf0.01") + "/part-*.parquet"
 
 # RE2 patterns — numbered-group versions of stages/parse.py's named patterns
+# lenient-SD branch mirrors the engine (pmrfc5424.c:287 unchecked
+# SD-parse failure: remainder becomes MSG)
 P5424 = (r"^1 (\S+) (\S+) (\S+) (\S+) (\S+) "
-         r"(-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)(?: ([\s\S]*))?$")
+         r"(?:(-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)(?: ([\s\S]*))?"
+         r"|([\s\S]*))$")
 P3164 = (r"^ ?(?:(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
          r"(?:Z|[+-]\d{2}:\d{2})?)|([A-Z][a-z]{2}) ([ 0-3]?\d) "
          r"(\d{2}:\d{2}:\d{2})) ([A-Za-z0-9._-]+)"
@@ -53,7 +56,7 @@ mm AS (
   SELECT *,
     regexp_matches(rest, '{P5424}') AS is5424,
     regexp_extract(rest, '{P5424}',
-      ['t5','h5','a5','p5','m5','sd5','msg5']) AS g5,
+      ['t5','h5','a5','p5','m5','sd5','msg5','msgbad5']) AS g5,
     regexp_extract(rest, '{P3164}',
       ['t33','mon','day','hms','h3','body3']) AS g3,
     regexp_matches(rest, '{P3164}') AS m3164
@@ -115,7 +118,9 @@ flds AS (
     CASE WHEN is5424 THEN g5.p5 ELSE '' END AS procid,
     CASE WHEN is5424 THEN g5.m5 ELSE '' END AS msgid,
     CASE WHEN is5424 THEN g5.sd5 ELSE '' END AS structured_data,
-    CASE WHEN is5424 THEN coalesce(g5.msg5, '')
+    CASE WHEN is5424 THEN
+           CASE WHEN coalesce(g5.sd5, '') <> '' THEN coalesce(g5.msg5, '')
+                ELSE coalesce(g5.msgbad5, '') END
          WHEN is3164 THEN substr(body3, tagcut + 1) ELSE rest END AS msg,
     CASE WHEN is5424 THEN g5.t5
          WHEN is3164 THEN coalesce(g3.t33, '') ELSE '' END AS ts_str,

@@ -42,10 +42,18 @@ DEF_PRI = 13  # DEFUPRI: facility 1 (user), severity 5 (notice)
 PRI_RE = r"^<(?P<pri>\d{1,3})>(?P<rest>[\s\S]*)$"
 
 RFC5424_RE = (
+    # the reference's pmrfc5424 IGNORES a structured-data parse failure
+    # (parseRFCStructuredData's return value is unchecked,
+    # pmrfc5424.c:287): a non-'-'/non-'[' token does not fail the
+    # parser — SD stays unset and the remainder (including that token)
+    # becomes MSG. The second alternation branch is that lenient path.
+    # (Not replicated: the reference then sets SD from a STALE buffer
+    # still holding MSGID — we set SD empty instead.)
     r"^1 (?P<t5424>\S+) (?P<host5424>\S+) (?P<app5424>\S+) "
     r"(?P<procid5424>\S+) (?P<msgid5424>\S+) "
-    r"(?P<sd5424>-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)"
-    r"(?: (?P<msg5424>[\s\S]*))?$"
+    r"(?:(?P<sd5424>-|(?:\[(?:[^\]\\]|\\[\s\S])*\])+)"
+    r"(?: (?P<msg5424>[\s\S]*))?"
+    r"|(?P<msgbad5424>[\s\S]*))$"
 )
 
 RFC3164_RE = (
@@ -234,8 +242,14 @@ def parse_table(batch: pa.Table, text_col: str = "text",
     msgid = pc.if_else(is5424, _nz(_f(m5, "msgid5424")), empty)
     sd = pc.if_else(is5424, _nz(_f(m5, "sd5424")), empty)
 
+    # non-participating RE2 groups extract as EMPTY strings (not null),
+    # so the strict/lenient branch choice keys off sd5424 — the strict
+    # branch always captured '-' or '[...]' there
+    msg5424 = pc.if_else(
+        pc.equal(_nz(_f(m5, "sd5424")), ""),
+        _nz(_f(m5, "msgbad5424")), _nz(_f(m5, "msg5424")))
     msg = pc.if_else(
-        is5424, _nz(_f(m5, "msg5424")),
+        is5424, msg5424,
         pc.if_else(is3164, msg3164, rest))
 
     # --- reported timestamp ------------------------------------------------

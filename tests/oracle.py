@@ -65,36 +65,45 @@ def parse_rfc5424(rest: str):
             return None
         fields.append(s[:j])
         s = s[j + 1:]
-    # SD: '-' or one+ bracket-balanced elements with backslash escapes
-    if s.startswith("-"):
-        sd = "-"
-        s = s[1:]
-    elif s.startswith("["):
-        k = 0
-        while k < len(s) and s[k] == "[":
-            k += 1
-            while k < len(s):
-                if s[k] == "\\" and k + 1 < len(s):
-                    k += 2
-                    continue
-                if s[k] == "]":
-                    k += 1
-                    break
+    # SD: '-' or one+ bracket-balanced elements with backslash escapes.
+    # The reference IGNORES an SD parse failure (pmrfc5424.c:287
+    # unchecked return): the lenient fallback keeps SD empty and the
+    # whole remainder as MSG.
+    def _strict_sd(s):
+        if s.startswith("-"):
+            sd = "-"
+            s = s[1:]
+        elif s.startswith("["):
+            k = 0
+            while k < len(s) and s[k] == "[":
                 k += 1
-            else:
-                return None
-            if k == 0 or s[k - 1] != "]":
-                return None
-        sd = s[:k]
-        s = s[k:]
-    else:
+                while k < len(s):
+                    if s[k] == "\\" and k + 1 < len(s):
+                        k += 2
+                        continue
+                    if s[k] == "]":
+                        k += 1
+                        break
+                    k += 1
+                else:
+                    return None
+                if k == 0 or s[k - 1] != "]":
+                    return None
+            sd = s[:k]
+            s = s[k:]
+        else:
+            return None
+        if s == "":
+            return sd, ""
+        if s.startswith(" "):
+            return sd, s[1:]
         return None
-    if s == "":
-        msg = ""
-    elif s.startswith(" "):
-        msg = s[1:]
+
+    strict = _strict_sd(s)
+    if strict is not None:
+        sd, msg = strict
     else:
-        return None
+        sd, msg = "", s
     ts = parse_rfc3339_str(fields[0]) if fields[0] != "-" else None
     return {"ts_reported": ts, "hostname": fields[1], "appname": fields[2],
             "procid": fields[3], "msgid": fields[4],
